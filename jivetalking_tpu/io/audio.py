@@ -1,0 +1,86 @@
+"""Unified audio open/save facade (the `internal/audio` equivalent).
+
+The reference opens any container FFmpeg can demux (ref:
+internal/audio/reader.go:29-170); this rebuild supports the two formats the
+tool actually targets — FLAC in/out and WAV in — via the host-side codecs in
+this package.  Decoded audio is float32, shape (channels, n).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import wav as _wav
+
+
+@dataclass
+class AudioMetadata:
+    """Container metadata (ref: internal/audio/reader.go Metadata)."""
+
+    sample_rate: int
+    channels: int
+    num_samples: int
+    duration_secs: float
+    format_name: str
+    codec_name: str
+    bit_depth: int
+
+
+def open_audio_file(path: str) -> tuple[np.ndarray, AudioMetadata]:
+    """Decode an audio file fully -> (float32 (channels, n), metadata)."""
+    ext = os.path.splitext(path)[1].lower()
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if ext == ".wav":
+        samples, rate = _wav.read_wav(path)
+        info = _wav.wav_info(path)
+        meta = AudioMetadata(
+            sample_rate=rate,
+            channels=samples.shape[0],
+            num_samples=samples.shape[1],
+            duration_secs=samples.shape[1] / rate,
+            format_name="wav",
+            codec_name=f"pcm_s{info.bits_per_sample}le"
+            if info.format_tag == _wav.WAVE_FORMAT_PCM
+            else "pcm_f32le",
+            bit_depth=info.bits_per_sample,
+        )
+        return samples, meta
+    if ext == ".flac":
+        from . import flac as _flac
+
+        samples, rate, bits = _flac.read_flac(path)
+        meta = AudioMetadata(
+            sample_rate=rate,
+            channels=samples.shape[0],
+            num_samples=samples.shape[1],
+            duration_secs=samples.shape[1] / rate,
+            format_name="flac",
+            codec_name="flac",
+            bit_depth=bits,
+        )
+        return samples, meta
+    raise ValueError(f"unsupported audio format: {path!r} (supported: .wav, .flac)")
+
+
+def save_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Encode float samples to FLAC s16 (the reference's output contract:
+    FLAC s16, compression level 5, 4096-sample frames — ref:
+    internal/processor/encoder.go:54-99)."""
+    from . import flac as _flac
+
+    _flac.write_flac(path, samples, sample_rate)
+
+
+def downmix_mono(samples: np.ndarray) -> np.ndarray:
+    """Mean over channels (ref `aformat=channel_layouts=mono`,
+    internal/processor/filters.go:607-615)."""
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        return x.astype(np.float32)
+    if x.shape[0] == 1:
+        return x[0].astype(np.float32)
+    return x.mean(axis=0, dtype=np.float64).astype(np.float32)

@@ -1,0 +1,19 @@
+"""Test harness: run JAX on a virtual 8-device CPU mesh so sharding paths are
+exercised without TPU hardware (the driver separately compile-checks the
+multi-chip path via __graft_entry__.dryrun_multichip)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tmp_audio_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("audio")
