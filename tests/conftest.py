@@ -11,7 +11,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: the metering/DSP kernels recompile per static
+# signal length; caching across test runs cuts the suite from minutes to secs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jivetalking_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture(scope="session")
