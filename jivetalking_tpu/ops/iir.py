@@ -95,6 +95,7 @@ def _sosfilt_scan_impl(sos: jnp.ndarray, x: jnp.ndarray, n_sections: int) -> jnp
 
 def sosfilt_scan(sos: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Exact TDF-II SOS cascade via lax.scan (zero initial state)."""
+    x = jnp.asarray(x)
     sos_j = jnp.asarray(sos, dtype=jnp.float64 if x.dtype == jnp.float64 else jnp.float32)
     return _sosfilt_scan_impl(sos_j, x, sos.shape[0])
 
@@ -135,6 +136,7 @@ def fir_convolve_long(x: jnp.ndarray, ir: np.ndarray, block: int | None = None) 
 
     Output length == input length (same as streaming the IIR).
     """
+    x = jnp.asarray(x)
     ir = np.asarray(ir, dtype=np.float32)
     ir_len = int(ir.shape[0])
     n = int(x.shape[0])

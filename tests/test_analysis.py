@@ -1,0 +1,241 @@
+"""Analysis-layer tests: interval engine, VAD split/runs/elections, bands,
+and the full Pass-1 analyser.  Mirrors the reference's synthetic-audio
+integration tier (ref: internal/processor/analyser_test.go,
+analyser_vad_test.go) using in-process fixtures instead of decoded WAVs."""
+
+import numpy as np
+import pytest
+
+from jivetalking_tpu.analysis import analyse_audio, build_intervals
+from jivetalking_tpu.analysis.bands import (
+    AFFTDN_BAND_CENTRES_HZ,
+    afftdn_band_edges_hz,
+    measure_band_rms_batch,
+)
+from jivetalking_tpu.analysis.types import Region
+from jivetalking_tpu.analysis.vad import (
+    detect_voice_activity,
+    estimate_noise_floor_seed,
+    gap_tolerance_intervals,
+    otsu_split_from_levels,
+    percentile_of_sorted,
+)
+from jivetalking_tpu.metering.ebur128 import measure_loudness
+from jivetalking_tpu.metering.spectral import spectral_frames
+
+SR = 44100
+
+
+def _tone(freq, dbfs, secs, sr=SR):
+    amp = 10.0 ** (dbfs / 20.0)
+    t = np.arange(int(secs * sr), dtype=np.float64) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def _noise(dbfs, secs, sr=SR, seed=0):
+    rng = np.random.default_rng(seed)
+    amp = 10.0 ** (dbfs / 20.0)
+    return (amp * rng.standard_normal(int(secs * sr))).astype(np.float32)
+
+
+def _speechlike(dbfs, secs, sr=SR, seed=3):
+    """Spectrally dynamic tonal signal standing in for speech: 250 ms notes
+    hopping around the voice band with level wobble.  A pure sine would be
+    maximally room-tone-like (zero flux) and fool the noise-floor seed — real
+    speech is dynamic, so the fixture must be."""
+    rng = np.random.default_rng(seed)
+    n_notes = int(secs / 0.25)
+    freqs = rng.choice([400.0, 700.0, 1100.0, 1600.0, 2200.0], size=n_notes)
+    levels = dbfs + rng.uniform(-3.0, 1.0, size=n_notes)
+    note_len = int(0.25 * sr)
+    t = np.arange(note_len, dtype=np.float64) / sr
+    out = np.concatenate(
+        [
+            (10.0 ** (lv / 20.0)) * np.sin(2 * np.pi * f * t)
+            for f, lv in zip(freqs, levels)
+        ]
+    )
+    return out[: int(secs * sr)].astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def speech_fixture():
+    """60 s: dynamic tonal 'speech' blocks separated by quiet noise 'room
+    tone'.  Notes stay in the voice band (centroid 200-6000 Hz, low entropy
+    -> passes the spectral veto); noise floor at -55 dBFS."""
+    segs = [
+        _speechlike(-20.0, 20.0, seed=3),  # 0-20 speech
+        _noise(-55.0, 15.0, seed=1),       # 20-35 room tone
+        _speechlike(-20.0, 20.0, seed=4),  # 35-55 speech
+        _noise(-55.0, 5.0, seed=2),        # 55-60 room tone
+    ]
+    return np.concatenate(segs)
+
+
+@pytest.fixture(scope="module")
+def fixture_intervals(speech_fixture):
+    r128 = measure_loudness(speech_fixture, SR)
+    spec = spectral_frames(speech_fixture, SR)
+    return build_intervals(speech_fixture, SR, r128, spec)
+
+
+class TestIntervals:
+    def test_count_and_grid(self, fixture_intervals):
+        iv = fixture_intervals
+        assert len(iv) == 240  # 60 s / 0.25 s
+        assert iv.timestamp[1] - iv.timestamp[0] == pytest.approx(0.25)
+
+    def test_rms_levels_per_segment(self, fixture_intervals):
+        iv = fixture_intervals
+        # speech notes at -20 dBFS nominal with +-3 dB wobble -> interval
+        # RMS lands in a band around -23 dBFS
+        tone_mask = iv.slice_range(2.0, 18.0)
+        assert np.all(iv.rms_level[tone_mask] > -30)
+        assert np.all(iv.rms_level[tone_mask] < -18)
+        noise_mask = iv.slice_range(22.0, 34.0)
+        assert np.all(iv.rms_level[noise_mask] < -50)
+
+    def test_momentary_tracks_level(self, fixture_intervals):
+        iv = fixture_intervals
+        tone_mask = iv.slice_range(5.0, 15.0)
+        noise_mask = iv.slice_range(25.0, 33.0)
+        assert np.mean(iv.momentary_lufs[tone_mask]) > np.mean(iv.momentary_lufs[noise_mask]) + 20
+
+    def test_spectral_attached(self, fixture_intervals):
+        iv = fixture_intervals
+        tone_mask = iv.slice_range(5.0, 15.0)
+        assert np.all(iv.spectral_found[tone_mask])
+        # notes hop between 400 and 2200 Hz -> centroids stay in the voice band
+        assert np.all(iv.spectral["centroid"][tone_mask] > 250.0)
+        assert np.all(iv.spectral["centroid"][tone_mask] < 3000.0)
+
+
+class TestVADPrimitives:
+    def test_percentile_nearest_rank(self):
+        v = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+        assert percentile_of_sorted(v, 0) == 1.0
+        assert percentile_of_sorted(v, 100) == 5.0
+        assert percentile_of_sorted(v, 50) == 3.0
+        assert percentile_of_sorted(v, 75) == 4.0
+        assert percentile_of_sorted(np.zeros(0), 50) == 0.0
+
+    def test_otsu_bimodal(self):
+        lo = np.full(100, -60.0) + np.linspace(-0.4, 0.4, 100)
+        hi = np.full(100, -20.0) + np.linspace(-0.4, 0.4, 100)
+        split = otsu_split_from_levels(np.concatenate([lo, hi]))
+        # between-class variance is flat across the empty middle bins and the
+        # reference keeps the FIRST maximum, so the split sits just above the
+        # low mode (ref: otsuSplit strictly-greater scan)
+        assert -60 < split < -25
+
+    def test_gap_tolerance_bounds(self):
+        hop = 0.25
+        # no speech -> floor (2 s / 0.25 = 8)
+        assert gap_tolerance_intervals(np.zeros(100, bool), hop) == 8
+        # interior gaps of 12 -> p75 = 12
+        flags = np.zeros(100, bool)
+        flags[[0, 13, 26, 39]] = True
+        assert gap_tolerance_intervals(flags, hop) == 12
+        # huge gap clamps to ceiling (10 s / 0.25 = 40)
+        flags = np.zeros(200, bool)
+        flags[[0, 199]] = True
+        assert gap_tolerance_intervals(flags, hop) == 40
+
+
+class TestVAD:
+    def test_detects_speech_and_noise(self, fixture_intervals):
+        seed, _, ok = estimate_noise_floor_seed(fixture_intervals)
+        assert ok
+        vad = detect_voice_activity(fixture_intervals, seed)
+
+        assert len(vad.speech_regions) >= 1
+        assert vad.speech_profile is not None
+        # elected region inside a tone block
+        r = vad.speech_profile.region
+        in_first = 0.0 <= r.start <= 20.0
+        in_second = 35.0 <= r.start <= 55.0
+        assert in_first or in_second
+
+        assert vad.noise_region is not None
+        assert vad.noise_profile is not None
+        # room tone must come from a quiet span
+        assert 20.0 <= vad.noise_region.start <= 35.0 or 55.0 <= vad.noise_region.start
+
+        # split separates the modes
+        assert -55 < vad.split < -20
+        assert not vad.voice_activated
+        assert vad.gate_stats.separation_db > 12.0
+
+    def test_floor_on_momentary_axis(self, fixture_intervals):
+        seed, _, ok = estimate_noise_floor_seed(fixture_intervals)
+        vad = detect_voice_activity(fixture_intervals, seed)
+        # noise at -55 dBFS white; K-weighted momentary sits near -55 (+-5)
+        assert -62 < vad.floor < -45
+
+    def test_voice_activated_flag(self):
+        # gated capture: true digital silence between utterances
+        segs = [
+            _tone(1000.0, -20.0, 12.0),
+            np.zeros(int(10 * SR), np.float32),
+            _tone(1000.0, -20.0, 12.0),
+            np.zeros(int(10 * SR), np.float32),
+        ]
+        x = np.concatenate(segs)
+        r128 = measure_loudness(x, SR)
+        spec = spectral_frames(x, SR)
+        iv = build_intervals(x, SR, r128, spec)
+        seed, _, ok = estimate_noise_floor_seed(iv)
+        from jivetalking_tpu.analysis.vad import VAD_LEVEL_FLOOR_DB
+
+        vad = detect_voice_activity(iv, seed if ok else VAD_LEVEL_FLOOR_DB)
+        assert vad.floored_fraction > 0.2
+        assert vad.voice_activated
+
+
+class TestBands:
+    def test_band_edges_geometric(self):
+        lo, hi = afftdn_band_edges_hz(1)  # centre 125
+        assert lo == pytest.approx(np.sqrt(80 * 125))
+        assert hi == pytest.approx(np.sqrt(125 * 195))
+        lo0, _ = afftdn_band_edges_hz(0)
+        assert lo0 == pytest.approx(80.0 / np.sqrt(125.0 / 80.0))
+
+    def test_band_rms_isolates_tone(self, speech_fixture):
+        region = Region(start=2.0, end=12.0)
+        rms = measure_band_rms_batch(
+            speech_fixture, SR, region, [(500.0, 2000.0), (6000.0, 9000.0)]
+        )
+        # most note energy inside the 0.5-2 kHz band
+        assert rms[0] == pytest.approx(-24.0, abs=3.0)
+        # sibilant band: only the 2-pole skirt of the 2.2 kHz notes
+        assert rms[1] < rms[0] - 20
+
+    def test_nyquist_band_unmeasurable(self, speech_fixture):
+        region = Region(start=20.5, end=30.0)
+        bands = [afftdn_band_edges_hz(i) for i in range(len(AFFTDN_BAND_CENTRES_HZ))]
+        rms = measure_band_rms_batch(speech_fixture, SR, region, bands)
+        # top band's 29.4 kHz edge exceeds the 22.05 kHz Nyquist
+        assert not np.isfinite(rms[-1])
+        assert sum(1 for v in rms if np.isfinite(v)) >= 10
+
+
+class TestAnalyseAudio:
+    def test_end_to_end(self, speech_fixture):
+        m = analyse_audio(speech_fixture, SR)
+        assert m.duration == pytest.approx(60.0)
+        assert m.noise.floor_source == "vad_percentile"
+        assert m.loudness.input_i == pytest.approx(-20.0, abs=3.0)
+        assert m.loudness.target_offset == pytest.approx(-16.0 - m.loudness.input_i)
+
+        sp = m.vad.speech_profile
+        assert sp is not None
+        assert sp.bands_measured
+        # note energy is centred 0.4-2.2 kHz; the sibilant band sees only
+        # the 2-pole filter skirt
+        assert sp.body_band_rms > sp.sib_band_rms + 8
+
+        npf = m.vad.noise_profile
+        assert npf is not None
+        assert npf.bands_measured
+        assert len(npf.band_noise) == 15
+        assert m.noise.reduction_headroom > 0
