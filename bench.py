@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: full 4-pass master realtime factor on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference CLI masters at 17.6-19.0x realtime on its whole dev
+machine with NumCPU workers (BASELINE.md; reference README.md:105-132).
+vs_baseline uses the 18.0x midpoint.  The rebuild target is >=500x per chip
+(BASELINE.json).
+
+Runs on whatever JAX platform the environment provides (the axon TPU tunnel
+in the driver harness).  The fixture mirrors the reference's synthetic
+5-minute benchmark (BenchmarkProcessAudioDefaultSynthetic5m,
+internal/processor/benchmark_test.go:12-60): tone + noise + silence gap at
+48 kHz mono.  First run warms the compile cache; the timed run measures
+steady-state throughput.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_fixture(duration_secs: float, sr: int) -> np.ndarray:
+    rng = np.random.default_rng(42)
+    n = int(duration_secs * sr)
+    t = np.arange(n, dtype=np.float64) / sr
+    # speech-like: 250 ms notes hopping the voice band (a pure tone is
+    # degenerate for the VAD — see tests/test_analysis.py)
+    n_notes = int(duration_secs / 0.25)
+    note = int(0.25 * sr)
+    freqs = rng.choice([400.0, 700.0, 1100.0, 1600.0, 2200.0], size=n_notes)
+    levels = -23.0 + rng.uniform(-3.0, 1.0, size=n_notes)
+    x = np.zeros(n, dtype=np.float64)
+    tn = np.arange(note) / sr
+    for i, (f, lv) in enumerate(zip(freqs, levels)):
+        s = i * note
+        if s >= n:
+            break
+        seg = (10.0 ** (lv / 20.0)) * np.sin(2 * np.pi * f * tn)
+        x[s : s + note] = seg[: max(0, min(note, n - s))]
+    # room-tone bed + a 20 s quiet span for the VAD's low cluster
+    x += 10.0 ** (-58.0 / 20.0) * rng.standard_normal(n)
+    gap0 = int(0.55 * n)
+    gap1 = min(n, gap0 + 20 * sr)
+    x[gap0:gap1] = 10.0 ** (-58.0 / 20.0) * rng.standard_normal(gap1 - gap0)
+    return x.astype(np.float32)
+
+
+def main() -> None:
+    duration = float(os.environ.get("BENCH_DURATION_SECS", "300"))
+    sr = int(os.environ.get("BENCH_SAMPLE_RATE", "48000"))
+
+    from jivetalking_tpu.pipeline import process_audio
+
+    x = make_fixture(duration, sr)
+
+    # warm-up: compile everything for this shape
+    process_audio(x, sr)
+
+    t0 = time.perf_counter()
+    res = process_audio(x, sr)
+    wall = time.perf_counter() - t0
+
+    rt_factor = duration / wall
+    baseline = 18.0
+    out = {
+        "metric": "process_audio_realtime_factor",
+        "value": round(rt_factor, 2),
+        "unit": "x_realtime_5min_48k_mono",
+        "vs_baseline": round(rt_factor / baseline, 2),
+    }
+    # sanity: the run must actually have mastered the audio
+    ok = abs(res.final.loudness.integrated_lufs - res.normalisation.effective_target_i) <= 0.5
+    if not ok:
+        out["metric"] = "process_audio_realtime_factor_FAILED_CONTRACT"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

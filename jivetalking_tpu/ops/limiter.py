@@ -1,0 +1,87 @@
+"""Lookahead limiter (alimiter equivalent).
+
+TPU-native replacement for FFmpeg's `alimiter` (ref specs:
+internal/processor/normalise.go:446-480 — levelling limiter
+`limit=..:attack=5:release=100:...:latency=1` and the final brickwall
+`attack=1:release=50`).
+
+TPU-first formulation (no sequential sample loop):
+
+1. needed[t] = min(1, limit / |x[t]|)
+2. target[t] = min over the lookahead window [t, t+A) of needed  — a van
+   Herk / Gil-Werman sliding-window minimum (two cummin passes), so the gain
+   is already down when the peak arrives (the lookahead "attack").
+3. release: u[t] = max(1 - target[t], lambda * u[t-1]) is the classic
+   instant-down / exponential-up recovery.  In log domain this is
+   w[t] = max(wv[t], c + w[t-1]) = t*c + cummax(wv[s] - s*c) — an exact
+   parallel prefix (jnp.maximum.accumulate), no scan.
+4. g = 1 - u;  since u >= 1 - target, g <= target <= limit/|x|, the output
+   NEVER exceeds the limit in the sample domain (hard guarantee, no final
+   clip needed).
+
+The asc (auto-slow-control) refinement of FFmpeg's release is not
+modelled; it affects release shape between peaks, not the peak ceiling, so
+the metering contract (output TP <= ceiling) is unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-9
+_LOG_FLOOR = -80.0  # log(1-target) floor; exp(-80) ~ 1.8e-35, i.e. "no limiting"
+
+
+def _sliding_min_lookahead(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """min over [t, t+w) with edge padding (+inf -> no constraint), van Herk
+    two-pass cummin formulation."""
+    n = x.shape[0]
+    n_blocks = -(-n // w)
+    pad_to = n_blocks * w
+    big = jnp.finfo(x.dtype).max
+    xp = jnp.full(pad_to + w, big, x.dtype).at[:n].set(x)
+    blocks = xp[: n_blocks * w].reshape(n_blocks, w)
+    suffix = jax.lax.cummin(blocks[:, ::-1], axis=1)[:, ::-1]
+    nxt = xp[w:][: n_blocks * w].reshape(n_blocks, w)
+    prefix = jax.lax.cummin(nxt, axis=1)
+    return jnp.minimum(suffix, prefix).reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "limit", "attack_ms", "release_ms"))
+def apply_limiter(
+    x: jnp.ndarray,
+    sample_rate: int,
+    limit: float,
+    attack_ms: float = 5.0,
+    release_ms: float = 50.0,
+) -> jnp.ndarray:
+    """Lookahead-limit `x` so no sample exceeds `limit` (linear amplitude).
+
+    attack_ms sets the lookahead window; release_ms the exponential gain
+    recovery.  Latency-compensated (output aligned with input, as the
+    reference's `latency=1`)."""
+    x = x.astype(jnp.float32)
+    n = x.shape[0]
+    lookahead = max(1, int(round(attack_ms * sample_rate / 1000.0)))
+    release_samples = max(1.0, release_ms * sample_rate / 1000.0)
+
+    needed = jnp.minimum(1.0, limit / jnp.maximum(jnp.abs(x), _EPS))
+    target = _sliding_min_lookahead(needed, lookahead)
+
+    # release recurrence in log domain: u[t] = max(v[t], lam*u[t-1])
+    c = -1.0 / release_samples           # log(lambda)
+    v = 1.0 - target                     # attenuation depth, in [0, 1)
+    wv = jnp.log(jnp.maximum(v, jnp.exp(_LOG_FLOOR)))
+    t_idx = jnp.arange(n, dtype=jnp.float32)
+    shifted = wv - t_idx * c
+    run = jax.lax.associative_scan(jnp.maximum, shifted)
+    w = run + t_idx * c
+    u = jnp.exp(jnp.minimum(w, 0.0))
+    gain = 1.0 - u
+    # exact ceiling guarantee: gain can recover above target only through the
+    # log-floor clamp; re-impose the target bound
+    gain = jnp.minimum(gain, target)
+    return x * gain

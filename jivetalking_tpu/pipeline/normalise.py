@@ -1,0 +1,240 @@
+"""Pass 3/4: EBU R128 normalisation to -16 LUFS / -1 dBTP, linear mode.
+
+Behavioural rebuild of `ApplyNormalisation` (ref: internal/processor/
+normalise.go:722-1342) preserving the full numerical contract of SURVEY.md
+§3.3:
+
+  * limiter ceiling = targetTP - (targetI - measuredI), clamped >= -24 dBTP
+    with pre-gain + re-derivation on clamp (normalise.go:373-425)
+  * Pass 3 measures THROUGH the limiter prefix (normalise.go:226-346)
+  * loudnorm internal TP = measuredTP + gain + 0.1 + 0.2 (normalise.go:583)
+  * calculateLinearModeTarget with the 0.1 dB safety margin — inert by
+    construction (normalise.go:611-632)
+  * the "loudnorm" application in linear mode IS a scalar gain of `offset`
+    dB; the [-9, 0] TP clamp only affects the never-taken dynamic fallback,
+    so this rebuild is linear by construction (no dynamic detective needed)
+  * Pass 4 chain: [prefix] -> gain -> adeclick -> brickwall alimiter at
+    targetTP - 0.9 dB SAMPLE peak (inter-sample allowance,
+    normalise.go:36-39) -> final metering
+  * silent-audio guard: measured I = -inf or < -70 LUFS raises
+    (normalise.go:840-842)
+  * withinTarget: |finalLUFS - effectiveTargetI| <= 0.5 LU
+    (normalise.go:896-898)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from ..adaptive.config import FilterConfig
+from ..metering.ebur128 import LoudnessResult, measure_loudness
+from ..ops.declick import apply_declick
+from ..ops.limiter import apply_limiter
+from ..utils.units import db_to_linear
+
+# (ref: normalise.go:29-62)
+MIN_LIMITER_CEILING_DB = -24.0
+BRICKWALL_TRUE_PEAK_HEADROOM_DB = 0.9
+MEASUREMENT_CUSHION_DB = 0.2
+LINEAR_SAFETY_MARGIN = 0.1
+LOUDNORM_TP_MAX_DB = 0.0
+LOUDNORM_TP_MIN_DB = -9.0
+
+SILENCE_REJECT_LUFS = -70.0
+NORM_TOLERANCE_LU = 0.5
+
+
+class SilentAudioError(ValueError):
+    """Raised when the measured loudness is unusably low
+    (ref: "cannot normalise silent audio", normalise.go:840-842)."""
+
+
+@dataclass
+class LimiterPlan:
+    """(ref: limiterPlan / planLimiterForLoudnorm, normalise.go:539-561)."""
+
+    pre_gain_db: float = 0.0
+    ceiling_db: float = 0.0
+    needed: bool = False
+    clamped: bool = False
+    gain_db: float = 0.0
+    filtered_tp: float = 0.0
+
+
+@dataclass
+class NormalisationResult:
+    """(ref: NormalisationResult, normalise.go:652-686)."""
+
+    input_lufs: float = 0.0
+    input_tp: float = 0.0
+    output_lufs: float = 0.0
+    output_tp: float = 0.0
+    gain_applied_db: float = 0.0
+    within_target: bool = False
+    skipped: bool = False
+    requested_target_i: float = 0.0
+    effective_target_i: float = 0.0
+    linear_mode_forced: bool = False
+    limiter_enabled: bool = False
+    limiter_ceiling_dbtp: float = 0.0
+    limiter_gain_db: float = 0.0
+    limiter_filtered_tp: float = 0.0
+    pre_gain_db: float = 0.0
+    limiter_clamped: bool = False
+    final_loudness: LoudnessResult | None = field(default=None, repr=False)
+
+
+def calculate_limiter_ceiling(
+    measured_i: float, measured_tp: float, target_i: float, target_tp: float
+) -> tuple[float, bool, bool]:
+    """(ref: calculateLimiterCeiling, normalise.go:373-392)."""
+    gain_required = target_i - measured_i
+    projected_tp = measured_tp + gain_required
+    if projected_tp <= target_tp:
+        return 0.0, False, False
+    ceiling = target_tp - gain_required
+    clamped = False
+    if ceiling < MIN_LIMITER_CEILING_DB:
+        ceiling = MIN_LIMITER_CEILING_DB
+        clamped = True
+    return ceiling, True, clamped
+
+
+def calculate_pre_gain(measured_i: float, target_i: float, target_tp: float) -> tuple[float, float]:
+    """(ref: calculatePreGain, normalise.go:407-425)."""
+    gain_required = target_i - measured_i
+    ideal_ceiling = target_tp - gain_required
+    if ideal_ceiling >= MIN_LIMITER_CEILING_DB:
+        return 0.0, 0.0
+    pre_gain_db = MIN_LIMITER_CEILING_DB - ideal_ceiling
+    post_gain_i = measured_i + pre_gain_db
+    new_gain_required = target_i - post_gain_i
+    return pre_gain_db, target_tp - new_gain_required
+
+
+def plan_limiter(measured_i: float, measured_tp: float, cfg: FilterConfig) -> LimiterPlan:
+    """(ref: planLimiterForLoudnorm, normalise.go:539-561)."""
+    ln = cfg.loudnorm
+    ceiling, needed, clamped = calculate_limiter_ceiling(
+        measured_i, measured_tp, ln.target_i, ln.target_tp
+    )
+    pre_gain_db, re_derived = calculate_pre_gain(measured_i, ln.target_i, ln.target_tp)
+    if clamped:
+        ceiling = re_derived
+    return LimiterPlan(
+        pre_gain_db=pre_gain_db,
+        ceiling_db=ceiling,
+        needed=needed,
+        clamped=clamped,
+        gain_db=ln.target_i - measured_i,
+        filtered_tp=measured_tp,
+    )
+
+
+def loudnorm_internal_target_tp(target_i: float, measured_tp: float, measured_i: float) -> float:
+    """internalTP = measuredTP + gain + 0.1 + 0.2 (ref: normalise.go:583-585)."""
+    return measured_tp + (target_i - measured_i) + LINEAR_SAFETY_MARGIN + MEASUREMENT_CUSHION_DB
+
+
+def calculate_linear_mode_target(
+    measured_i: float, measured_tp: float, desired_i: float, target_tp: float
+) -> tuple[float, float, bool]:
+    """(ref: calculateLinearModeTarget, normalise.go:611-632)."""
+    max_linear_target_i = target_tp - measured_tp + measured_i - LINEAR_SAFETY_MARGIN
+    if desired_i <= max_linear_target_i:
+        return desired_i, desired_i - measured_i, True
+    return max_linear_target_i, max_linear_target_i - measured_i, False
+
+
+def apply_limiter_prefix(x, sample_rate: int, plan: LimiterPlan) -> jnp.ndarray:
+    """[volume=<preGain>dB,] alimiter(ceiling, 5/100 ms, lookahead)
+    (ref: buildPreLimiterPrefix, normalise.go:446-465)."""
+    y = jnp.asarray(x)
+    if not plan.needed:
+        return y
+    if plan.pre_gain_db > 0:
+        y = y * db_to_linear(plan.pre_gain_db)
+    return apply_limiter(
+        y, sample_rate,
+        limit=db_to_linear(plan.ceiling_db),
+        attack_ms=5.0, release_ms=100.0,
+    )
+
+
+def apply_normalisation(
+    x,
+    sample_rate: int,
+    cfg: FilterConfig,
+) -> tuple[jnp.ndarray, NormalisationResult]:
+    """Pass 3 (measure through the limiter prefix) + Pass 4 (linear gain,
+    adeclick, brickwall, final measure) on the Pass-2 output `x`.
+
+    Returns the final audio (same rate as input) and the result block."""
+    ln = cfg.loudnorm
+    x = jnp.asarray(x, dtype=jnp.float32)
+
+    # plan the limiter from the Pass-2 output metering
+    pass2_meter = measure_loudness(x, sample_rate, dual_mono=ln.dual_mono)
+    if not math.isfinite(pass2_meter.integrated_lufs) or pass2_meter.integrated_lufs < SILENCE_REJECT_LUFS:
+        raise SilentAudioError("cannot normalise silent audio")
+
+    plan = plan_limiter(pass2_meter.integrated_lufs, pass2_meter.true_peak_db, cfg)
+
+    # PASS 3: measure THROUGH the prefix
+    prefixed = apply_limiter_prefix(x, sample_rate, plan)
+    if plan.needed:
+        measured = measure_loudness(prefixed, sample_rate, dual_mono=ln.dual_mono)
+    else:
+        measured = pass2_meter
+    if not math.isfinite(measured.integrated_lufs) or measured.integrated_lufs < SILENCE_REJECT_LUFS:
+        raise SilentAudioError("cannot normalise silent audio")
+
+    internal_tp = loudnorm_internal_target_tp(
+        ln.target_i, measured.true_peak_db, measured.integrated_lufs
+    )
+    effective_target_i, offset_db, linear_possible = calculate_linear_mode_target(
+        measured.integrated_lufs, measured.true_peak_db, ln.target_i, internal_tp
+    )
+
+    # PASS 4: linear loudnorm == scalar gain; then adeclick; then the
+    # source-rate brickwall (sample peak at targetTP - 0.9 dB)
+    y = prefixed * db_to_linear(offset_db)
+    if cfg.adeclick.enabled:
+        y = apply_declick(
+            y, sample_rate,
+            threshold=cfg.adeclick.threshold,
+            window_ms=cfg.adeclick.window,
+            overlap=cfg.adeclick.overlap,
+            method=cfg.adeclick.method,
+        )
+    brickwall_db = ln.target_tp - BRICKWALL_TRUE_PEAK_HEADROOM_DB
+    y = apply_limiter(
+        y, sample_rate,
+        limit=db_to_linear(brickwall_db),
+        attack_ms=1.0, release_ms=50.0,
+    )
+
+    final = measure_loudness(y, sample_rate, dual_mono=ln.dual_mono)
+
+    result = NormalisationResult(
+        input_lufs=measured.integrated_lufs,
+        input_tp=measured.true_peak_db,
+        output_lufs=final.integrated_lufs,
+        output_tp=final.true_peak_db,
+        gain_applied_db=offset_db,
+        within_target=abs(final.integrated_lufs - effective_target_i) <= NORM_TOLERANCE_LU,
+        requested_target_i=ln.target_i,
+        effective_target_i=effective_target_i,
+        linear_mode_forced=not linear_possible,
+        limiter_enabled=plan.needed,
+        limiter_ceiling_dbtp=plan.ceiling_db,
+        limiter_gain_db=plan.gain_db,
+        limiter_filtered_tp=plan.filtered_tp,
+        pre_gain_db=plan.pre_gain_db,
+        limiter_clamped=plan.clamped,
+        final_loudness=final,
+    )
+    return y, result

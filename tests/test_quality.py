@@ -1,0 +1,115 @@
+"""Pure-function tests for quality scoring + gain advice (mirrors the
+reference's quality_test.go / advice_test.go tier)."""
+
+import math
+
+import pytest
+
+from jivetalking_tpu.quality import (
+    compute_recording_score,
+    gain_advice,
+    linear_score,
+    stars_for_score,
+)
+from jivetalking_tpu.analysis.analyser import AudioMeasurements
+from jivetalking_tpu.analysis.types import (
+    NoiseProfile,
+    Region,
+    RegionSample,
+    SpeechCandidate,
+)
+
+
+class TestLinearScore:
+    def test_descending_axis(self):
+        # "more negative is better" (noise floor)
+        assert linear_score(-75.0, -75.0, -45.0) == 1.0
+        assert linear_score(-45.0, -75.0, -45.0) == 0.0
+        assert linear_score(-60.0, -75.0, -45.0) == pytest.approx(0.5)
+
+    def test_ascending_axis(self):
+        assert linear_score(45.0, 45.0, 16.0) == 1.0
+        assert linear_score(16.0, 45.0, 16.0) == 0.0
+        assert linear_score(60.0, 45.0, 16.0) == 1.0  # clamped
+
+    def test_degenerate(self):
+        assert linear_score(5.0, 5.0, 5.0) == 1.0
+        assert linear_score(4.0, 5.0, 5.0) == 0.0
+
+
+class TestStarBands:
+    @pytest.mark.parametrize(
+        "score,stars,label",
+        [
+            (95.0, 5, "Excellent"),
+            (90.0, 5, "Excellent"),
+            (89.9, 4, "Great"),
+            (75.0, 4, "Great"),
+            (60.0, 3, "Good"),
+            (40.0, 2, "Fair"),
+            (10.0, 1, "Poor"),
+        ],
+    )
+    def test_bands(self, score, stars, label):
+        assert stars_for_score(score) == (stars, label)
+
+
+class TestRecordingScore:
+    def _m(self, input_tp=-6.0, input_i=-23.0, lra=10.0, floor=-75.0, speech_mom=-25.0):
+        m = AudioMeasurements()
+        m.loudness.input_tp = input_tp
+        m.loudness.input_i = input_i
+        m.loudness.input_lra = lra
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=floor)
+        m.vad.speech_profile = SpeechCandidate(
+            region=Region(0, 60),
+            sample=RegionSample(momentary_lufs=speech_mom),
+        )
+        return m
+
+    def test_clean_capture_scores_high(self):
+        # SNR gap 50 dB, perfect headroom, healthy level
+        score = compute_recording_score(self._m())
+        assert score.stars == 5
+
+    def test_hot_capture_docked(self):
+        score = compute_recording_score(self._m(input_tp=-0.5))
+        clean = compute_recording_score(self._m())
+        assert score.score < clean.score - 20
+
+    def test_nil_worst(self):
+        assert compute_recording_score(None).stars == 0
+
+    def test_no_speech_falls_back_to_floor(self):
+        m = self._m()
+        m.vad.speech_profile = None
+        score = compute_recording_score(m)
+        assert 0 < score.score <= 100
+
+
+class TestGainAdvice:
+    @pytest.mark.parametrize(
+        "tp,kind",
+        [
+            (0.5, "clipping"),
+            (0.0, "clipping"),
+            (-0.5, "hot"),
+            (-1.0, "fine"),
+            (-6.0, "fine"),
+            (-12.0, "fine"),
+            (-12.5, "quiet"),
+            (-30.0, "quiet"),
+        ],
+    )
+    def test_kinds(self, tp, kind):
+        assert gain_advice(tp).kind == kind
+
+    def test_deltas(self):
+        assert gain_advice(-0.5).delta_db == pytest.approx(-6)  # lower ~6 dB toward -6
+        assert gain_advice(-20.0).delta_db == pytest.approx(14)
+        assert gain_advice(-6.0).delta_db == 0
+
+    def test_messages(self):
+        assert "Clipping" in gain_advice(0.2).message()
+        assert "Raise input gain" in gain_advice(-20.0).message()
+        assert "No action required" in gain_advice(-6.0).message()

@@ -1,0 +1,145 @@
+"""Run-record + Markdown report tests (mirrors the reference's report/*_test.go
+tier, including a golden-file pin of the full analysis report shape)."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from jivetalking_tpu.report import (
+    Timings,
+    analysis_report_path,
+    new_analysis_run_record,
+    new_run_record,
+    output_audio_path,
+    render_markdown,
+    sanitize_json,
+    write_interval_sidecar,
+    write_run_record,
+)
+from jivetalking_tpu.analysis import analyse_audio
+
+
+SR = 44100
+
+
+def _speechlike(dbfs, secs, seed=3, sr=SR):
+    rng = np.random.default_rng(seed)
+    n_notes = int(secs / 0.25)
+    note = int(0.25 * sr)
+    t = np.arange(note) / sr
+    segs = [
+        (10 ** ((dbfs + rng.uniform(-3, 1)) / 20)) * np.sin(2 * np.pi * f * t)
+        for f in rng.choice([400, 700, 1100, 1600, 2200], n_notes)
+    ]
+    return np.concatenate(segs)[: int(secs * sr)].astype(np.float32)
+
+
+def _noise(dbfs, secs, seed=0, sr=SR):
+    rng = np.random.default_rng(seed)
+    return (10 ** (dbfs / 20.0) * rng.standard_normal(int(secs * sr))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def measurements():
+    x = np.concatenate([
+        _speechlike(-22.0, 15.0, seed=3),
+        _noise(-56.0, 12.0, seed=1),
+        _speechlike(-22.0, 12.0, seed=4),
+    ])
+    return analyse_audio(x, SR)
+
+
+class TestSanitize:
+    def test_nan_inf_to_null(self):
+        d = {"a": math.nan, "b": [1.0, math.inf], "c": {"d": -math.inf, "e": 2.0}}
+        out = sanitize_json(d)
+        assert out == {"a": None, "b": [1.0, None], "c": {"d": None, "e": 2.0}}
+
+    def test_numpy_types(self):
+        out = sanitize_json({"x": np.float32(1.5), "y": np.int64(3),
+                             "z": np.array([1.0, math.nan])})
+        assert out == {"x": 1.5, "y": 3, "z": [1.0, None]}
+
+
+class TestAnalysisRecord:
+    def test_schema_and_blocks(self, measurements):
+        rec = new_analysis_run_record("ep1.wav", measurements)
+        assert rec["schema_version"] == 1
+        assert rec["run"]["input_file"] == "ep1.wav"
+        assert rec["run"]["sample_rate_hz"] == SR
+        assert "input" in rec["loudness"]["stages"]
+        assert "filtered" not in rec["loudness"]["stages"]
+        assert rec["noise"]["floor_source"] == "vad_percentile"
+        assert "room_tone" in rec["regions"]
+        assert "gate_statistics" in rec["regions"]
+        # analysis-only drops processing blocks
+        assert "filters" not in rec
+        assert "normalisation" not in rec
+
+    def test_json_serialisable(self, measurements):
+        rec = new_analysis_run_record("ep1.wav", measurements)
+        s = json.dumps(rec)
+        assert "NaN" not in s and "Infinity" not in s
+
+    def test_interval_summary(self, measurements):
+        rec = new_analysis_run_record("ep1.wav", measurements)
+        s = rec["interval_summary"]
+        assert s["count"] == len(measurements.intervals)
+        dist = s["rms_distribution"]
+        assert dist["min_dbfs"] <= dist["p50_dbfs"] <= dist["max_dbfs"]
+        assert s["largest_gap_db"] >= 0
+
+    def test_atomic_write(self, measurements, tmp_path):
+        rec = new_analysis_run_record("ep1.wav", measurements)
+        path = str(tmp_path / "rec.json")
+        write_run_record(path, rec)
+        assert json.load(open(path))["schema_version"] == 1
+        assert not [f for f in os.listdir(tmp_path) if f.startswith(".")]
+
+    def test_interval_sidecar(self, measurements, tmp_path):
+        path = str(tmp_path / "rec.intervals.jsonl")
+        write_interval_sidecar(path, measurements.intervals)
+        lines = open(path).read().splitlines()
+        assert len(lines) == len(measurements.intervals)
+        row = json.loads(lines[0])
+        assert {"timestamp_s", "rms_dbfs", "momentary_lufs"} <= set(row)
+
+
+class TestMarkdown:
+    def test_analysis_report_sections(self, measurements):
+        rec = new_analysis_run_record("ep1.wav", measurements)
+        md = render_markdown(rec)
+        assert md.startswith("# Audio Processing Report")
+        for section in ["## Run", "## Loudness", "## Dynamics", "## Spectral",
+                        "## Noise Floor", "## Regions", "## Interval Summary"]:
+            assert section in md, section
+        # analysis-only drops processing sections
+        assert "## Processing Summary" not in md
+        assert "## Filter Chain" not in md
+        assert "## Normalisation" not in md
+
+    def test_timings_section(self, measurements):
+        rec = new_analysis_run_record("ep1.wav", measurements)
+        md = render_markdown(rec, Timings(analysis_s=2.0, processing_s=90.0,
+                                          normalising_s=12.0, realtime_factor=12.5))
+        assert "## Processing Summary" in md
+        assert "1m 30s" in md
+        assert "12.5x" in md
+
+    def test_placeholder_formatting(self):
+        from jivetalking_tpu.report.render import _fmt
+
+        assert _fmt(None) == "-"
+        assert _fmt(math.nan) == "-"
+        assert _fmt(-130.0, "dBFS") == "< -120"
+        assert _fmt(-75.0, "LUFS") == "< -70"
+        assert _fmt(True) == "yes"
+
+
+class TestPaths:
+    def test_output_naming(self):
+        assert output_audio_path("/x/ep1.flac") == "/x/ep1-LUFS-16-processed.flac"
+        assert analysis_report_path("/x/ep1.flac") == "/x/ep1-flac-analysis.md"
