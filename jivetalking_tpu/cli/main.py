@@ -1,0 +1,137 @@
+"""CLI entry point.
+
+Behavioural rebuild of cmd/jivetalking/main.go: flags `-v/--version`,
+`-d/--debug`, `-a/--analyse`, `--diagnostics`, plus input files; bounded
+worker pool with jobs = max(1, min(files, NumCPU)); serialised debug sink;
+bounded warnings channel printed post-run; per-file error isolation;
+ctrl-C cancellation with no temp residue (atomic dot-temp publishes).
+
+No user config file by design ("No configuration", reference README:3) —
+all tuning lives in the defaults + adapt_config."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+import threading
+
+from .. import __version__
+from ..adaptive.config import default_filter_config
+from .debugsink import DebugSink
+from .pool import PoolEvents, resolve_jobs, run_pool
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="jivetalking-tpu",
+        description=(
+            "Master raw podcast voice recordings to -16 LUFS / -1 dBTP with "
+            "per-file adaptive filter tuning, on TPU."
+        ),
+    )
+    p.add_argument("-v", "--version", action="store_true", help="print version and exit")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="write a serialised jivetalking-debug.log")
+    p.add_argument("-a", "--analyse", action="store_true",
+                   help="analysis only: measure + derive config, write analysis artefacts")
+    p.add_argument("--diagnostics", action="store_true",
+                   help="write .intervals.jsonl / .candidates.jsonl sidecars")
+    p.add_argument("--jobs", type=int, default=0,
+                   help="worker bound (default: min(files, NumCPU))")
+    p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                   help="compute platform: auto (the environment's accelerator) "
+                        "or cpu (force the host CPU)")
+    p.add_argument("files", nargs="*", help="audio files (.wav / .flac)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.version:
+        print(f"jivetalking-tpu {__version__}")
+        return 0
+    if not args.files:
+        build_parser().print_help()
+        return 2
+
+    missing = [f for f in args.files if not os.path.exists(f)]
+    if missing:
+        for f in missing:
+            print(f"error: no such file: {f}", file=sys.stderr)
+        return 1
+
+    if args.platform == "cpu":
+        from ..utils.testing import force_cpu_devices
+
+        force_cpu_devices(1)
+
+    sink = DebugSink.open(args.debug)
+    cancel = threading.Event()
+
+    def handle_sigint(signum, frame):
+        cancel.set()
+        print("\ncancelling...", file=sys.stderr)
+
+    old_handler = signal.signal(signal.SIGINT, handle_sigint)
+
+    warnings: list[str] = []
+    from ..ui.console import (
+        render_analysis_summary,
+        render_done_box,
+        render_final_summary,
+        render_progress_line,
+    )
+
+    lock = threading.Lock()
+    last_stage: dict[str, str] = {}
+
+    def on_progress(path, stage, frac):
+        # print each stage transition once (plain no-TTY path)
+        with lock:
+            if last_stage.get(path) != stage:
+                last_stage[path] = stage
+                print(render_progress_line(path, stage, 0.0), flush=True)
+
+    def on_complete(outcome):
+        with lock:
+            render = render_analysis_summary if args.analyse else render_done_box
+            print(render(outcome), flush=True)
+
+    events = PoolEvents(
+        on_progress=on_progress,
+        on_file_complete=on_complete,
+        on_warning=lambda w: warnings.append(w),
+    )
+
+    jobs = args.jobs or resolve_jobs(len(args.files), os.cpu_count() or 1)
+    sink.logf("run start: %d files, %d jobs, analyse=%s", len(args.files), jobs, args.analyse)
+
+    try:
+        outcomes = run_pool(
+            args.files,
+            base=default_filter_config(),
+            events=events,
+            diagnostics=args.diagnostics,
+            analysis_only=args.analyse,
+            jobs=jobs,
+            cancel=cancel,
+        )
+    finally:
+        signal.signal(signal.SIGINT, old_handler)
+        sink.close()
+
+    if not args.analyse:
+        print()
+        print(render_final_summary(outcomes))
+    for w in warnings:
+        print(f"warning: {w}", file=sys.stderr)
+
+    failed = [o for o in outcomes if o.error and o.error != "cancelled"]
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

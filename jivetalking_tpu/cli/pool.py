@@ -1,0 +1,272 @@
+"""Bounded worker pool + per-file artefact emission spine.
+
+Behavioural rebuild of cmd/jivetalking/pool.go:122-340:
+
+  * jobs = max(1, min(num_files, NumCPU)) (ref: main.go:50-52) — here the
+    bound applies to host-side work (decode/encode/report writes); the
+    device passes serialise on the single accelerator queue naturally.
+  * per-file error isolation: one file failing reports its error and the
+    others continue (ref: pool.go:210-216).
+  * artefact emission is non-fatal and isolated per artefact
+    (ref: emitReportArtefacts, pool.go:288-340).
+  * no-residue-on-cancel: output publish is atomic (dot-temp + rename) and
+    cancellation checks run between passes (ref: main.go:136-151).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from ..adaptive.config import FilterConfig, default_filter_config
+from ..analysis.analyser import AudioMeasurements
+from ..io.audio import open_audio_file, save_flac
+from ..pipeline.process import ProcessResult, analyse_only, process_audio
+from ..quality import compute_quality_score, compute_recording_score
+from ..report import (
+    Timings,
+    analysis_record_path,
+    analysis_report_path,
+    candidates_sidecar_path,
+    intervals_sidecar_path,
+    new_analysis_run_record,
+    new_run_record,
+    output_audio_path,
+    record_path,
+    report_path,
+    write_markdown_report,
+    write_run_record,
+)
+from ..report.runrecord import write_candidates_sidecar, write_interval_sidecar
+
+
+def resolve_jobs(num_files: int, num_cpu: int) -> int:
+    """(ref: resolveJobs, main.go:50-52)."""
+    return max(1, min(num_files, num_cpu))
+
+
+@dataclass
+class FileOutcome:
+    """Per-file completion summary (ref: CompletionResult fields consumed by
+    the done box, ui/views.go:646-860)."""
+
+    path: str
+    error: str = ""
+    output_path: str = ""
+    input_lufs: float = 0.0
+    output_lufs: float = 0.0
+    input_tp: float = 0.0
+    output_tp: float = 0.0
+    input_lra: float = 0.0
+    output_lra: float = 0.0
+    input_noise_floor: float | None = None
+    output_noise_floor: float | None = None
+    quality_stars: int = 0
+    quality_label: str = ""
+    recording_stars: int = 0
+    recording_label: str = ""
+    wall_secs: float = 0.0
+    realtime_factor: float = 0.0
+    result: ProcessResult | None = field(default=None, repr=False)
+    measurements: AudioMeasurements | None = field(default=None, repr=False)
+
+
+@dataclass
+class PoolEvents:
+    """Callbacks into the UI layer; every callback is optional and must be
+    tolerant (the pool never fails on a UI error)."""
+
+    on_file_start: callable = None
+    on_progress: callable = None        # (path, pass_name, fraction)
+    on_file_complete: callable = None   # (FileOutcome)
+    on_warning: callable = None         # (str)
+
+
+def _emit(cb, *args) -> None:
+    if cb is None:
+        return
+    try:
+        cb(*args)
+    except Exception:
+        pass
+
+
+def _emit_report_artefacts(
+    path: str,
+    outcome: FileOutcome,
+    res: ProcessResult,
+    diagnostics: bool,
+    warn,
+) -> None:
+    """Write record + report (+ sidecars under --diagnostics); each write is
+    isolated and non-fatal (ref: emitReportArtefacts, pool.go:288-340)."""
+    rec = new_run_record(path, res)
+    t = res.pass_timings
+    timings = Timings(
+        analysis_s=t.get("analysis", 0.0),
+        processing_s=t.get("processing", 0.0),
+        normalising_s=t.get("normalising", 0.0),
+        realtime_factor=outcome.realtime_factor,
+    )
+    for fn, target in (
+        (lambda p: write_run_record(p, rec), record_path(path)),
+        (lambda p: write_markdown_report(p, rec, timings), report_path(path)),
+    ):
+        try:
+            fn(target)
+        except Exception as e:  # non-fatal, isolated
+            _emit(warn, f"failed to write {os.path.basename(target)}: {e}")
+    if diagnostics and res.measurements.intervals is not None:
+        for fn, target in (
+            (lambda p: write_interval_sidecar(p, res.measurements.intervals),
+             intervals_sidecar_path(record_path(path))),
+            (lambda p: write_candidates_sidecar(p, res.measurements),
+             candidates_sidecar_path(record_path(path))),
+        ):
+            try:
+                fn(target)
+            except Exception as e:
+                _emit(warn, f"failed to write {os.path.basename(target)}: {e}")
+
+
+def process_one_file(
+    path: str,
+    base: FilterConfig,
+    events: PoolEvents,
+    diagnostics: bool,
+    cancel: threading.Event,
+) -> FileOutcome:
+    """Process one file through the 4-pass pipeline + publish + artefacts."""
+    outcome = FileOutcome(path=path)
+    start = time.perf_counter()
+    _emit(events.on_file_start, path)
+    try:
+        samples, meta = open_audio_file(path)
+
+        def progress(stage, frac):
+            if cancel.is_set():
+                raise InterruptedError("cancelled")
+            _emit(events.on_progress, path, stage, frac)
+
+        res = process_audio(samples, meta.sample_rate, base_config=base, progress=progress)
+
+        out_path = output_audio_path(path, res.normalisation.requested_target_i)
+        save_flac(out_path, res.output_audio, res.output_rate)
+
+        outcome.output_path = out_path
+        outcome.input_lufs = res.measurements.loudness.input_i
+        outcome.output_lufs = res.normalisation.output_lufs
+        outcome.input_tp = res.measurements.loudness.input_tp
+        outcome.output_tp = res.normalisation.output_tp
+        outcome.input_lra = res.measurements.loudness.input_lra
+        if res.final.loudness is not None:
+            outcome.output_lra = res.final.loudness.lra_lu
+        from ..quality import input_display_noise_floor_db
+
+        floor, ok = input_display_noise_floor_db(res.measurements)
+        outcome.input_noise_floor = floor if ok else None
+        if res.final.room_tone_sample is not None:
+            outcome.output_noise_floor = res.final.room_tone_sample.rms_level
+        q = compute_quality_score(res)
+        r = compute_recording_score(res.measurements)
+        outcome.quality_stars, outcome.quality_label = q.stars, q.label
+        outcome.recording_stars, outcome.recording_label = r.stars, r.label
+        outcome.wall_secs = time.perf_counter() - start
+        if outcome.wall_secs > 0:
+            outcome.realtime_factor = meta.duration_secs / outcome.wall_secs
+        outcome.result = res
+        outcome.measurements = res.measurements
+
+        _emit_report_artefacts(path, outcome, res, diagnostics, events.on_warning)
+    except InterruptedError:
+        outcome.error = "cancelled"
+    except Exception as e:
+        outcome.error = str(e)
+    outcome.wall_secs = time.perf_counter() - start
+    _emit(events.on_file_complete, outcome)
+    return outcome
+
+
+def analyse_one_file(
+    path: str,
+    base: FilterConfig,
+    events: PoolEvents,
+    diagnostics: bool,
+    cancel: threading.Event,
+) -> FileOutcome:
+    """-a mode: Pass 1 + AdaptConfig + analysis artefacts
+    (ref: AnalyseOnlyDetailed path, main.go:343-441)."""
+    outcome = FileOutcome(path=path)
+    start = time.perf_counter()
+    _emit(events.on_file_start, path)
+    try:
+        samples, meta = open_audio_file(path)
+        if cancel.is_set():
+            raise InterruptedError("cancelled")
+        m, eff, diag = analyse_only(samples, meta.sample_rate, base)
+        outcome.input_lufs = m.loudness.input_i
+        outcome.input_tp = m.loudness.input_tp
+        outcome.input_lra = m.loudness.input_lra
+        r = compute_recording_score(m)
+        outcome.recording_stars, outcome.recording_label = r.stars, r.label
+        outcome.measurements = m
+        outcome.wall_secs = time.perf_counter() - start
+        if outcome.wall_secs > 0:
+            outcome.realtime_factor = meta.duration_secs / outcome.wall_secs
+
+        rec = new_analysis_run_record(path, m)
+        for fn, target in (
+            (lambda p: write_run_record(p, rec), analysis_record_path(path)),
+            (lambda p: write_markdown_report(p, rec), analysis_report_path(path)),
+        ):
+            try:
+                fn(target)
+            except Exception as e:
+                _emit(events.on_warning, f"failed to write {os.path.basename(target)}: {e}")
+        if diagnostics and m.intervals is not None:
+            try:
+                write_interval_sidecar(
+                    intervals_sidecar_path(analysis_record_path(path)), m.intervals
+                )
+                write_candidates_sidecar(
+                    candidates_sidecar_path(analysis_record_path(path)), m
+                )
+            except Exception as e:
+                _emit(events.on_warning, f"failed to write sidecars: {e}")
+    except InterruptedError:
+        outcome.error = "cancelled"
+    except Exception as e:
+        outcome.error = str(e)
+    outcome.wall_secs = time.perf_counter() - start
+    _emit(events.on_file_complete, outcome)
+    return outcome
+
+
+def run_pool(
+    files: list[str],
+    base: FilterConfig | None = None,
+    events: PoolEvents | None = None,
+    diagnostics: bool = False,
+    analysis_only: bool = False,
+    jobs: int | None = None,
+    cancel: threading.Event | None = None,
+) -> list[FileOutcome]:
+    """Run the bounded pool over `files`; returns outcomes in input order."""
+    base = base or default_filter_config()
+    events = events or PoolEvents()
+    cancel = cancel or threading.Event()
+    jobs = jobs or resolve_jobs(len(files), os.cpu_count() or 1)
+    worker = analyse_one_file if analysis_only else process_one_file
+
+    # per-worker config clone (ref: CloneForWorker, filters.go:368-373)
+    import copy
+
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        futures = [
+            ex.submit(worker, f, copy.deepcopy(base), events, diagnostics, cancel)
+            for f in files
+        ]
+        return [f.result() for f in futures]

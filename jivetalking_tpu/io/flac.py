@@ -1,0 +1,121 @@
+"""FLAC decode/encode via the native C++ codec (ctypes binding).
+
+The codec (native/flacio.cpp) is a from-scratch FLAC implementation — the
+host-side native replacement for the reference's FFmpeg FLAC path (ref:
+internal/audio/reader.go:29-170 decode; internal/processor/encoder.go:21-142
+encode: s16, frame 4096).  The shared library is built on demand with g++
+the first time it is needed (no pip/apt available in this environment)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libflacio.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "flacio.cpp")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", _SRC_PATH, "-o", _SO_PATH],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH) or (
+            os.path.exists(_SRC_PATH)
+            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+        ):
+            _build()
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.flac_decode_file.restype = ctypes.c_long
+        lib.flac_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.flac_encode_file.restype = ctypes.c_int
+        lib.flac_encode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.flac_free.restype = None
+        lib.flac_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def read_flac(path: str) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC file -> (float32 (channels, n), sample_rate, bit_depth).
+
+    Samples are normalised to [-1, 1] by the stream's bit depth."""
+    lib = _load()
+    pcm_ptr = ctypes.POINTER(ctypes.c_int32)()
+    channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    bits = ctypes.c_int()
+    n = lib.flac_decode_file(
+        path.encode(), ctypes.byref(pcm_ptr), ctypes.byref(channels),
+        ctypes.byref(rate), ctypes.byref(bits),
+    )
+    if n < 0:
+        raise ValueError(f"failed to decode FLAC file: {path}")
+    try:
+        total = n * channels.value
+        arr = np.ctypeslib.as_array(pcm_ptr, shape=(total,)).copy()
+    finally:
+        lib.flac_free(pcm_ptr)
+    scale = float(1 << (bits.value - 1))
+    samples = (arr.astype(np.float32) / scale).reshape(n, channels.value).T
+    return np.ascontiguousarray(samples), rate.value, bits.value
+
+
+def write_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Encode float32 (channels, n) or (n,) PCM to 16-bit FLAC.
+
+    Atomic publish: sibling dot-temp + rename (ref: file_write.go:13-47)."""
+    lib = _load()
+    x = np.asarray(samples, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    channels, n = x.shape
+    interleaved = np.clip(x.T.reshape(-1) * 32767.0, -32768, 32767).astype(np.int16)
+    interleaved = np.ascontiguousarray(interleaved)
+
+    tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
+    rc = lib.flac_encode_file(
+        tmp.encode(),
+        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_long(n), ctypes.c_int(channels), ctypes.c_int(sample_rate),
+    )
+    if rc != 0:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise IOError(f"failed to encode FLAC file: {path}")
+    os.replace(tmp, path)
+
+
+def flac_info(path: str) -> tuple[int, int, int, int]:
+    """(n_samples, channels, sample_rate, bits) — full decode (the native
+    codec exposes no header-only probe yet)."""
+    samples, rate, bits = read_flac(path)
+    return samples.shape[1], samples.shape[0], rate, bits

@@ -1,0 +1,103 @@
+"""Console rendering: progress lines, per-file done boxes, final summary.
+
+Behavioural rebuild of the reference's console surfaces (internal/ui):
+the no-TTY plain path (ref: cmd/jivetalking/main.go:377-412), the done box
+with before->after rows + star scores (ref: internal/ui/views.go:646-860),
+and the analysis-mode stars + gain advice (ref: main.go:530-546).  Pure
+string rendering, asserted as strings in tests (the reference's TUI-test
+pattern, ui/view_layout_test.go)."""
+
+from __future__ import annotations
+
+import math
+
+from ..cli.pool import FileOutcome
+from ..quality import gain_advice
+
+STAR_FILLED = "★"
+STAR_EMPTY = "☆"
+
+
+def stars_row(stars: int, label: str) -> str:
+    return STAR_FILLED * stars + STAR_EMPTY * (5 - stars) + f"  {label}"
+
+
+def _fmt_db(v: float | None, unit: str = "") -> str:
+    if v is None or not math.isfinite(v):
+        return "-"
+    return f"{v:.1f}{unit}"
+
+
+def _fmt_wall(secs: float) -> str:
+    m, s = divmod(int(round(secs)), 60)
+    return f"{m:02d}:{s:02d}"
+
+
+def _arrow_row(label: str, before, after, unit: str) -> str:
+    return f"  {label:<14} {_fmt_db(before):>8} -> {_fmt_db(after):>8} {unit}"
+
+
+def render_done_box(o: FileOutcome) -> str:
+    """Per-file completion box (ref: done box, views.go:646-860)."""
+    if o.error:
+        return f"✗ {o.path}: {o.error}"
+    lines = [f"✓ {o.path} -> {o.output_path}"]
+    lines.append(_arrow_row("Loudness", o.input_lufs, o.output_lufs, "LUFS"))
+    lines.append(_arrow_row("True peak", o.input_tp, o.output_tp, "dBTP"))
+    lines.append(_arrow_row("Loudness range", o.input_lra, o.output_lra, "LU"))
+    if o.input_noise_floor is not None:
+        after = o.output_noise_floor
+        if after is not None:
+            lines.append(_arrow_row("Noise floor", o.input_noise_floor, after, "dBFS"))
+        else:
+            lines.append(f"  {'Noise floor':<14} {_fmt_db(o.input_noise_floor):>8} dBFS")
+    lines.append(f"  {'Recording':<14} {stars_row(o.recording_stars, o.recording_label)}")
+    lines.append(f"  {'Processed':<14} {stars_row(o.quality_stars, o.quality_label)}")
+    lines.append(
+        f"  {'Wall time':<14} {_fmt_wall(o.wall_secs)}  ⚡ {o.realtime_factor:.1f}x realtime"
+    )
+    return "\n".join(lines)
+
+
+def render_analysis_summary(o: FileOutcome) -> str:
+    """Analysis-only per-file summary: stars + gain advice
+    (ref: main.go:530-546 console stars + gain thermometer)."""
+    if o.error:
+        return f"✗ {o.path}: {o.error}"
+    m = o.measurements
+    lines = [f"✓ {o.path}"]
+    lines.append(f"  {'Loudness':<14} {_fmt_db(o.input_lufs)} LUFS   "
+                 f"{'True peak':<10} {_fmt_db(o.input_tp)} dBTP   "
+                 f"{'LRA':<4} {_fmt_db(o.input_lra)} LU")
+    if m is not None:
+        lines.append(f"  {'Noise floor':<14} {_fmt_db(m.noise.floor)} dBFS "
+                     f"({m.noise.floor_source})")
+        if m.vad.speech_profile is not None:
+            r = m.vad.speech_profile.region
+            lines.append(f"  {'Speech region':<14} {r.start:.1f}s - {r.end:.1f}s")
+    lines.append(f"  {'Recording':<14} {stars_row(o.recording_stars, o.recording_label)}")
+    lines.append(f"  {'Advice':<14} {gain_advice(o.input_tp).message()}")
+    return "\n".join(lines)
+
+
+def render_final_summary(outcomes: list[FileOutcome]) -> str:
+    """Run-level summary persisted after all files complete
+    (ref: FinalSummary, persisted post-alt-screen, main.go:163-167)."""
+    done = [o for o in outcomes if not o.error]
+    failed = [o for o in outcomes if o.error]
+    lines = []
+    lines.append(f"Processed {len(done)}/{len(outcomes)} file(s)")
+    for o in done:
+        lines.append(
+            f"  {o.path}: {_fmt_db(o.output_lufs)} LUFS / {_fmt_db(o.output_tp)} dBTP "
+            f"{stars_row(o.quality_stars, o.quality_label)}  ({_fmt_wall(o.wall_secs)})"
+        )
+    for o in failed:
+        lines.append(f"  {o.path}: FAILED - {o.error}")
+    return "\n".join(lines)
+
+
+def render_progress_line(path: str, stage: str, fraction: float) -> str:
+    """Plain per-stage progress line for the no-TTY path."""
+    pct = int(round(100 * max(0.0, min(1.0, fraction))))
+    return f"  {path}: {stage} {pct}%"

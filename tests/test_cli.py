@@ -1,0 +1,178 @@
+"""CLI / pool / console tests (mirrors the reference's pool_test.go DI-fake
+tier and ui string-rendering tests)."""
+
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from jivetalking_tpu.cli import (
+    DebugSink,
+    FileOutcome,
+    PoolEvents,
+    build_parser,
+    main,
+    resolve_jobs,
+    run_pool,
+)
+from jivetalking_tpu.io.synth import SilenceGap, TestAudioOptions, generate_test_audio
+from jivetalking_tpu.ui import (
+    render_analysis_summary,
+    render_done_box,
+    render_final_summary,
+    stars_row,
+)
+
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def fixture_wav(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_audio")
+    path = str(d / "ep1.wav")
+    generate_test_audio(path, TestAudioOptions(
+        duration_secs=30.0, sample_rate=SR, tone_freq=440.0, tone_level=-22.0,
+        noise_level=-56.0, silence_gap=SilenceGap(start=10.0, duration=12.0),
+    ))
+    return path
+
+
+class TestResolveJobs:
+    def test_bounds(self):
+        assert resolve_jobs(3, 8) == 3
+        assert resolve_jobs(10, 4) == 4
+        assert resolve_jobs(0, 4) == 1
+
+
+class TestDebugSink:
+    def test_disabled_noop(self, tmp_path):
+        sink = DebugSink.open(False)
+        sink.logf("never written %d", 1)
+        sink.close()
+
+    def test_prefix_and_serialisation(self, tmp_path):
+        path = str(tmp_path / "dbg.log")
+        sink = DebugSink.open(True, path)
+        log = sink.for_file("/x/ep1.flac")
+        log("hello %s", "world")
+        sink.logf("plain")
+        sink.close()
+        content = open(path).read()
+        assert "[ep1.flac] hello world" in content
+        assert "plain" in content
+
+
+class TestConsole:
+    def test_stars_row(self):
+        assert stars_row(5, "Excellent") == "★★★★★  Excellent"
+        assert stars_row(2, "Fair") == "★★☆☆☆  Fair"
+
+    def test_done_box(self):
+        o = FileOutcome(
+            path="ep1.flac", output_path="ep1-LUFS-16-processed.flac",
+            input_lufs=-25.3, output_lufs=-16.0, input_tp=-6.2, output_tp=-2.1,
+            input_lra=11.0, output_lra=7.5, input_noise_floor=-72.0,
+            output_noise_floor=-80.5, quality_stars=5, quality_label="Excellent",
+            recording_stars=4, recording_label="Great", wall_secs=151.0,
+            realtime_factor=17.9,
+        )
+        box = render_done_box(o)
+        assert "ep1.flac -> ep1-LUFS-16-processed.flac" in box
+        assert "-25.3" in box and "-16.0" in box
+        assert "★★★★★  Excellent" in box
+        assert "02:31" in box
+        assert "17.9x realtime" in box
+
+    def test_done_box_error(self):
+        assert render_done_box(FileOutcome(path="x.flac", error="boom")) == "✗ x.flac: boom"
+
+    def test_final_summary(self):
+        outs = [
+            FileOutcome(path="a.flac", output_lufs=-16.0, output_tp=-1.9,
+                        quality_stars=5, quality_label="Excellent", wall_secs=10),
+            FileOutcome(path="b.flac", error="kaput"),
+        ]
+        s = render_final_summary(outs)
+        assert "Processed 1/2 file(s)" in s
+        assert "b.flac: FAILED - kaput" in s
+
+
+class TestParser:
+    def test_flags(self):
+        p = build_parser()
+        a = p.parse_args(["-a", "--diagnostics", "-d", "x.flac", "y.wav"])
+        assert a.analyse and a.diagnostics and a.debug
+        assert a.files == ["x.flac", "y.wav"]
+
+    def test_version_exit(self, capsys):
+        assert main(["--version"]) == 0
+        assert "jivetalking-tpu" in capsys.readouterr().out
+
+    def test_no_files_help(self):
+        assert main([]) == 2
+
+    def test_missing_file(self, capsys):
+        assert main(["/nonexistent/y.flac"]) == 1
+
+
+class TestPool:
+    def test_analysis_only_pool(self, fixture_wav, capsys):
+        events_seen = []
+        events = PoolEvents(on_file_complete=lambda o: events_seen.append(o))
+        outcomes = run_pool([fixture_wav], events=events, analysis_only=True)
+        assert len(outcomes) == 1
+        o = outcomes[0]
+        assert o.error == ""
+        assert o.measurements is not None
+        assert o.recording_stars >= 1
+        assert events_seen[0] is o
+        # artefacts written next to the input
+        stem = fixture_wav[:-4]
+        assert os.path.exists(f"{stem}-wav-analysis.md")
+        assert os.path.exists(f"{stem}-wav-analysis.json")
+        rec = json.load(open(f"{stem}-wav-analysis.json"))
+        assert rec["schema_version"] == 1
+
+    def test_error_isolation(self, fixture_wav, tmp_path):
+        bad = str(tmp_path / "bad.wav")
+        open(bad, "wb").write(b"RIFFgarbage")
+        outcomes = run_pool([bad, fixture_wav], analysis_only=True)
+        assert outcomes[0].error != ""
+        assert outcomes[1].error == ""
+
+    def test_cancel_before_start(self, fixture_wav):
+        cancel = threading.Event()
+        cancel.set()
+        outcomes = run_pool([fixture_wav], analysis_only=True, cancel=cancel)
+        assert outcomes[0].error == "cancelled"
+
+    def test_full_processing_pool(self, fixture_wav):
+        outcomes = run_pool([fixture_wav])
+        o = outcomes[0]
+        assert o.error == ""
+        assert os.path.exists(o.output_path)
+        assert abs(o.output_lufs - (-16.0)) <= 1.0
+        assert o.output_tp <= -1.0 + 0.05
+        assert o.quality_stars >= 4
+        # report artefacts
+        stem = fixture_wav[:-4]
+        assert os.path.exists(f"{stem}-report.md")
+        assert os.path.exists(f"{stem}-report.json")
+        # no temp residue (ref: assertNoProcessingTempFiles)
+        d = os.path.dirname(fixture_wav)
+        assert not [f for f in os.listdir(d) if f.startswith(".")]
+        # output decodes and is mono 44.1k
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        samples, meta = open_audio_file(o.output_path)
+        assert meta.sample_rate == 44100
+        assert meta.channels == 1
+
+    def test_analysis_cli_end_to_end(self, fixture_wav, capsys):
+        rc = main(["-a", fixture_wav])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Recording" in out
+        assert "Advice" in out

@@ -1,0 +1,117 @@
+"""Native FLAC codec tests: encode/decode roundtrips through the C++
+library (the host-side native component replacing the reference's FFmpeg
+FLAC path)."""
+
+import numpy as np
+import pytest
+
+from jivetalking_tpu.io.audio import open_audio_file, save_flac
+from jivetalking_tpu.io.flac import read_flac, write_flac
+
+SR = 44100
+
+
+def _tone(freq, dbfs, secs, sr=SR):
+    amp = 10.0 ** (dbfs / 20.0)
+    t = np.arange(int(secs * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def _q16(x):
+    """The s16 quantisation the encoder applies."""
+    return np.clip(np.asarray(x) * 32767.0, -32768, 32767).astype(np.int16).astype(np.float32) / 32768.0
+
+
+class TestRoundtrip:
+    def test_mono_tone(self, tmp_path):
+        x = _tone(440.0, -12.0, 2.0)
+        path = str(tmp_path / "tone.flac")
+        write_flac(path, x, SR)
+        y, rate, bits = read_flac(path)
+        assert rate == SR and bits == 16
+        assert y.shape == (1, len(x))
+        # lossless within the s16 quantisation grid (note: decode scales by
+        # 2^15 while encode clips at 32767, so compare against the quantised x)
+        np.testing.assert_allclose(y[0], _q16(x), atol=1.0 / 32768.0)
+
+    def test_stereo(self, tmp_path):
+        left = _tone(440.0, -12.0, 1.0)
+        right = _tone(880.0, -18.0, 1.0)
+        x = np.stack([left, right])
+        path = str(tmp_path / "stereo.flac")
+        write_flac(path, x, SR)
+        y, rate, bits = read_flac(path)
+        assert y.shape == x.shape
+        np.testing.assert_allclose(y[0], _q16(left), atol=1.0 / 32768.0)
+        np.testing.assert_allclose(y[1], _q16(right), atol=1.0 / 32768.0)
+
+    def test_noise_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        x = (0.5 * rng.standard_normal(3 * SR)).astype(np.float32)
+        x = np.clip(x, -1, 1)
+        path = str(tmp_path / "noise.flac")
+        write_flac(path, x, SR)
+        y, _, _ = read_flac(path)
+        np.testing.assert_allclose(y[0], _q16(x), atol=1.0 / 32768.0)
+
+    def test_silence_constant_subframes(self, tmp_path):
+        x = np.zeros(SR, np.float32)
+        path = str(tmp_path / "silence.flac")
+        write_flac(path, x, SR)
+        y, _, _ = read_flac(path)
+        assert np.all(y == 0)
+
+    def test_partial_last_frame(self, tmp_path):
+        # length not divisible by the 4096 frame size
+        x = _tone(997.0, -20.0, 1.0)[: 4096 * 2 + 1234]
+        path = str(tmp_path / "partial.flac")
+        write_flac(path, x, SR)
+        y, _, _ = read_flac(path)
+        assert y.shape[1] == len(x)
+
+    def test_48k_rate(self, tmp_path):
+        x = _tone(997.0, -20.0, 0.5, sr=48000)
+        path = str(tmp_path / "48k.flac")
+        write_flac(path, x, 48000)
+        y, rate, _ = read_flac(path)
+        assert rate == 48000
+        np.testing.assert_allclose(y[0], _q16(x), atol=1.0 / 32768.0)
+
+    def test_odd_rate_header(self, tmp_path):
+        # rates outside the header table go through the 16-bit Hz escape
+        x = _tone(440.0, -20.0, 0.25, sr=22051)
+        path = str(tmp_path / "odd.flac")
+        write_flac(path, x, 22051)
+        y, rate, _ = read_flac(path)
+        assert rate == 22051
+
+    def test_compression_beats_raw(self, tmp_path):
+        import os
+
+        x = _tone(100.0, -20.0, 5.0)
+        path = str(tmp_path / "c.flac")
+        write_flac(path, x, SR)
+        raw_bytes = len(x) * 2
+        assert os.path.getsize(path) < raw_bytes * 0.9
+
+
+class TestFacade:
+    def test_open_audio_file(self, tmp_path):
+        x = _tone(440.0, -12.0, 1.0)
+        path = str(tmp_path / "t.flac")
+        save_flac(path, x, SR)
+        samples, meta = open_audio_file(path)
+        assert meta.format_name == "flac"
+        assert meta.sample_rate == SR
+        assert meta.bit_depth == 16
+        assert samples.shape == (1, len(x))
+
+    def test_decode_garbage_raises(self, tmp_path):
+        path = str(tmp_path / "bad.flac")
+        open(path, "wb").write(b"fLaCgarbagegarbage")
+        with pytest.raises(ValueError):
+            read_flac(path)
+
+    def test_missing_file_raises(self):
+        with pytest.raises((FileNotFoundError, ValueError)):
+            open_audio_file("/nonexistent/file.flac")
