@@ -54,6 +54,14 @@ def main() -> None:
     duration = float(os.environ.get("BENCH_DURATION_SECS", "300"))
     sr = int(os.environ.get("BENCH_SAMPLE_RATE", "48000"))
 
+    # persistent compile cache: kernel compiles for the fixture shapes are
+    # reused across bench invocations (first-ever run pays them once)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jivetalking_jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from jivetalking_tpu.pipeline import process_audio
 
     x = make_fixture(duration, sr)

@@ -156,6 +156,31 @@ def process_one_file(
         out_path = output_audio_path(path, res.normalisation.requested_target_i)
         save_flac(out_path, res.output_audio, res.output_rate)
 
+        if diagnostics:
+            # before/after spectrogram set for whole file + elected regions
+            # (ref: pool.go:43-65 background renders; <=6 PNGs)
+            try:
+                from ..io.audio import downmix_mono
+                from ..report.spectrogram import render_run_spectrograms
+
+                stem = os.path.splitext(path)[0]
+                m = res.measurements
+                speech_region = (
+                    m.vad.speech_profile.region if m.vad.speech_profile else None
+                )
+                render_run_spectrograms(
+                    stem,
+                    {
+                        "before": downmix_mono(samples),
+                        "after": (res.output_audio, res.output_rate),
+                    },
+                    meta.sample_rate,
+                    noise_region=m.vad.noise_region,
+                    speech_region=speech_region,
+                )
+            except Exception as e:
+                _emit(events.on_warning, f"spectrogram render failed: {e}")
+
         outcome.output_path = out_path
         outcome.input_lufs = res.measurements.loudness.input_i
         outcome.output_lufs = res.normalisation.output_lufs

@@ -1,0 +1,17 @@
+"""Batch / device-mesh parallelism: file-level DP over chips + batched
+metering kernels (the TPU equivalents of the reference's worker pool,
+SURVEY.md §2.3)."""
+
+from .batch import (
+    batched_integrated_loudness,
+    make_mesh,
+    pad_to_batch,
+    process_files_data_parallel,
+)
+
+__all__ = [
+    "batched_integrated_loudness",
+    "make_mesh",
+    "pad_to_batch",
+    "process_files_data_parallel",
+]

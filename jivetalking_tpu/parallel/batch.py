@@ -1,0 +1,160 @@
+"""Batch / device-mesh parallelism.
+
+The reference's only concurrency is a bounded worker pool over files plus
+band-measure goroutines (ref: SURVEY.md §2.3; cmd/jivetalking/pool.go).
+The TPU-native equivalents here:
+
+  * `process_files_data_parallel` — file-level data parallelism over real
+    devices: each worker thread pins its file's computation to one device
+    via `jax.default_device`, so N chips master N files concurrently (the
+    back-catalogue configuration).  On one chip it degrades gracefully to
+    the host worker pool.
+  * `batched_integrated_loudness` — the batched measurement kernel: a
+    (batch, time) PCM block sharded over a device mesh, masked-block
+    BS.1770 gating per file (variable lengths via block masks), all files
+    metered in one device program.  This is the "64-episode back-catalogue"
+    sweep primitive: measurement is the dominant cost of analyse-only runs.
+  * `make_mesh` — the dp(xsp) mesh constructor shared with the dry-run
+    harness (__graft_entry__.dryrun_multichip exercises the sp axis with
+    halo exchange + psum).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..metering.kweight import k_weighting_sos
+from ..ops.iir import sos_impulse_response
+
+ABSOLUTE_GATE_LUFS = -70.0
+_LOG_FLOOR = 1e-15
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# batched masked R128 (the back-catalogue measurement kernel)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("block_len", "n_blocks", "dual_mono"))
+def _batched_gated_loudness(
+    kx: jnp.ndarray,          # (batch, n) K-weighted PCM (zero padded)
+    n_valid_blocks: jnp.ndarray,  # (batch,) valid 100ms blocks per file
+    block_len: int,
+    n_blocks: int,
+    dual_mono: bool,
+) -> jnp.ndarray:
+    b = kx.shape[0]
+    total = n_blocks * block_len
+    blocks = kx[:, :total].reshape(b, n_blocks, block_len)
+    bp = jnp.mean(blocks.astype(jnp.float32) ** 2, axis=2)
+    if dual_mono:
+        bp = bp * 2.0
+
+    # momentary (400 ms) sliding means over 4 blocks
+    c = jnp.concatenate([jnp.zeros((b, 1), bp.dtype), jnp.cumsum(bp, axis=1)], axis=1)
+    mp = (c[:, 4:] - c[:, :-4]) / 4.0
+    n_m = mp.shape[1]
+    m_idx = jnp.arange(n_m)[None, :]
+    valid = m_idx < jnp.maximum(n_valid_blocks[:, None] - 3, 1)
+
+    ml = -0.691 + 10.0 * jnp.log10(jnp.maximum(mp, _LOG_FLOOR))
+    abs_mask = valid & (ml > ABSOLUTE_GATE_LUFS)
+    cnt = jnp.maximum(jnp.sum(abs_mask, axis=1), 1)
+    mean_p = jnp.sum(jnp.where(abs_mask, mp, 0.0), axis=1) / cnt
+    rel_thresh = -0.691 + 10.0 * jnp.log10(jnp.maximum(mean_p, _LOG_FLOOR)) - 10.0
+    rel_mask = abs_mask & (ml > rel_thresh[:, None])
+    cnt2 = jnp.maximum(jnp.sum(rel_mask, axis=1), 1)
+    gated = jnp.sum(jnp.where(rel_mask, mp, 0.0), axis=1) / cnt2
+    gated = jnp.where(jnp.sum(rel_mask, axis=1) > 0, gated, _LOG_FLOOR)
+    return -0.691 + 10.0 * jnp.log10(jnp.maximum(gated, _LOG_FLOOR))
+
+
+def batched_integrated_loudness(
+    pcm_batch: np.ndarray,
+    lengths: np.ndarray,
+    sample_rate: int,
+    dual_mono: bool = True,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Integrated LUFS for a (batch, n) zero-padded PCM block; `lengths`
+    gives each file's true sample count.  With a mesh, the batch axis is
+    sharded across devices (each chip meters its shard; no collectives
+    needed — file-level DP)."""
+    x = jnp.asarray(pcm_batch, dtype=jnp.float32)
+    b, n = x.shape
+    block_len = max(1, int(round(sample_rate * 0.1)))
+    n_blocks = max(4, n // block_len)
+
+    sos = k_weighting_sos(sample_rate)
+    ir = jnp.asarray(sos_impulse_response(sos, 4096), dtype=jnp.float32)
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("dp", None))
+        x = jax.device_put(x, sharding)
+
+    @jax.jit
+    def kweight_batch(xb):
+        # overlap-free batched FFT convolution: pad to n + ir - 1
+        fft_len = 1 << int(np.ceil(np.log2(n + ir.shape[0] - 1)))
+        spec = jnp.fft.rfft(xb, n=fft_len, axis=1) * jnp.fft.rfft(ir, n=fft_len)[None, :]
+        return jnp.fft.irfft(spec, n=fft_len, axis=1)[:, :n]
+
+    kx = kweight_batch(x)
+    valid_blocks = jnp.asarray(np.minimum(lengths // block_len, n_blocks), dtype=jnp.int32)
+    out = _batched_gated_loudness(kx, valid_blocks, block_len, n_blocks, dual_mono)
+    return np.asarray(out, dtype=np.float64)
+
+
+def pad_to_batch(pcm_list: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a list of mono PCM arrays to one (batch, max_n) block
+    (pad-to-bucket; SURVEY.md §7 'dynamic shapes')."""
+    lengths = np.array([len(p) for p in pcm_list], dtype=np.int64)
+    max_n = int(lengths.max()) if len(pcm_list) else 0
+    batch = np.zeros((len(pcm_list), max_n), dtype=np.float32)
+    for i, p in enumerate(pcm_list):
+        batch[i, : len(p)] = p
+    return batch, lengths
+
+
+# ---------------------------------------------------------------------------
+# file-level data parallelism over real devices
+# ---------------------------------------------------------------------------
+
+def process_files_data_parallel(
+    pcm_list: list[np.ndarray],
+    sample_rate: int,
+    base_config=None,
+    max_workers: int | None = None,
+):
+    """Master each file's PCM with its computation pinned to a device in
+    round-robin — N devices run N files concurrently (the TPU analogue of
+    the reference's `jobs = min(files, NumCPU)` pool)."""
+    from ..pipeline.process import process_audio
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    workers = max_workers or min(len(pcm_list), max(1, n_dev))
+    lock = threading.Lock()
+    counter = [0]
+
+    def run(pcm):
+        with lock:
+            dev = devices[counter[0] % n_dev]
+            counter[0] += 1
+        with jax.default_device(dev):
+            return process_audio(pcm, sample_rate, base_config=base_config)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(run, pcm_list))
