@@ -87,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
 
     lock = threading.Lock()
     last_stage: dict[str, str] = {}
+    use_tty = sys.stdout.isatty() and not args.analyse
 
     def on_progress(path, stage, frac):
         # print each stage transition once (plain no-TTY path)
@@ -100,25 +101,46 @@ def main(argv: list[str] | None = None) -> int:
             render = render_analysis_summary if args.analyse else render_done_box
             print(render(outcome), flush=True)
 
-    events = PoolEvents(
-        on_progress=on_progress,
-        on_file_complete=on_complete,
-        on_warning=lambda w: warnings.append(w),
-    )
-
     jobs = args.jobs or resolve_jobs(len(args.files), os.cpu_count() or 1)
     sink.logf("run start: %d files, %d jobs, analyse=%s", len(args.files), jobs, args.analyse)
 
     try:
-        outcomes = run_pool(
-            args.files,
-            base=default_filter_config(),
-            events=events,
-            diagnostics=args.diagnostics,
-            analysis_only=args.analyse,
-            jobs=jobs,
-            cancel=cancel,
-        )
+        if use_tty:
+            # live ANSI view (the reference's Bubble Tea model; TTY only)
+            from ..ui.live import LiveUI
+
+            with LiveUI(args.files) as live:
+                events = PoolEvents(
+                    on_file_start=live.on_file_start,
+                    on_progress=live.on_progress,
+                    on_adapted=live.on_adapted_summary,
+                    on_file_complete=live.on_file_complete,
+                    on_warning=lambda w: warnings.append(w),
+                )
+                outcomes = run_pool(
+                    args.files,
+                    base=default_filter_config(),
+                    events=events,
+                    diagnostics=args.diagnostics,
+                    analysis_only=args.analyse,
+                    jobs=jobs,
+                    cancel=cancel,
+                )
+        else:
+            events = PoolEvents(
+                on_progress=on_progress,
+                on_file_complete=on_complete,
+                on_warning=lambda w: warnings.append(w),
+            )
+            outcomes = run_pool(
+                args.files,
+                base=default_filter_config(),
+                events=events,
+                diagnostics=args.diagnostics,
+                analysis_only=args.analyse,
+                jobs=jobs,
+                cancel=cancel,
+            )
     finally:
         signal.signal(signal.SIGINT, old_handler)
         sink.close()

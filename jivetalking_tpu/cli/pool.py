@@ -81,6 +81,7 @@ class PoolEvents:
 
     on_file_start: callable = None
     on_progress: callable = None        # (path, pass_name, fraction)
+    on_adapted: callable = None         # (path, AdaptedSummary)
     on_file_complete: callable = None   # (FileOutcome)
     on_warning: callable = None         # (str)
 
@@ -151,7 +152,15 @@ def process_one_file(
                 raise InterruptedError("cancelled")
             _emit(events.on_progress, path, stage, frac)
 
-        res = process_audio(samples, meta.sample_rate, base_config=base, progress=progress)
+        def on_adapted(eff, diag, m):
+            from ..ui.summary import new_adapted_summary
+
+            _emit(events.on_adapted, path, new_adapted_summary(eff, diag, m))
+
+        res = process_audio(
+            samples, meta.sample_rate, base_config=base,
+            progress=progress, on_adapted=on_adapted,
+        )
 
         out_path = output_audio_path(path, res.normalisation.requested_target_i)
         save_flac(out_path, res.output_audio, res.output_rate)

@@ -96,10 +96,14 @@ def process_audio(
     sample_rate: int,
     base_config: FilterConfig | None = None,
     progress=None,
+    on_adapted=None,
 ) -> ProcessResult:
     """Full 4-pass master of (channels, n) or (n,) PCM at `sample_rate`.
 
-    `progress`, when given, is called as progress(pass_name, fraction)."""
+    `progress`, when given, is called as progress(pass_name, fraction).
+    `on_adapted`, when given, is called as on_adapted(effective_config,
+    diagnostics, measurements) right after Pass 1.5 (the reference's
+    AdaptedSummaryMsg at Pass-2 start, ref: pool.go:193-222)."""
     cfg_base = base_config or default_filter_config()
 
     def report(stage, frac):
@@ -118,6 +122,11 @@ def process_audio(
 
     # PASS 1.5
     eff, diag = adapt_config(cfg_base, m)
+    if on_adapted is not None:
+        try:
+            on_adapted(eff, diag, m)
+        except Exception:
+            pass
 
     # PASS 2
     t0 = time.perf_counter()

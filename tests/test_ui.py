@@ -1,0 +1,133 @@
+"""Live UI / status box / summary view-model tests (string rendering,
+the reference's ui/view_layout_test.go pattern)."""
+
+import io
+import time
+
+import numpy as np
+import pytest
+
+from jivetalking_tpu.adaptive import adapt_config, default_filter_config
+from jivetalking_tpu.analysis.analyser import AudioMeasurements
+from jivetalking_tpu.analysis.types import (
+    NoiseProfile,
+    Region,
+    RegionSample,
+    SpeechCandidate,
+)
+from jivetalking_tpu.cli.pool import FileOutcome
+from jivetalking_tpu.ui.live import LiveModel, LiveUI, render_frame
+from jivetalking_tpu.ui.statusbox import render_analysis_box, render_filter_chain_box
+from jivetalking_tpu.ui.summary import AdaptedSummary, new_adapted_summary, with_limiter
+
+
+def _measurements():
+    m = AudioMeasurements()
+    m.loudness.input_i = -25.0
+    m.loudness.input_tp = -8.0
+    m.loudness.input_lra = 9.0
+    m.vad.noise_profile = NoiseProfile(measured_noise_floor=-62.0)
+    m.vad.elected_room_tone_sample = RegionSample(rms_level=-70.0)
+    sp = SpeechCandidate(region=Region(0.0, 60.0), sample=RegionSample(
+        rms_level=-24.0, momentary_lufs=-26.0))
+    sp.body_band_rms = -30.0
+    sp.sib_band_rms = -34.0
+    sp.bands_measured = True
+    m.vad.speech_profile = sp
+    m.vad.gate_stats.voiced_low_percentile = -32.0
+    m.vad.gate_stats.separation_db = 25.0
+    return m
+
+
+class TestAdaptedSummary:
+    def test_from_adapted_config(self):
+        m = _measurements()
+        cfg, diag = adapt_config(default_filter_config(), m)
+        s = new_adapted_summary(cfg, diag, m)
+        assert s.chain_ready
+        assert s.highpass_hz == 80.0
+        assert s.lowpass_hz == 20500.0
+        assert s.denoise_nlm and s.denoise_fft
+        assert s.gate_thresh_db == pytest.approx(-38.0)  # voiced p10 -32 - 6
+        assert s.has_speech and s.has_noise_floor
+        assert s.separation_db == pytest.approx(-24.0 - (-70.0))
+        assert s.has_sibilance
+        assert s.sibilance_db == pytest.approx(-4.0)
+        assert not s.limiter_ready
+
+    def test_nil_inputs_pending(self):
+        s = new_adapted_summary(None, None, None)
+        assert not s.chain_ready
+
+    def test_with_limiter(self):
+        s = with_limiter(AdaptedSummary(chain_ready=True), True, -9.0)
+        assert s.limiter_ready and s.limiter_enabled
+        assert s.limiter_ceiling == -9.0
+
+
+class TestStatusBoxes:
+    def test_pending_boxes(self):
+        s = AdaptedSummary(chain_ready=False)
+        box = render_filter_chain_box(s)
+        assert "⋯" in box
+        assert box.splitlines()[0].startswith("╭─ Filter Chain")
+
+    def test_chain_box_rows(self):
+        m = _measurements()
+        cfg, diag = adapt_config(default_filter_config(), m)
+        s = new_adapted_summary(cfg, diag, m)
+        box = render_filter_chain_box(s)
+        assert "80 Hz" in box
+        assert "20.5 kHz" in box
+        assert "NLM+FFT" in box
+        assert "44.1 kHz s16" in box
+        assert "⋯" in box  # limiter still pending
+
+    def test_analysis_box_rows(self):
+        m = _measurements()
+        cfg, diag = adapt_config(default_filter_config(), m)
+        s = new_adapted_summary(cfg, diag, m)
+        box = render_analysis_box(s)
+        assert "-25.0 LUFS" in box
+        assert "-8.0" in box
+        # all lines equal width (box alignment)
+        widths = {len(line) for line in box.splitlines()}
+        assert len(widths) == 1
+
+
+class TestLiveFrame:
+    def test_progress_rows(self):
+        model = LiveModel(files=["a.flac", "b.flac"])
+        model.rows["a.flac"].stage = "processing"
+        model.rows["a.flac"].fraction = 0.5
+        model.rows["a.flac"].started = time.perf_counter()
+        frame = render_frame(model, tick=0)
+        assert "a.flac" in frame and "b.flac" in frame
+        assert "Pass 2 filter" in frame
+        assert "queued" in frame
+        assert "█" in frame and "░" in frame
+
+    def test_done_rows_replace_progress(self):
+        model = LiveModel(files=["a.flac"])
+        row = model.rows["a.flac"]
+        row.done = True
+        row.done_box = "✓ a.flac -> out.flac"
+        frame = render_frame(model, tick=3)
+        assert "✓ a.flac" in frame
+        assert "queued" not in frame
+
+    def test_live_ui_lifecycle(self):
+        out = io.StringIO()
+        ui = LiveUI(["x.flac"], out=out, fps=50.0)
+        with ui:
+            ui.on_file_start("x.flac")
+            ui.on_progress("x.flac", "analysis", 0.3)
+            ui.on_file_complete(FileOutcome(
+                path="x.flac", output_path="y.flac", quality_stars=5,
+                quality_label="Excellent", recording_stars=4,
+                recording_label="Great", realtime_factor=10.0))
+            time.sleep(0.1)
+        text = out.getvalue()
+        assert "\x1b[?25l" in text and "\x1b[?25h" in text  # cursor hide/show
+        assert "x.flac" in text
+        assert ui.model.all_done
