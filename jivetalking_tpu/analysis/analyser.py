@@ -21,11 +21,11 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..metering.astats import AstatsResult, measure_astats
+from ..metering.astats import AstatsResult, assemble_astats, measure_astats
 from ..metering.ebur128 import LoudnessResult, measure_loudness
-from ..metering.spectral import SpectralMetrics, spectral_frames
+from ..metering.spectral import SpectralFrameSeries, SpectralMetrics, spectral_frames
 from .bands import measure_noise_bands, measure_speech_bands
-from .intervals import Intervals, build_intervals
+from .intervals import Intervals, assemble_intervals, build_intervals
 from .types import VADResult
 from .vad import (
     VAD_LEVEL_FLOOR_DB,
@@ -168,26 +168,67 @@ def _assign_reduction_headroom(m: AudioMeasurements) -> None:
     }[tier]
 
 
+def _loudness_from_fused_dict(d: dict, sample_rate: int) -> LoudnessResult:
+    mom = np.asarray(d["momentary"], dtype=np.float64)
+    st = np.asarray(d["short_term"], dtype=np.float64)
+    sp = float(d["sample_peak"])
+    tp = float(d["true_peak"])
+    hop = max(1, int(round(sample_rate * 0.1))) / sample_rate
+    return LoudnessResult(
+        integrated_lufs=float(d["integrated"]),
+        lra_lu=float(d["lra"]),
+        lra_low_lufs=float(d["lra_low"]),
+        lra_high_lufs=float(d["lra_high"]),
+        threshold_lufs=float(d["rel_thresh"]),
+        sample_peak_db=20.0 * math.log10(sp) if sp > 0 else -150.0,
+        true_peak_db=20.0 * math.log10(tp) if tp > 0 else -150.0,
+        momentary_max_lufs=float(mom.max()) if mom.size else -150.0,
+        short_term_max_lufs=float(st.max()) if st.size else -150.0,
+        momentary_lufs=mom,
+        short_term_lufs=st,
+        block_starts_sec=np.arange(mom.size, dtype=np.float64) * hop,
+    )
+
+
 def analyse_audio(
     x,
     sample_rate: int,
     target_i: float = -16.0,
     measure_bands: bool = True,
+    fused: bool = True,
 ) -> AudioMeasurements:
     """Pass 1: full-file metering + interval engine + VAD + band measures.
 
     `x` is mono PCM (any leading channel axis should already be downmixed by
-    the caller — the reference's `aformat=channel_layouts=mono` stage)."""
+    the caller — the reference's `aformat=channel_layouts=mono` stage).
+
+    `fused=True` runs all device metering as ONE compiled program with a
+    single host pull (pipeline/fused.fused_analysis); `fused=False` keeps
+    the per-op kernels."""
     x = jnp.asarray(x, dtype=jnp.float32)
     n = int(x.shape[0])
     duration = n / sample_rate
 
     m = AudioMeasurements(duration=duration, sample_rate=sample_rate)
 
-    # --- fused metering pass (the reference's single analysis graph) ---
-    r128 = measure_loudness(x, sample_rate)
-    ast = measure_astats(x, sample_rate)
-    spec_series = spectral_frames(x, sample_rate)
+    if fused:
+        from ..pipeline.fused import fused_analysis
+
+        out = fused_analysis(x, sample_rate)
+        r128 = _loudness_from_fused_dict(out["loudness"], sample_rate)
+        w = max(2, int(round(0.05 * sample_rate)))
+        ast = assemble_astats(out["astats"], n, w)
+        spec_hop = 1024
+        n_sframes = int(next(iter(out["spectral"].values())).shape[0])
+        spec_series = SpectralFrameSeries(
+            metrics={k: np.asarray(v, dtype=np.float64) for k, v in out["spectral"].items()},
+            frame_times=np.arange(n_sframes, dtype=np.float64) * spec_hop / sample_rate,
+        )
+    else:
+        # --- per-op metering pass (the unit-tested reference path) ---
+        r128 = measure_loudness(x, sample_rate)
+        ast = measure_astats(x, sample_rate)
+        spec_series = spectral_frames(x, sample_rate)
     m.r128 = r128
     m.astats = ast
     m.spectral = spec_series.average()
@@ -232,7 +273,14 @@ def analyse_audio(
     m.noise.floor_astats = ast.noise_floor
 
     # --- interval engine ---
-    iv = build_intervals(x, sample_rate, r128, spec_series)
+    if fused:
+        iv = assemble_intervals(
+            np.asarray(out["iv_sumsq"], dtype=np.float64),
+            np.asarray(out["iv_peak"], dtype=np.float64),
+            n, sample_rate, r128, spec_series,
+        )
+    else:
+        iv = build_intervals(x, sample_rate, r128, spec_series)
     m.intervals = iv
 
     # --- pre-scan noise-floor seed (ref: buildInputMeasurements:367-378) ---
@@ -257,7 +305,29 @@ def analyse_audio(
     m.noise.voice_activated = vad.voice_activated
 
     # --- band phase (batched on-device; ref: analyser.go:335-358) ---
-    if measure_bands:
+    if measure_bands and fused:
+        # one dispatch per region with traced bounds (no recompiles)
+        from ..pipeline.fused import (
+            NOISE_PAD_SECS,
+            SPEECH_PAD_SECS,
+            fused_band_rms,
+        )
+
+        if vad.speech_profile is not None and vad.speech_profile.region.duration > 0:
+            rms = fused_band_rms(x, sample_rate, vad.speech_profile.region, SPEECH_PAD_SECS)
+            body, sib = rms[15], rms[16]
+            body_ok = math.isfinite(body)
+            sib_ok = math.isfinite(sib)
+            vad.speech_profile.body_band_rms = body if body_ok else 0.0
+            vad.speech_profile.sib_band_rms = sib if sib_ok else 0.0
+            vad.speech_profile.bands_measured = body_ok and sib_ok
+        if vad.noise_profile is not None and vad.noise_region is not None and vad.noise_profile.duration > 0:
+            rms = fused_band_rms(x, sample_rate, vad.noise_region, NOISE_PAD_SECS)
+            band_noise = rms[:15]
+            finite = sum(1 for v in band_noise if math.isfinite(v))
+            vad.noise_profile.band_noise = band_noise
+            vad.noise_profile.bands_measured = finite >= 10
+    elif measure_bands:
         if vad.speech_profile is not None and vad.speech_profile.region.duration > 0:
             body, sib, measured = measure_speech_bands(x, sample_rate, vad.speech_profile.region)
             vad.speech_profile.body_band_rms = body

@@ -122,8 +122,25 @@ def build_intervals(
     n_int = max(1, -(-n // ilen))
 
     sumsq, peak = _interval_raw_stats(x, ilen, n_int)
-    sumsq = np.asarray(sumsq, dtype=np.float64)
-    peak = np.asarray(peak, dtype=np.float64)
+    return assemble_intervals(
+        np.asarray(sumsq, dtype=np.float64), np.asarray(peak, dtype=np.float64),
+        n, sample_rate, loudness, spectral, hop_secs,
+    )
+
+
+def assemble_intervals(
+    sumsq: np.ndarray,
+    peak: np.ndarray,
+    n: int,
+    sample_rate: int,
+    loudness: LoudnessResult,
+    spectral: SpectralFrameSeries,
+    hop_secs: float = INTERVAL_HOP_SECS,
+) -> Intervals:
+    """Host-side interval-table assembly from precomputed per-interval raw
+    stats (shared with the fused whole-pass analysis program)."""
+    ilen = max(1, int(round(hop_secs * sample_rate)))
+    n_int = int(sumsq.shape[0])
     counts = np.full(n_int, ilen, dtype=np.float64)
     if n % ilen:
         counts[-1] = n % ilen

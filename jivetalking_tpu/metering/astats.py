@@ -163,12 +163,9 @@ def _astats_core(x: jnp.ndarray, w: int):
     )
 
 
-def measure_astats(x, sample_rate: int) -> AstatsResult:
-    x = jnp.asarray(x)
-    n = int(x.shape[0])
-    w = max(2, int(round(WINDOW_SECS * sample_rate)))
-    r = {k: np.asarray(v) for k, v in _astats_core(x, w).items()}
-
+def assemble_astats(r: dict, n: int, w: int) -> AstatsResult:
+    """Host-side assembly of an AstatsResult from the `_astats_core` output
+    dict (shared by the per-op path and the fused whole-pass program)."""
     peak = float(r["peak_lin"])
     rms = float(r["rms_lin"])
     crest = peak / rms if rms > 0 else 1.0
@@ -213,3 +210,11 @@ def measure_astats(x, sample_rate: int) -> AstatsResult:
         bit_depth=bit_depth,
         number_of_samples=float(n),
     )
+
+
+def measure_astats(x, sample_rate: int) -> AstatsResult:
+    x = jnp.asarray(x)
+    n = int(x.shape[0])
+    w = max(2, int(round(WINDOW_SECS * sample_rate)))
+    r = {k: np.asarray(v) for k, v in _astats_core(x, w).items()}
+    return assemble_astats(r, n, w)

@@ -99,19 +99,21 @@ _LOG_EPS = 1e-12
 
 def compressor_gain(
     lin_slope: jnp.ndarray,
-    threshold_lin: float,
-    ratio: float,
-    knee: float,
+    threshold_lin,
+    ratio,
+    knee,
     detection_rms: bool = True,
 ) -> jnp.ndarray:
     """Downward-compression gain from the detector state (CALF law:
     out(slope) = slope below the knee, thres + (slope-thres)/ratio above,
-    Hermite blend inside; gain = exp(out - slope))."""
+    Hermite blend inside; gain = exp(out - slope)).  threshold/ratio/knee
+    may be python floats or traced jnp scalars (per-file params inside one
+    compiled program)."""
     slope = jnp.log(jnp.maximum(lin_slope, _LOG_EPS))
     if detection_rms:
         slope = slope * 0.5
-    thres = math.log(max(threshold_lin, _LOG_EPS))
-    half_knee = 0.5 * math.log(max(knee, 1.0 + 1e-9))
+    thres = jnp.log(jnp.maximum(threshold_lin, _LOG_EPS))
+    half_knee = 0.5 * jnp.log(jnp.maximum(knee, 1.0 + 1e-9))
     knee_start = thres - half_knee
     knee_stop = thres + half_knee
 
@@ -125,20 +127,20 @@ def compressor_gain(
 
 def gate_gain(
     lin_slope: jnp.ndarray,
-    threshold_lin: float,
-    ratio: float,
-    knee: float,
-    range_lin: float,
+    threshold_lin,
+    ratio,
+    knee,
+    range_lin,
     detection_rms: bool = True,
 ) -> jnp.ndarray:
     """Downward-expansion (gate) gain (CALF law: out(slope) = slope above the
     knee, thres + (slope-thres)*ratio below, Hermite blend inside; gain
-    floored at `range_lin`)."""
+    floored at `range_lin`).  Params may be traced scalars."""
     slope = jnp.log(jnp.maximum(lin_slope, _LOG_EPS))
     if detection_rms:
         slope = slope * 0.5
-    thres = math.log(max(threshold_lin, _LOG_EPS))
-    half_knee = 0.5 * math.log(max(knee, 1.0 + 1e-9))
+    thres = jnp.log(jnp.maximum(threshold_lin, _LOG_EPS))
+    half_knee = 0.5 * jnp.log(jnp.maximum(knee, 1.0 + 1e-9))
     knee_start = thres - half_knee
     knee_stop = thres + half_knee
 

@@ -50,6 +50,32 @@ def _sliding_min_lookahead(x: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.minimum(suffix, prefix).reshape(-1)[:n]
 
 
+def limiter_core(
+    x: jnp.ndarray,
+    limit,
+    lookahead: int,
+    release_samples: float,
+) -> jnp.ndarray:
+    """The traced-limit limiter body: `limit` may be a python float or a
+    jnp scalar (per-file ceiling inside one compiled program)."""
+    x = x.astype(jnp.float32)
+    n = x.shape[0]
+    needed = jnp.minimum(1.0, limit / jnp.maximum(jnp.abs(x), _EPS))
+    target = _sliding_min_lookahead(needed, lookahead)
+
+    c = -1.0 / release_samples           # log(lambda)
+    v = 1.0 - target                     # attenuation depth, in [0, 1)
+    wv = jnp.log(jnp.maximum(v, jnp.exp(_LOG_FLOOR)))
+    t_idx = jnp.arange(n, dtype=jnp.float32)
+    shifted = wv - t_idx * c
+    run = jax.lax.associative_scan(jnp.maximum, shifted)
+    w = run + t_idx * c
+    u = jnp.exp(jnp.minimum(w, 0.0))
+    gain = 1.0 - u
+    gain = jnp.minimum(gain, target)
+    return x * gain
+
+
 @functools.partial(jax.jit, static_argnames=("sample_rate", "limit", "attack_ms", "release_ms"))
 def apply_limiter(
     x: jnp.ndarray,
@@ -64,24 +90,6 @@ def apply_limiter(
     recovery.  Latency-compensated (output aligned with input, as the
     reference's `latency=1`)."""
     x = x.astype(jnp.float32)
-    n = x.shape[0]
     lookahead = max(1, int(round(attack_ms * sample_rate / 1000.0)))
     release_samples = max(1.0, release_ms * sample_rate / 1000.0)
-
-    needed = jnp.minimum(1.0, limit / jnp.maximum(jnp.abs(x), _EPS))
-    target = _sliding_min_lookahead(needed, lookahead)
-
-    # release recurrence in log domain: u[t] = max(v[t], lam*u[t-1])
-    c = -1.0 / release_samples           # log(lambda)
-    v = 1.0 - target                     # attenuation depth, in [0, 1)
-    wv = jnp.log(jnp.maximum(v, jnp.exp(_LOG_FLOOR)))
-    t_idx = jnp.arange(n, dtype=jnp.float32)
-    shifted = wv - t_idx * c
-    run = jax.lax.associative_scan(jnp.maximum, shifted)
-    w = run + t_idx * c
-    u = jnp.exp(jnp.minimum(w, 0.0))
-    gain = 1.0 - u
-    # exact ceiling guarantee: gain can recover above target only through the
-    # log-floor clamp; re-impose the target bound
-    gain = jnp.minimum(gain, target)
-    return x * gain
+    return limiter_core(x, limit, lookahead, release_samples)

@@ -1,0 +1,619 @@
+"""Fused device programs: the whole-pass kernels that make the pipeline
+TPU-fast.
+
+The naive pipeline issues ~80-100 separate device dispatches per file, each
+with a host sync; on a remote-attached TPU every sync costs dispatch
+latency that dwarfs the compute.  These fused programs collapse the
+pipeline to THREE device round trips per file:
+
+  1. `fused_analysis(x)`  — every Pass-1 device quantity in one jit:
+     K-weighted block powers, momentary/short-term series, gated
+     integrated loudness, sample/true peak, the astats core, the 13-metric
+     spectral frame series, and the 250 ms interval raw stats.  One
+     device_get returns the whole pytree; the host then runs the
+     (tiny, sequential) VAD/election logic.
+  2. `fused_band_rms(x, bounds)` — the 17 region-band RMS measures with
+     TRACED region bounds (static pad sizes), so electing different
+     regions never recompiles.
+  3. `fused_master(x, params)` — passes 2+3+4 end to end: cleanup chain
+     (all adaptive parameters as traced scalars/vectors), limiter
+     planning (jnp.where arithmetic in-graph), linear-mode loudnorm,
+     declick, brickwall, and the filtered/final stage metering including
+     masked region samples.  One compile per (length, sample_rate) serves
+     every file.
+
+Numerical contract preserved from the unfused modules (see normalise.py /
+pass2.py provenance comments); the unfused per-op kernels remain the unit
+of testing and the reference for parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..adaptive.config import FilterConfig
+from ..metering.astats import _astats_core
+from ..metering.kweight import k_weighting_sos
+from ..metering.spectral import METRIC_NAMES, _spectral_core
+from ..metering.truepeak import _polyphase_bank
+from ..ops.declick import _declick_impl
+from ..ops.dynamics import (
+    attack_release_follower,
+    compressor_gain,
+    envelope_coeff,
+    gate_gain,
+)
+from ..ops.iir import cascade, design_highpass, design_lowpass, sos_impulse_response
+from ..ops.limiter import limiter_core
+from ..ops.nlm import _box_filter_same
+from ..ops.spectral_gate import _hann, noise_magnitude_model
+from ..utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ, afftdn_band_edges_hz
+from .normalise import (
+    BRICKWALL_TRUE_PEAK_HEADROOM_DB,
+    LINEAR_SAFETY_MARGIN,
+    MEASUREMENT_CUSHION_DB,
+    MIN_LIMITER_CEILING_DB,
+)
+
+_LOG_FLOOR = 1e-15
+ABS_GATE = -70.0
+
+# speech regions are golden-refined to <= 60 s, room tone to <= 18 s ideal
+# (ref: analyser_candidates_speech.go goldenSpeechWindowDuration,
+# analyser_vad.go idealDurationMax); the fused band/region measures use
+# fixed-size padded windows so traced bounds never recompile.
+SPEECH_PAD_SECS = 64.0
+NOISE_PAD_SECS = 20.0
+
+
+# ---------------------------------------------------------------------------
+# in-graph metering primitives
+# ---------------------------------------------------------------------------
+
+def _p2l(p):
+    return -0.691 + 10.0 * jnp.log10(jnp.maximum(p, _LOG_FLOOR))
+
+
+def _fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Causal linear convolution, first n samples (streaming-IIR semantics)."""
+    fft_len = 1 << int(math.ceil(math.log2(n + int(ir.shape[0]) - 1)))
+    spec = jnp.fft.rfft(x, n=fft_len) * jnp.fft.rfft(ir, n=fft_len)
+    return jnp.fft.irfft(spec, n=fft_len)[:n]
+
+
+def _loudness_ingraph(x: jnp.ndarray, kw_ir: jnp.ndarray, tp_bank: jnp.ndarray,
+                      sr: int, dual_mono: bool = True):
+    """R128 metering entirely in-graph -> dict of arrays/scalars
+    (momentary/short series, gated I, LRA, sample/true peak)."""
+    n = int(x.shape[0])
+    block_len = max(1, int(round(sr * 0.1)))
+    n_blocks = max(1, n // block_len)
+
+    kx = _fft_convolve_full(x, kw_ir, n)
+    blocks = kx[: n_blocks * block_len].reshape(n_blocks, block_len)
+    bp = jnp.mean(blocks.astype(jnp.float32) ** 2, axis=1)
+    if dual_mono:
+        bp = bp * 2.0
+
+    c = jnp.concatenate([jnp.zeros(1, bp.dtype), jnp.cumsum(bp)])
+    if n_blocks >= 4:
+        mp = (c[4:] - c[:-4]) / 4.0
+    else:
+        mp = jnp.mean(bp, keepdims=True)
+    ml = _p2l(mp)
+    if n_blocks >= 30:
+        sp = (c[30:] - c[:-30]) / 30.0
+    else:
+        sp = jnp.mean(bp, keepdims=True)
+    sl = _p2l(sp)
+
+    abs_mask = ml > ABS_GATE
+    cnt = jnp.maximum(jnp.sum(abs_mask), 1)
+    mean_p = jnp.sum(jnp.where(abs_mask, mp, 0.0)) / cnt
+    rel_thresh = _p2l(mean_p) - 10.0
+    rel_mask = abs_mask & (ml > rel_thresh)
+    cnt2 = jnp.maximum(jnp.sum(rel_mask), 1)
+    gated = jnp.sum(jnp.where(rel_mask, mp, 0.0)) / cnt2
+    gated = jnp.where(jnp.sum(rel_mask) > 0, gated, _LOG_FLOOR)
+    integrated = _p2l(gated)
+
+    # LRA (EBU Tech 3342): -70 abs gate, -20 LU relative, p10..p95
+    st_mask = sl > ABS_GATE
+    st_cnt = jnp.maximum(jnp.sum(st_mask), 1)
+    st_mean = jnp.sum(jnp.where(st_mask, sp, 0.0)) / st_cnt
+    st_rel = _p2l(st_mean) - 20.0
+    g_mask = st_mask & (sl > st_rel)
+    # masked percentiles: sort with +inf fill, integer-rank pick
+    g_cnt = jnp.sum(g_mask)
+    sorted_sl = jnp.sort(jnp.where(g_mask, sl, jnp.inf))
+    def _pick(pct):
+        idx = jnp.clip((pct / 100.0 * jnp.maximum(g_cnt - 1, 0)).astype(jnp.int32), 0, sl.shape[0] - 1)
+        return sorted_sl[idx]
+    lra_low = jnp.where(g_cnt > 0, _pick(10.0), ABS_GATE)
+    lra_high = jnp.where(g_cnt > 0, _pick(95.0), ABS_GATE)
+
+    sample_peak = jnp.max(jnp.abs(x))
+    tp_conv = jax.lax.conv_general_dilated(
+        x[None, None, :], tp_bank[:, None, :], window_strides=(1,),
+        padding=[(tp_bank.shape[1] - 1, tp_bank.shape[1] - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    true_peak = jnp.maximum(jnp.max(jnp.abs(tp_conv)), sample_peak)
+
+    return {
+        "integrated": integrated,
+        "lra": lra_high - lra_low,
+        "lra_low": lra_low,
+        "lra_high": lra_high,
+        "rel_thresh": rel_thresh,
+        "sample_peak": sample_peak,
+        "true_peak": true_peak,
+        "momentary": ml,
+        "short_term": sl,
+    }
+
+
+def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
+                           start: jnp.ndarray, end: jnp.ndarray):
+    """Masked region metering: RMS/peak over [start, end) samples, momentary
+    mean over blocks ending in the region, spectral mean over frames starting
+    in it.  start/end are traced sample indices; zero-length -> zeros."""
+    n = x.shape[0]
+    idx = jnp.arange(n)
+    mask = (idx >= start) & (idx < end)
+    cnt = jnp.maximum(jnp.sum(mask), 1)
+    rms = jnp.sqrt(jnp.sum(jnp.where(mask, x, 0.0) ** 2) / cnt)
+    peak = jnp.max(jnp.where(mask, jnp.abs(x), 0.0))
+
+    block_len = max(1, int(round(sr * 0.1)))
+    m = loud["momentary"]
+    m_end_sample = (jnp.arange(m.shape[0]) + 4) * block_len
+    m_mask = (m_end_sample >= start) & (m_end_sample < end)
+    m_cnt = jnp.maximum(jnp.sum(m_mask), 1)
+    mom = jnp.sum(jnp.where(m_mask, m, 0.0)) / m_cnt
+
+    spec = spec_avg_fn(start, end)
+    return {"rms": rms, "peak": peak, "momentary": mom, **spec}
+
+
+# ---------------------------------------------------------------------------
+# the fused pass-2/3/4 master program
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "nlm_enabled", "afftdn_enabled", "declick_enabled"),
+)
+def _fused_master_impl(
+    x: jnp.ndarray,
+    # traced per-file parameters
+    gate_threshold: jnp.ndarray,     # linear
+    gate_ratio: jnp.ndarray,
+    gate_range: jnp.ndarray,         # linear
+    comp_threshold_lin: jnp.ndarray,
+    deess_intensity: jnp.ndarray,
+    nf_db: jnp.ndarray,
+    band_shape_db: jnp.ndarray,      # (15,) dB offsets, zeros = white
+    target_i: jnp.ndarray,
+    target_tp_lin: jnp.ndarray,      # linear
+    noise_bounds: jnp.ndarray,       # (2,) samples
+    speech_bounds: jnp.ndarray,      # (2,) samples
+    # constants baked per sample rate
+    chain_ir: jnp.ndarray,
+    kw_ir: jnp.ndarray,
+    tp_bank: jnp.ndarray,
+    deess_kernel: jnp.ndarray,
+    sr: int,
+    nlm_enabled: bool,
+    afftdn_enabled: bool,
+    declick_enabled: bool,
+):
+    n = int(x.shape[0])
+    x = x.astype(jnp.float32)
+
+    # --- rumble HP + band-limit LP (one fused FIR) ---
+    y = _fft_convolve_full(x, chain_ir, n)
+
+    # --- anlmdn NLM (production constants; near-transparent) ---
+    if nlm_enabled:
+        patch_radius = max(1, int(round(0.0060 * sr / 2.0)))
+        research_radius = max(1, int(round(0.0020 * sr / 2.0)))
+        h = 0.00001 * 10000.0
+        h2 = jnp.float32(h * h / 3.0)
+        idx = jnp.arange(n)
+
+        def accumulate(carry, d):
+            num, den = carry
+            shifted = jnp.roll(y, -d)
+            valid = (idx + d >= 0) & (idx + d < n)
+            shifted = jnp.where(valid, shifted, 0.0)
+            dist = _box_filter_same((y - shifted) ** 2, patch_radius)
+            w = jnp.exp(-dist / h2) * valid
+            return (num + w * shifted, den + w), None
+
+        offsets = jnp.arange(-research_radius, research_radius + 1)
+        (num, den), _ = jax.lax.scan(
+            accumulate, (jnp.zeros(n, y.dtype), jnp.zeros(n, y.dtype)), offsets
+        )
+        y = num / jnp.maximum(den, 1e-12)
+
+    # --- afftdn spectral gate (traced nf + band shape) ---
+    if afftdn_enabled:
+        win, hop = 1024, 256
+        window = jnp.asarray(_hann(win), dtype=jnp.float32)
+        n_frames = 1 + -(-(n + 2 * win - win) // hop)
+        pad_total = win + n + 2 * win
+        xp = jnp.zeros(pad_total, jnp.float32).at[win : win + n].set(y)
+        fidx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
+        frames = xp[fidx] * window[None, :]
+        spec = jnp.fft.rfft(frames, axis=-1)
+        mag = jnp.abs(spec) / win
+
+        # in-graph noise model: white level from nf + log-f interpolated shape
+        n_bins = win // 2 + 1
+        rms = 10.0 ** (nf_db / 20.0)
+        w2 = float(np.sum(_hann(win) ** 2))
+        bin_mag = rms * jnp.sqrt(w2) / win
+        freqs = jnp.arange(n_bins) * (sr / win)
+        logf = jnp.log(jnp.maximum(freqs, 1.0))
+        centres = jnp.log(jnp.asarray(AFFTDN_BAND_CENTRES_HZ))
+        shape_db = jnp.interp(logf, centres, band_shape_db)
+        noise = bin_mag * 10.0 ** (shape_db / 20.0)
+
+        floor_gain = 10.0 ** (-12.0 / 20.0)
+        snr2 = (mag / jnp.maximum(noise[None, :], 1e-12)) ** 2
+        gain = jnp.maximum(floor_gain, 1.0 - 1.0 / jnp.maximum(snr2, 1e-6))
+        prev = jnp.concatenate([gain[:1], gain[:-1]], axis=0)
+        gain = 0.5 * (gain + prev)
+        left = jnp.concatenate([gain[:, :1], gain[:, :-1]], axis=1)
+        right = jnp.concatenate([gain[:, 1:], gain[:, -1:]], axis=1)
+        gain = 0.25 * left + 0.5 * gain + 0.25 * right
+
+        out_frames = jnp.fft.irfft(spec * gain, n=win, axis=-1) * window[None, :]
+        flat = fidx.reshape(-1)
+        ola = jnp.zeros(pad_total, jnp.float32).at[flat].add(out_frames.reshape(-1))
+        norm = jnp.zeros(pad_total, jnp.float32).at[flat].add(
+            jnp.tile(window * window, (n_frames,))
+        )
+        y = (ola / jnp.maximum(norm, 1e-6))[win : win + n]
+
+    # --- speech gate (traced threshold/ratio/range) ---
+    d = y * y
+    env = attack_release_follower(d, envelope_coeff(5.0, sr), envelope_coeff(200.0, sr))
+    y = y * gate_gain(env, gate_threshold, gate_ratio, 3.0, gate_range)
+
+    # --- levelling compressor (traced threshold) ---
+    env2 = attack_release_follower(y * y, envelope_coeff(10.0, sr), envelope_coeff(200.0, sr))
+    y = y * compressor_gain(env2, comp_threshold_lin, 3.0, 4.0)
+
+    # --- de-esser (traced intensity; i=0 -> unity blend) ---
+    delay = (deess_kernel.shape[0] - 1) // 2
+    hf = _fft_convolve_full(
+        jnp.concatenate([y, jnp.zeros(delay, y.dtype)]), deess_kernel, n + delay
+    )[delay:]
+    lf = y - hf
+    ca = envelope_coeff(1.0, sr)
+    cr = envelope_coeff(30.0, sr)
+    env_hf = attack_release_follower(jnp.abs(hf), ca, cr)
+    env_all = attack_release_follower(jnp.abs(y), ca, cr)
+    sens = deess_intensity ** 5
+    ratio_hf = env_hf / jnp.maximum(env_all, 1e-9)
+    excess = jnp.maximum(0.0, ratio_hf - (1.0 - sens))
+    depth = jnp.clip(excess / jnp.maximum(0.5 * sens, 1e-6), 0.0, 1.0)
+    min_gain = 10.0 ** (-12.0 / 20.0)
+    de_gain = 1.0 - depth * (1.0 - min_gain)
+    de_gain = jnp.where(deess_intensity > 0.0, de_gain, 1.0)
+    y = lf + hf * de_gain
+
+    # --- filtered-stage metering (loudness + astats + spectral in-graph) ---
+    w_astats = max(2, int(round(0.05 * sr)))
+    spec_win, spec_hop = 2048, 1024
+    n_sframes = max(1, 1 + (n - spec_win) // spec_hop)
+
+    def stage_metrics(sig):
+        loud = _loudness_ingraph(sig, kw_ir, tp_bank, sr)
+        ast = _astats_core(sig, w_astats)
+        spec_frames = _spectral_core(sig, n_sframes, spec_win, spec_hop, float(sr))
+        spec_mean = {k: jnp.mean(v) for k, v in spec_frames.items()}
+
+        def spec_avg(start, end):
+            f_start = jnp.arange(n_sframes) * spec_hop
+            fm = (f_start >= start) & (f_start < end)
+            cnt = jnp.maximum(jnp.sum(fm), 1)
+            return {f"spec_{k}": jnp.sum(jnp.where(fm, v, 0.0)) / cnt
+                    for k, v in spec_frames.items()}
+
+        return loud, ast, spec_mean, spec_avg
+
+    loud_f, ast_f, spec_f, spec_avg_f = stage_metrics(y)
+    region_f_noise = _region_sample_ingraph(y, loud_f, spec_avg_f, sr,
+                                            noise_bounds[0], noise_bounds[1])
+    region_f_speech = _region_sample_ingraph(y, loud_f, spec_avg_f, sr,
+                                             speech_bounds[0], speech_bounds[1])
+
+    # --- normalisation plan (in-graph scalar arithmetic, jnp.where) ---
+    measured_i = loud_f["integrated"]
+    measured_tp_db = 20.0 * jnp.log10(jnp.maximum(loud_f["true_peak"], 1e-12))
+    target_tp_db = 20.0 * jnp.log10(jnp.maximum(target_tp_lin, 1e-12))
+
+    gain_required = target_i - measured_i
+    projected_tp = measured_tp_db + gain_required
+    needed = projected_tp > target_tp_db
+    ceiling_raw = target_tp_db - gain_required
+    ideal = ceiling_raw
+    clamped = ideal < MIN_LIMITER_CEILING_DB
+    pre_gain_db = jnp.where(clamped, MIN_LIMITER_CEILING_DB - ideal, 0.0)
+    post_i = measured_i + pre_gain_db
+    re_derived = target_tp_db - (target_i - post_i)
+    ceiling_db = jnp.where(clamped, re_derived,
+                           jnp.maximum(ceiling_raw, MIN_LIMITER_CEILING_DB))
+
+    # prefix: pre-gain + levelling limiter (5/100 ms); inert when not needed
+    pre = y * jnp.where(needed, 10.0 ** (pre_gain_db / 20.0), 1.0)
+    limit_lin = jnp.where(needed, 10.0 ** (ceiling_db / 20.0), 1e9)
+    lookahead = max(1, int(round(5.0 * sr / 1000.0)))
+    release = max(1.0, 100.0 * sr / 1000.0)
+    prefixed = limiter_core(pre, limit_lin, lookahead, release)
+
+    # PASS 3 measurement through the prefix
+    loud_m = _loudness_ingraph(prefixed, kw_ir, tp_bank, sr)
+    m_i = loud_m["integrated"]
+    m_tp_db = 20.0 * jnp.log10(jnp.maximum(loud_m["true_peak"], 1e-12))
+    internal_tp = m_tp_db + (target_i - m_i) + LINEAR_SAFETY_MARGIN + MEASUREMENT_CUSHION_DB
+    max_linear_i = internal_tp - m_tp_db + m_i - LINEAR_SAFETY_MARGIN
+    effective_i = jnp.minimum(target_i, max_linear_i)
+    offset_db = effective_i - m_i
+
+    z = prefixed * 10.0 ** (offset_db / 20.0)
+    if declick_enabled:
+        window = max(8, int(round(55.0 * sr / 1000.0)))
+        z = _declick_impl(z, window, 1.7)
+    brick_lin = 10.0 ** ((target_tp_db - BRICKWALL_TRUE_PEAK_HEADROOM_DB) / 20.0)
+    z = limiter_core(z, brick_lin, max(1, int(round(sr / 1000.0))),
+                     max(1.0, 50.0 * sr / 1000.0))
+
+    # --- final-stage metering ---
+    loud_z, ast_z, spec_z, spec_avg_z = stage_metrics(z)
+    region_z_noise = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
+                                            noise_bounds[0], noise_bounds[1])
+    region_z_speech = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
+                                             speech_bounds[0], speech_bounds[1])
+
+    metrics = {
+        "filtered": loud_f,
+        "filtered_astats": ast_f,
+        "filtered_spectral": spec_f,
+        "pass3": loud_m,
+        "final": loud_z,
+        "final_astats": ast_z,
+        "final_spectral": spec_z,
+        "regions": {
+            "filtered_noise": region_f_noise,
+            "filtered_speech": region_f_speech,
+            "final_noise": region_z_noise,
+            "final_speech": region_z_speech,
+        },
+        "plan": {
+            "needed": needed,
+            "clamped": clamped,
+            "ceiling_db": ceiling_db,
+            "pre_gain_db": pre_gain_db,
+            "gain_db": gain_required,
+            "measured_i": m_i,
+            "measured_tp_db": m_tp_db,
+            "effective_i": effective_i,
+            "offset_db": offset_db,
+        },
+    }
+    return z, metrics
+
+
+@functools.lru_cache(maxsize=8)
+def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
+    """Per-sample-rate baked filter constants (host-designed)."""
+    chain_sos = cascade(design_highpass(hp_hz, sr), design_lowpass(lp_hz, sr))
+    chain_ir = sos_impulse_response(chain_sos, 8192).astype(np.float32)
+    kw_ir = sos_impulse_response(k_weighting_sos(sr), 4096).astype(np.float32)
+    tp_bank = _polyphase_bank().astype(np.float32)
+
+    # linear-phase de-esser split kernel (corner as in ops/deesser.py)
+    corner_hz = min(0.80 * sr / 2.0 * 0.34, sr * 0.45)
+    taps = 255
+    m = np.arange(taps) - (taps - 1) / 2.0
+    fc = corner_hz / sr
+    lp = 2.0 * fc * np.sinc(2.0 * fc * m) * np.hamming(taps)
+    lp /= lp.sum()
+    hp = -lp
+    hp[(taps - 1) // 2] += 1.0
+    return (
+        jnp.asarray(chain_ir),
+        jnp.asarray(kw_ir),
+        jnp.asarray(tp_bank),
+        jnp.asarray(hp.astype(np.float32)),
+    )
+
+
+def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[jnp.ndarray, dict]:
+    """Run the fused pass-2/3/4 program with per-file parameters drawn from
+    the adapted config.  Returns (final_audio_device_array, metrics_host)."""
+    m = measurements
+    nr = cfg.noise_reduction
+    shape = np.zeros(15, dtype=np.float32)
+    if nr.afftdn_noise_type == "custom" and nr.afftdn_band_noise:
+        shape = np.asarray(nr.afftdn_band_noise, dtype=np.float32)
+    nf = nr.afftdn_noise_floor if nr.afftdn_noise_floor != 0.0 else -50.0
+
+    def region_bounds(region):
+        if region is None:
+            return np.zeros(2, dtype=np.int32)
+        s = int(round(region.start * sample_rate))
+        e = int(round(region.end * sample_rate))
+        return np.asarray([s, e], dtype=np.int32)
+
+    noise_b = region_bounds(m.vad.noise_region if m is not None else None)
+    speech_b = region_bounds(
+        m.vad.speech_profile.region if (m is not None and m.vad.speech_profile) else None
+    )
+
+    chain_ir, kw_ir, tp_bank, deess_k = _constants_for_rate(
+        sample_rate, cfg.rumble_highpass.frequency, cfg.bandlimit_lowpass.frequency
+    )
+
+    z, metrics = _fused_master_impl(
+        jnp.asarray(x, dtype=jnp.float32),
+        jnp.float32(cfg.speech_gate.threshold),
+        jnp.float32(cfg.speech_gate.ratio),
+        jnp.float32(cfg.speech_gate.range),
+        jnp.float32(10.0 ** (cfg.levelling_compressor.threshold / 20.0)),
+        jnp.float32(cfg.deesser.intensity if cfg.deesser.enabled else 0.0),
+        jnp.float32(nf),
+        jnp.asarray(shape),
+        jnp.float32(cfg.loudnorm.target_i),
+        jnp.float32(10.0 ** (cfg.loudnorm.target_tp / 20.0)),
+        jnp.asarray(noise_b),
+        jnp.asarray(speech_b),
+        chain_ir, kw_ir, tp_bank, deess_k,
+        sr=sample_rate,
+        nlm_enabled=nr.enabled,
+        afftdn_enabled=nr.enabled and nr.afftdn_enabled,
+        declick_enabled=cfg.adeclick.enabled,
+    )
+    return z, jax.device_get(metrics)
+
+
+# ---------------------------------------------------------------------------
+# fused pass-1 analysis program
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("sr", "interval_len", "n_intervals"))
+def _fused_analysis_impl(
+    x: jnp.ndarray,
+    kw_ir: jnp.ndarray,
+    tp_bank: jnp.ndarray,
+    sr: int,
+    interval_len: int,
+    n_intervals: int,
+):
+    n = int(x.shape[0])
+    x = x.astype(jnp.float32)
+
+    loud = _loudness_ingraph(x, kw_ir, tp_bank, sr)
+
+    w_astats = max(2, int(round(0.05 * sr)))
+    ast = _astats_core(x, w_astats)
+
+    spec_win, spec_hop = 2048, 1024
+    xs = x
+    ns = n
+    if ns < spec_win:
+        xs = jnp.zeros(spec_win, x.dtype).at[:ns].set(x)
+        ns = spec_win
+    n_sframes = 1 + (ns - spec_win) // spec_hop
+    spec_frames = _spectral_core(xs, n_sframes, spec_win, spec_hop, float(sr))
+
+    # 250 ms interval raw stats (blocked reductions)
+    total = interval_len * n_intervals
+    padded = jnp.zeros(total, x.dtype).at[: min(n, total)].set(x[:total])
+    blocks = padded.reshape(n_intervals, interval_len)
+    iv_sumsq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=1)
+    iv_peak = jnp.max(jnp.abs(blocks), axis=1)
+
+    return {
+        "loudness": loud,
+        "astats": ast,
+        "spectral": spec_frames,
+        "iv_sumsq": iv_sumsq,
+        "iv_peak": iv_peak,
+    }
+
+
+def fused_analysis(x, sample_rate: int):
+    """One-dispatch Pass-1 device program; returns the host pytree the
+    analyser assembles LoudnessResult/AstatsResult/SpectralFrameSeries/
+    Intervals from (a single device_get)."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n = int(x.shape[0])
+    _, kw_ir, tp_bank, _ = _constants_for_rate(sample_rate, 80.0, 20500.0)
+    interval_len = max(1, int(round(0.25 * sample_rate)))
+    n_intervals = max(1, -(-n // interval_len))
+    out = _fused_analysis_impl(x, kw_ir, tp_bank, sample_rate, interval_len, n_intervals)
+    return jax.device_get(out)
+
+
+# ---------------------------------------------------------------------------
+# recompile-free region band RMS (traced bounds, padded windows)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("pad_len", "fft_len"))
+def _fused_band_rms_impl(
+    x: jnp.ndarray,
+    start: jnp.ndarray,
+    length: jnp.ndarray,
+    irs: jnp.ndarray,        # (n_bands, ir_len) REAL impulse responses
+    pad_len: int,
+    fft_len: int,
+):
+    # the band IR spectra are computed ON DEVICE: the remote TPU backend
+    # cannot device_put complex64 host arrays (UNIMPLEMENTED), so only real
+    # arrays cross the host boundary
+    ir_ffts = jnp.fft.rfft(irs, n=fft_len, axis=-1)
+    seg = jax.lax.dynamic_slice(
+        jnp.concatenate([x, jnp.zeros(pad_len, x.dtype)]), (start,), (pad_len,)
+    )
+    idx = jnp.arange(pad_len)
+    seg = jnp.where(idx < length, seg, 0.0)
+    spec = jnp.fft.rfft(seg, n=fft_len)
+    y = jnp.fft.irfft(spec[None, :] * ir_ffts, n=fft_len, axis=-1)[:, :pad_len]
+    cnt = jnp.maximum(length, 1)
+    # no post-irfft mask: the segment is zeroed beyond `length` BEFORE the
+    # FFT, so the filtered signal past the region is only the <=4096-sample
+    # filter ring tail (<0.01 dB on >=8 s regions).  A broadcast mask fused
+    # into the batched irfft hits an UNIMPLEMENTED path on the TPU backend.
+    return jnp.sum(y.astype(jnp.float32) ** 2, axis=-1) / cnt
+
+
+@functools.lru_cache(maxsize=8)
+def _band_irs(sample_rate: int, pad_len: int):
+    """(n_live_bands, ir_len) real IRs of the 15 afftdn + 2 speech
+    band-limit filters at this rate; NaN-marked bands (edge >= Nyquist)
+    excluded.  FFTs happen on device (complex host transfer unsupported)."""
+    from ..analysis.bands import _band_ir
+
+    bands = [afftdn_band_edges_hz(i) for i in range(len(AFFTDN_BAND_CENTRES_HZ))]
+    bands += [(1000.0, 3000.0), (6000.0, 9000.0)]  # body, sibilant
+    irs = [_band_ir(lo, hi, sample_rate) for lo, hi in bands]
+    live = [i for i, ir in enumerate(irs) if ir is not None]
+    ir_len = 4096
+    fft_len = 1 << int(math.ceil(math.log2(pad_len + ir_len - 1)))
+    mat = np.stack([irs[i] for i in live]).astype(np.float32)
+    return jnp.asarray(mat), fft_len, tuple(live), len(bands)
+
+
+def fused_band_rms(x, sample_rate: int, region, pad_secs: float) -> list[float]:
+    """All 17 band RMS values over one region in one dispatch with traced
+    bounds (no per-region recompiles).  Returns dB values; NaN for
+    unmeasurable bands; region windows clamp at `pad_secs`."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n = int(x.shape[0])
+    pad_len = int(pad_secs * sample_rate)
+    s = max(0, min(n, int(round(region.start * sample_rate))))
+    e = max(s, min(n, int(round(region.end * sample_rate))))
+    length = min(e - s, pad_len)
+
+    irs, fft_len, live, n_bands = _band_irs(sample_rate, pad_len)
+    ms = np.asarray(
+        _fused_band_rms_impl(
+            x, jnp.int32(s), jnp.int32(length), irs, pad_len, fft_len
+        ),
+        dtype=np.float64,
+    )
+    out = [math.nan] * n_bands
+    for k, i in enumerate(live):
+        v = float(ms[k])
+        out[i] = 10.0 * math.log10(v) if v > 0 and math.isfinite(v) else -math.inf
+    return out

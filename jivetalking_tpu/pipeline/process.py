@@ -32,7 +32,7 @@ from ..analysis.types import RegionSample
 from ..metering.astats import AstatsResult, measure_astats
 from ..metering.ebur128 import LoudnessResult, measure_loudness
 from ..metering.spectral import SpectralMetrics, measure_spectral
-from .normalise import NormalisationResult, apply_normalisation
+from .normalise import NormalisationResult, SilentAudioError, apply_normalisation
 from .pass2 import apply_filter_chain, downmix, output_resample
 
 
@@ -91,19 +91,78 @@ def analyse_only(
     return m, eff, diag
 
 
+def _loudness_from_fused(d: dict, sample_rate: int) -> LoudnessResult:
+    """Assemble a LoudnessResult from the fused program's loudness dict."""
+    import math
+
+    mom = np.asarray(d["momentary"], dtype=np.float64)
+    st = np.asarray(d["short_term"], dtype=np.float64)
+    sp = float(d["sample_peak"])
+    tp = float(d["true_peak"])
+    hop = max(1, int(round(sample_rate * 0.1))) / sample_rate
+    return LoudnessResult(
+        integrated_lufs=float(d["integrated"]),
+        lra_lu=float(d["lra"]),
+        lra_low_lufs=float(d["lra_low"]),
+        lra_high_lufs=float(d["lra_high"]),
+        threshold_lufs=float(d["rel_thresh"]),
+        sample_peak_db=20.0 * math.log10(sp) if sp > 0 else -150.0,
+        true_peak_db=20.0 * math.log10(tp) if tp > 0 else -150.0,
+        momentary_max_lufs=float(mom.max()) if mom.size else -150.0,
+        short_term_max_lufs=float(st.max()) if st.size else -150.0,
+        momentary_lufs=mom,
+        short_term_lufs=st,
+        block_starts_sec=np.arange(mom.size, dtype=np.float64) * hop,
+    )
+
+
+def _spectral_from_means(d: dict) -> SpectralMetrics:
+    return SpectralMetrics(**{k: float(v) for k, v in d.items()}, found=True)
+
+
+def _region_from_fused(d: dict, present: bool) -> RegionSample | None:
+    """RegionSample from the fused masked region dict (sample peak stands in
+    for the oversampled region true peak — region TPs are diagnostic-only)."""
+    import math
+
+    if not present:
+        return None
+    rms = float(d["rms"])
+    peak = float(d["peak"])
+    rms_db = 20.0 * math.log10(rms) if rms > 0 else -150.0
+    peak_db = 20.0 * math.log10(peak) if peak > 0 else -150.0
+    spec = {k[5:]: float(v) for k, v in d.items() if k.startswith("spec_")}
+    return RegionSample(
+        rms_level=rms_db,
+        peak_level=peak_db,
+        crest_factor=peak_db - rms_db,
+        spectral=SpectralMetrics(**spec, found=True) if spec else SpectralMetrics(),
+        momentary_lufs=float(d["momentary"]),
+        short_term_lufs=float(d["momentary"]),
+        true_peak=peak_db,
+        sample_peak=peak_db,
+    )
+
+
 def process_audio(
     x,
     sample_rate: int,
     base_config: FilterConfig | None = None,
     progress=None,
     on_adapted=None,
+    fused: bool = True,
 ) -> ProcessResult:
     """Full 4-pass master of (channels, n) or (n,) PCM at `sample_rate`.
 
     `progress`, when given, is called as progress(pass_name, fraction).
     `on_adapted`, when given, is called as on_adapted(effective_config,
     diagnostics, measurements) right after Pass 1.5 (the reference's
-    AdaptedSummaryMsg at Pass-2 start, ref: pool.go:193-222)."""
+    AdaptedSummaryMsg at Pass-2 start, ref: pool.go:193-222).
+
+    `fused=True` (default) runs passes 2-4 as ONE compiled device program
+    (pipeline/fused.py) — same numerical contract, ~30x fewer device
+    round trips.  `fused=False` keeps the per-op path (the unit-tested
+    reference implementation)."""
     cfg_base = base_config or default_filter_config()
 
     def report(stage, frac):
@@ -128,21 +187,80 @@ def process_audio(
         except Exception:
             pass
 
-    # PASS 2
-    t0 = time.perf_counter()
-    report("processing", 0.0)
-    filtered_audio = apply_filter_chain(mono, sample_rate, eff)
-    filtered = _measure_output(filtered_audio, sample_rate, m)
-    timings["processing"] = time.perf_counter() - t0
-    report("processing", 1.0)
+    if fused:
+        # PASSES 2+3+4: one compiled device program
+        from .fused import fused_master
 
-    # PASS 3 + 4
-    t0 = time.perf_counter()
-    report("normalising", 0.0)
-    final_audio, norm = apply_normalisation(filtered_audio, sample_rate, eff)
-    final = _measure_output(final_audio, sample_rate, m)
-    timings["normalising"] = time.perf_counter() - t0
-    report("normalising", 1.0)
+        t0 = time.perf_counter()
+        report("processing", 0.0)
+        final_audio, fm = fused_master(mono, sample_rate, eff, m)
+        report("processing", 1.0)
+        report("normalising", 0.0)
+
+        has_noise = m.vad.noise_region is not None
+        has_speech = m.vad.speech_profile is not None
+        filtered = OutputMeasurements(
+            loudness=_loudness_from_fused(fm["filtered"], sample_rate),
+            astats=None,
+            spectral=_spectral_from_means(fm["filtered_spectral"]),
+            room_tone_sample=_region_from_fused(fm["regions"]["filtered_noise"], has_noise),
+            speech_sample=_region_from_fused(fm["regions"]["filtered_speech"], has_speech),
+        )
+        from ..metering.astats import assemble_astats
+
+        w = max(2, int(round(0.05 * sample_rate)))
+        n_mono = int(mono.shape[0])
+        filtered.astats = assemble_astats(fm["filtered_astats"], n_mono, w)
+        final = OutputMeasurements(
+            loudness=_loudness_from_fused(fm["final"], sample_rate),
+            astats=assemble_astats(fm["final_astats"], n_mono, w),
+            spectral=_spectral_from_means(fm["final_spectral"]),
+            room_tone_sample=_region_from_fused(fm["regions"]["final_noise"], has_noise),
+            speech_sample=_region_from_fused(fm["regions"]["final_speech"], has_speech),
+        )
+
+        plan = fm["plan"]
+        measured_i = float(plan["measured_i"])
+        if not np.isfinite(measured_i) or measured_i < -70.0:
+            raise SilentAudioError("cannot normalise silent audio")
+        norm = NormalisationResult(
+            input_lufs=measured_i,
+            input_tp=float(plan["measured_tp_db"]),
+            output_lufs=final.loudness.integrated_lufs,
+            output_tp=final.loudness.true_peak_db,
+            gain_applied_db=float(plan["offset_db"]),
+            within_target=abs(final.loudness.integrated_lufs - float(plan["effective_i"])) <= 0.5,
+            requested_target_i=eff.loudnorm.target_i,
+            effective_target_i=float(plan["effective_i"]),
+            linear_mode_forced=bool(float(plan["effective_i"]) < eff.loudnorm.target_i - 1e-6),
+            limiter_enabled=bool(plan["needed"]),
+            limiter_ceiling_dbtp=float(plan["ceiling_db"]) if bool(plan["needed"]) else 0.0,
+            limiter_gain_db=float(plan["gain_db"]),
+            limiter_filtered_tp=filtered.loudness.true_peak_db,
+            pre_gain_db=float(plan["pre_gain_db"]),
+            limiter_clamped=bool(plan["clamped"]),
+            final_loudness=final.loudness,
+        )
+        t_both = time.perf_counter() - t0
+        timings["processing"] = t_both / 2.0
+        timings["normalising"] = t_both / 2.0
+        report("normalising", 1.0)
+    else:
+        # PASS 2
+        t0 = time.perf_counter()
+        report("processing", 0.0)
+        filtered_audio = apply_filter_chain(mono, sample_rate, eff)
+        filtered = _measure_output(filtered_audio, sample_rate, m)
+        timings["processing"] = time.perf_counter() - t0
+        report("processing", 1.0)
+
+        # PASS 3 + 4
+        t0 = time.perf_counter()
+        report("normalising", 0.0)
+        final_audio, norm = apply_normalisation(filtered_audio, sample_rate, eff)
+        final = _measure_output(final_audio, sample_rate, m)
+        timings["normalising"] = time.perf_counter() - t0
+        report("normalising", 1.0)
 
     # chain-final resample (FilterResample: 44.1 kHz s16 delivery format)
     out_audio, out_rate = output_resample(final_audio, sample_rate, eff)
