@@ -187,6 +187,14 @@ def process_audio(
         except Exception:
             pass
 
+    from .chunked import should_chunk
+
+    if fused and should_chunk(int(mono.shape[0]), sample_rate):
+        # hour-scale files: the fused whole-file program would materialise
+        # multi-GB STFT intermediates; run the chain chunked instead
+        # (overlap-discard carried state, pipeline/chunked.py)
+        fused = False
+
     if fused:
         # PASSES 2+3+4: one compiled device program
         from .fused import fused_master
@@ -249,7 +257,12 @@ def process_audio(
         # PASS 2
         t0 = time.perf_counter()
         report("processing", 0.0)
-        filtered_audio = apply_filter_chain(mono, sample_rate, eff)
+        if should_chunk(int(mono.shape[0]), sample_rate):
+            from .chunked import apply_filter_chain_chunked
+
+            filtered_audio = apply_filter_chain_chunked(mono, sample_rate, eff)
+        else:
+            filtered_audio = apply_filter_chain(mono, sample_rate, eff)
         filtered = _measure_output(filtered_audio, sample_rate, m)
         timings["processing"] = time.perf_counter() - t0
         report("processing", 1.0)
