@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
                    help="compute platform: auto (the environment's accelerator) "
                         "or cpu (force the host CPU)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip files whose processed output already exists "
+                        "(pass-boundary resume for batch runs)")
+    p.add_argument("--profile", metavar="DIR", default="",
+                   help="write a jax.profiler trace of the run to DIR")
     p.add_argument("files", nargs="*", help="audio files (.wav / .flac)")
     return p
 
@@ -51,17 +56,32 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.version:
-        print(f"jivetalking-tpu {__version__}")
+        from .styles import print_version
+
+        print_version(__version__)
         return 0
     if not args.files:
         build_parser().print_help()
         return 2
 
+    from .styles import print_error, print_warning
+
     missing = [f for f in args.files if not os.path.exists(f)]
     if missing:
         for f in missing:
-            print(f"error: no such file: {f}", file=sys.stderr)
+            print_error(f"no such file: {f}")
         return 1
+
+    if args.resume and not args.analyse:
+        from ..report.paths import output_audio_path
+
+        skipped = [f for f in args.files if os.path.exists(output_audio_path(f))]
+        args.files = [f for f in args.files if f not in set(skipped)]
+        for f in skipped:
+            print(f"resume: skipping {f} (output exists)")
+        if not args.files:
+            print("resume: nothing to do")
+            return 0
 
     if args.platform == "cpu":
         from ..utils.testing import force_cpu_devices
@@ -104,6 +124,14 @@ def main(argv: list[str] | None = None) -> int:
     jobs = args.jobs or resolve_jobs(len(args.files), os.cpu_count() or 1)
     sink.logf("run start: %d files, %d jobs, analyse=%s", len(args.files), jobs, args.analyse)
 
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     try:
         if use_tty:
             # live ANSI view (the reference's Bubble Tea model; TTY only)
@@ -142,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
                 cancel=cancel,
             )
     finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
         signal.signal(signal.SIGINT, old_handler)
         sink.close()
 
@@ -149,7 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         print()
         print(render_final_summary(outcomes))
     for w in warnings:
-        print(f"warning: {w}", file=sys.stderr)
+        print_warning(w)
 
     failed = [o for o in outcomes if o.error and o.error != "cancelled"]
     return 1 if failed else 0
