@@ -28,3 +28,10 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 @pytest.fixture(scope="session")
 def tmp_audio_dir(tmp_path_factory):
     return tmp_path_factory.mktemp("audio")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--regen-golden", action="store_true", default=False,
+        help="regenerate golden report files instead of comparing",
+    )
