@@ -28,3 +28,23 @@ __version__ = "0.1.0"
 
 TARGET_LUFS = -16.0
 TARGET_TRUE_PEAK_DB = -1.0
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import jivetalking_tpu` cheap)."""
+    api = {
+        "process_audio": ("jivetalking_tpu.pipeline", "process_audio"),
+        "analyse_only": ("jivetalking_tpu.pipeline", "analyse_only"),
+        "adapt_config": ("jivetalking_tpu.adaptive", "adapt_config"),
+        "default_filter_config": ("jivetalking_tpu.adaptive", "default_filter_config"),
+        "analyse_audio": ("jivetalking_tpu.analysis", "analyse_audio"),
+        "open_audio_file": ("jivetalking_tpu.io.audio", "open_audio_file"),
+        "save_flac": ("jivetalking_tpu.io.audio", "save_flac"),
+        "measure_loudness": ("jivetalking_tpu.metering", "measure_loudness"),
+    }
+    if name in api:
+        import importlib
+
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -176,3 +176,38 @@ class TestPool:
         assert rc == 0
         assert "Recording" in out
         assert "Advice" in out
+
+
+class TestStereoFlacEndToEnd:
+    def test_stereo_flac_master(self, tmp_path):
+        """FLAC in -> downmix -> master -> FLAC out, through the CLI pool."""
+        from jivetalking_tpu.io.flac import write_flac
+
+        rng = np.random.default_rng(7)
+        secs, sr = 25.0, SR
+        n_notes = int(secs / 0.25)
+        note = int(0.25 * sr)
+        t = np.arange(note) / sr
+        segs = [
+            (10 ** ((-24 + rng.uniform(-3, 1)) / 20)) * np.sin(2 * np.pi * f * t)
+            for f in rng.choice([400, 700, 1100, 1600, 2200], n_notes)
+        ]
+        mono = np.concatenate(segs)[: int(secs * sr)].astype(np.float32)
+        mono[int(8 * sr) : int(17 * sr)] = (
+            10 ** (-56 / 20) * rng.standard_normal(int(9 * sr))
+        ).astype(np.float32)
+        stereo = np.stack([mono, 0.8 * mono])
+        path = str(tmp_path / "stereo_ep.flac")
+        write_flac(path, stereo, sr)
+
+        outcomes = run_pool([path])
+        o = outcomes[0]
+        assert o.error == ""
+        from jivetalking_tpu.io.audio import open_audio_file
+        from jivetalking_tpu.metering.ebur128 import measure_loudness
+
+        samples, meta = open_audio_file(o.output_path)
+        assert meta.channels == 1  # downmixed
+        res = measure_loudness(samples[0], meta.sample_rate)
+        assert abs(res.integrated_lufs - (-16.0)) <= 1.0
+        assert res.true_peak_db <= -1.0 + 0.1
