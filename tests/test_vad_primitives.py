@@ -1,0 +1,233 @@
+"""Deep table tests for the VAD primitives (the reference's
+analyser_vad_test.go tier): clamps, hysteresis, run building with the
+loud-gap guard, golden refinement, and the grounded election maths."""
+
+import numpy as np
+import pytest
+
+from jivetalking_tpu.analysis.intervals import Intervals
+from jivetalking_tpu.analysis.types import Region
+from jivetalking_tpu.analysis.vad import (
+    GOLDEN_SPEECH_WINDOW_DURATION,
+    build_speech_runs,
+    clamp_split,
+    find_best_speech_region,
+    grounded_duration_score,
+    grounded_snr_score,
+    grounded_tiebreak,
+    hysteresis_margin,
+    intervals_for_duration,
+    percentile_floor,
+    pick_low_cluster_region,
+    refine_to_subregion,
+    score_interval_window_rms,
+)
+
+
+def make_intervals(momentary, rms=None, centroid=1000.0, entropy=0.3,
+                   kurtosis=6.0, flux=0.002, rolloff=5000.0, hop=0.25):
+    """Construct an Intervals table from a momentary-LUFS series."""
+    m = np.asarray(momentary, dtype=np.float64)
+    n = m.size
+    rms_arr = np.asarray(rms, dtype=np.float64) if rms is not None else m - 2.0
+
+    def arr(v):
+        return np.full(n, v, dtype=np.float64)
+
+    spectral = {
+        "mean": arr(1e-5), "variance": arr(1e-9), "centroid": arr(centroid),
+        "spread": arr(800.0), "skewness": arr(0.5), "kurtosis": arr(kurtosis),
+        "entropy": arr(entropy), "flatness": arr(0.3), "crest": arr(20.0),
+        "flux": arr(flux), "slope": arr(0.0), "decrease": arr(0.0),
+        "rolloff": arr(rolloff),
+    }
+    return Intervals(
+        timestamp=np.arange(n) * hop,
+        rms_level=rms_arr,
+        peak_level=rms_arr + 10.0,
+        momentary_lufs=m,
+        short_term_lufs=m,
+        true_peak=rms_arr + 10.0,
+        sample_peak=rms_arr + 10.0,
+        spectral=spectral,
+        spectral_found=np.ones(n, dtype=bool),
+        hop=hop,
+    )
+
+
+class TestClamps:
+    def test_intervals_for_duration_rounding(self):
+        # (d + hop/2) / hop, truncated (ref: intervalsForDuration)
+        assert intervals_for_duration(10.0, 0.25) == 40
+        assert intervals_for_duration(0.124, 0.25) == 0
+        assert intervals_for_duration(0.126, 0.25) == 1
+        assert intervals_for_duration(5.0, 0.0) == 0
+
+    def test_clamp_split_bounds(self):
+        # lower = seed + 2; upper = p75; lower wins on inversion
+        assert clamp_split(-50.0, -60.0, -30.0) == -50.0
+        assert clamp_split(-70.0, -60.0, -30.0) == -58.0   # below lower
+        assert clamp_split(-10.0, -60.0, -30.0) == -30.0   # above p75
+        assert clamp_split(-40.0, -25.0, -30.0) == -23.0   # inverted: lower wins
+
+    def test_percentile_floor_anchor(self):
+        levels = np.sort(np.linspace(-80.0, -40.0, 100))
+        # p10 = -76ish; seed anchor raises it when seed+2 is higher
+        assert percentile_floor(levels, -90.0) == pytest.approx(-76.36, abs=0.1)
+        assert percentile_floor(levels, -70.0) == pytest.approx(-68.0)
+
+
+class TestHysteresis:
+    def test_margin_quarter_of_upper_mode_distance(self):
+        lo = np.full(50, -60.0)
+        hi = np.full(50, -20.0)
+        levels = np.concatenate([lo, hi])
+        split = -40.0
+        # upper mode centre ~ -19.5 (bin centres); margin = 0.25 * distance
+        m = hysteresis_margin(levels, split)
+        assert 4.0 < m < 6.0
+
+    def test_fallback_when_no_foreground(self):
+        levels = np.full(100, -60.0)
+        assert hysteresis_margin(levels, -20.0) == 1.0
+
+
+class TestRunBuilder:
+    def test_min_duration_enforced(self):
+        # 8 s of speech (32 intervals) < 10 s minimum -> no region
+        m = np.concatenate([np.full(32, -20.0), np.full(60, -60.0)])
+        iv = make_intervals(m)
+        runs = build_speech_runs(iv, split=-40.0, margin=2.0, tol=8)
+        assert runs == []
+
+    def test_long_run_elected(self):
+        m = np.concatenate([np.full(60, -20.0), np.full(40, -60.0)])
+        iv = make_intervals(m)
+        runs = build_speech_runs(iv, split=-40.0, margin=2.0, tol=8)
+        assert len(runs) == 1
+        assert runs[0].start == 0.0
+        assert runs[0].end == pytest.approx(15.0)  # 60 intervals * 0.25
+
+    def test_gap_bridging(self):
+        # two 8 s speech spans bridged by a 1.5 s quiet gap -> one run
+        m = np.concatenate([
+            np.full(32, -20.0), np.full(6, -70.0), np.full(32, -20.0),
+            np.full(30, -70.0),
+        ])
+        iv = make_intervals(m)
+        runs = build_speech_runs(iv, split=-40.0, margin=2.0, tol=8)
+        assert len(runs) == 1
+
+    def test_gap_exceeding_tolerance_splits(self):
+        m = np.concatenate([
+            np.full(44, -20.0), np.full(12, -70.0), np.full(44, -20.0),
+        ])
+        iv = make_intervals(m)
+        runs = build_speech_runs(iv, split=-40.0, margin=2.0, tol=8)
+        assert len(runs) == 2
+
+    def test_loud_gap_guard_ends_run(self):
+        # a loud veto-failing span (entropy too high) inside speech ends the
+        # run at the last true speech interval
+        m = np.concatenate([np.full(44, -20.0), np.full(10, -20.0), np.full(44, -20.0)])
+        iv = make_intervals(m)
+        # make the middle span fail the veto via entropy
+        iv.spectral["entropy"] = np.concatenate([
+            np.full(44, 0.3), np.full(10, 0.9), np.full(44, 0.3)
+        ])
+        runs = build_speech_runs(iv, split=-40.0, margin=2.0, tol=20)
+        assert len(runs) == 2  # guard splits even though tol is generous
+
+    def test_neutral_zone_held(self):
+        # intervals between low and split are held (not gaps): speech at -20,
+        # neutral dip at -41 with split -40 margin 2 (low = -42)
+        m = np.concatenate([np.full(30, -20.0), np.full(20, -41.0), np.full(30, -20.0)])
+        iv = make_intervals(m)
+        runs = build_speech_runs(iv, split=-40.0, margin=2.0, tol=2)
+        assert len(runs) == 1  # dip never counted as gap
+
+
+class TestRefinement:
+    def test_room_tone_refined_to_quietest_window(self):
+        # long quiet run with a quieter inner window
+        rms = np.concatenate([
+            np.full(40, -60.0), np.full(40, -75.0), np.full(40, -60.0),
+        ])
+        iv = make_intervals(rms + 3.0, rms=rms)
+        region = Region(0.0, 30.0)
+        refined, ok = refine_to_subregion(
+            region, iv, 10.0, 8.0, score_interval_window_rms, lambda a, b: a < b
+        )
+        assert ok
+        assert 9.0 <= refined.start <= 11.0  # lands inside the quiet middle
+        assert refined.duration == pytest.approx(10.0)
+
+    def test_short_region_not_refined(self):
+        iv = make_intervals(np.full(20, -60.0))
+        region = Region(0.0, 5.0)
+        refined, ok = refine_to_subregion(
+            region, iv, 10.0, 8.0, score_interval_window_rms, lambda a, b: a < b
+        )
+        assert not ok
+        assert refined.start == region.start
+
+
+class TestLowCluster:
+    def test_longest_below_split_run(self):
+        m = np.concatenate([
+            np.full(40, -20.0), np.full(20, -60.0),
+            np.full(20, -20.0), np.full(50, -60.0),
+        ])
+        iv = make_intervals(m)
+        region = pick_low_cluster_region(iv, split=-40.0)
+        assert region is not None
+        # the longest quiet run is the trailing 50 intervals; golden refined
+        # inside it
+        assert region.start >= 20.0
+
+    def test_no_below_split(self):
+        iv = make_intervals(np.full(50, -20.0))
+        assert pick_low_cluster_region(iv, split=-40.0) is None
+
+
+class TestGroundedScoring:
+    def test_snr_monotonic_and_bounds(self):
+        assert grounded_snr_score(-5.0) == 0.0
+        assert grounded_snr_score(10.0) == pytest.approx(0.25)
+        assert grounded_snr_score(20.0) == pytest.approx(0.5)
+        assert grounded_snr_score(30.0) == pytest.approx(0.75)
+        assert grounded_snr_score(40.0) == 1.0
+        assert grounded_snr_score(60.0) == 1.0
+
+    def test_duration_saturates(self):
+        assert grounded_duration_score(30.0) == 1.0
+        assert grounded_duration_score(300.0) == 1.0   # longer is NOT better
+        assert grounded_duration_score(15.0) == pytest.approx(0.5)
+
+    def test_tiebreak_ceiling(self):
+        assert grounded_tiebreak(0.0) == pytest.approx(0.02)
+        assert grounded_tiebreak(25.0) == 0.0
+        assert grounded_tiebreak(100.0) == 0.0
+
+    def test_election_prefers_higher_snr(self):
+        # two runs; the second is quieter (lower SNR) -> first elected
+        m = np.concatenate([
+            np.full(48, -20.0), np.full(20, -70.0), np.full(48, -35.0),
+            np.full(20, -70.0),
+        ])
+        iv = make_intervals(m, rms=m - 2.0)
+        runs = [Region(0.0, 12.0), Region(17.0, 29.0)]
+        best, candidates = find_best_speech_region(runs, iv, -70.0)
+        assert best is not None
+        assert best.start == 0.0
+        assert len(candidates) == 2
+        assert candidates[0].score > candidates[1].score
+
+    def test_long_candidate_golden_refined(self):
+        m = np.full(280, -20.0)  # 70 s run
+        iv = make_intervals(m)
+        runs = [Region(0.0, 70.0)]
+        best, candidates = find_best_speech_region(runs, iv, -70.0)
+        assert best is not None
+        assert best.duration == pytest.approx(GOLDEN_SPEECH_WINDOW_DURATION)
+        assert candidates[0].was_refined
