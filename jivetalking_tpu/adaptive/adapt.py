@@ -12,7 +12,7 @@ inside jit.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..analysis.analyser import AudioMeasurements
 from ..utils.units import db_to_linear, linear_to_db, sanitize_float

@@ -23,7 +23,6 @@ follower; reduce the high band when it dominates the programme; recombine.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

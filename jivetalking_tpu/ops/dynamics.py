@@ -25,7 +25,6 @@ parallel vector work — no sequential sample loop anywhere.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,7 @@ import numpy as np
 from ..adaptive.config import FilterConfig
 from ..metering.astats import _astats_core
 from ..metering.kweight import k_weighting_sos
-from ..metering.spectral import METRIC_NAMES, _spectral_core
+from ..metering.spectral import _spectral_core
 from ..metering.truepeak import _polyphase_bank
 from ..ops.declick import _declick_impl
 from ..ops.dynamics import (
@@ -51,7 +51,7 @@ from ..ops.dynamics import (
 from ..ops.iir import cascade, design_highpass, design_lowpass, sos_impulse_response
 from ..ops.limiter import limiter_core
 from ..ops.nlm import _box_filter_same
-from ..ops.spectral_gate import _hann, noise_magnitude_model
+from ..ops.spectral_gate import _hann
 from ..utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ, afftdn_band_edges_hz
 from .normalise import (
     BRICKWALL_TRUE_PEAK_HEADROOM_DB,
