@@ -65,6 +65,9 @@ def main() -> None:
     from jivetalking_tpu.pipeline import process_audio
 
     x = make_fixture(duration, sr)
+    # s16 transfer (half the tunnel bytes; device converts) — the delivery
+    # contract is s16 anyway
+    x = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
 
     # warm-up: compile everything for this shape
     process_audio(x, sr)

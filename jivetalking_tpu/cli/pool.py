@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 import threading
 import time
+
+import numpy as np
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -146,6 +148,12 @@ def process_one_file(
     _emit(events.on_file_start, path)
     try:
         samples, meta = open_audio_file(path)
+        if meta.bit_depth and meta.bit_depth <= 16:
+            # s16-sourced PCM transfers to the device exactly at half the
+            # bytes (remote tunnels are bandwidth-bound)
+            samples = np.clip(
+                np.round(samples * 32768.0), -32768, 32767
+            ).astype(np.int16)
 
         def progress(stage, frac):
             if cancel.is_set():

@@ -94,11 +94,16 @@ def write_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:
 
     Atomic publish: sibling dot-temp + rename (ref: file_write.go:13-47)."""
     lib = _load()
-    x = np.asarray(samples, dtype=np.float32)
+    x = np.asarray(samples)
     if x.ndim == 1:
         x = x[None, :]
     channels, n = x.shape
-    interleaved = np.clip(x.T.reshape(-1) * 32767.0, -32768, 32767).astype(np.int16)
+    if x.dtype == np.int16:
+        interleaved = x.T.reshape(-1)
+    else:
+        interleaved = np.clip(
+            x.astype(np.float32).T.reshape(-1) * 32767.0, -32768, 32767
+        ).astype(np.int16)
     interleaved = np.ascontiguousarray(interleaved)
 
     tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")

@@ -185,11 +185,7 @@ def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
 # the fused pass-2/3/4 master program
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sr", "nlm_enabled", "afftdn_enabled", "declick_enabled"),
-)
-def _fused_master_impl(
+def _master_tree(
     x: jnp.ndarray,
     # traced per-file parameters
     gate_threshold: jnp.ndarray,     # linear
@@ -413,6 +409,74 @@ def _fused_master_impl(
     return z, metrics
 
 
+# --- scalar packing: the remote tunnel charges a round trip per SCALAR
+# leaf pulled (hundreds of ms each); packing every scalar output into one
+# vector makes the whole metrics pull 2 transfers ---
+
+def _packable(leaf) -> bool:
+    """Float/bool scalars ride the packed f32 vector; integer scalars (the
+    astats bit mask) would lose precision in f32, so they stay leaves."""
+    if hasattr(leaf, "ndim"):
+        nd, dt = leaf.ndim, leaf.dtype
+    else:
+        nd, dt = jnp.ndim(leaf), jnp.result_type(leaf)
+    return nd == 0 and (jnp.issubdtype(dt, jnp.floating) or dt == jnp.bool_)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "nlm_enabled", "afftdn_enabled", "declick_enabled"),
+)
+def _fused_master_packed(*args, sr, nlm_enabled, afftdn_enabled, declick_enabled):
+    z, tree = _master_tree(*args, sr=sr, nlm_enabled=nlm_enabled,
+                           afftdn_enabled=afftdn_enabled,
+                           declick_enabled=declick_enabled)
+    flat, _ = jax.tree_util.tree_flatten(tree)
+    scalars = [l for l in flat if _packable(l)]
+    arrays = tuple(l for l in flat if not _packable(l))
+    packed = jnp.stack([jnp.asarray(l, jnp.float32) for l in scalars])
+    return z, packed, arrays
+
+
+@functools.lru_cache(maxsize=32)
+def _master_meta(n: int, sr: int, nlm_enabled: bool, afftdn_enabled: bool,
+                 declick_enabled: bool):
+    """(treedef, is_scalar flags, scalar dtypes) of the metrics tree,
+    derived once per static signature via eval_shape (no compile)."""
+    f32 = jax.ShapeDtypeStruct((), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((2,), jnp.int32)
+    xs = jax.ShapeDtypeStruct((n,), jnp.float32)
+    shape15 = jax.ShapeDtypeStruct((15,), jnp.float32)
+    chain_ir = jax.ShapeDtypeStruct((8192,), jnp.float32)
+    kw_ir = jax.ShapeDtypeStruct((4096,), jnp.float32)
+    tp_bank = jax.ShapeDtypeStruct((4, 12), jnp.float32)
+    deess = jax.ShapeDtypeStruct((255,), jnp.float32)
+    _, tree = jax.eval_shape(
+        functools.partial(_master_tree, sr=sr, nlm_enabled=nlm_enabled,
+                          afftdn_enabled=afftdn_enabled,
+                          declick_enabled=declick_enabled),
+        xs, f32, f32, f32, f32, f32, f32, shape15, f32, f32, i32, i32,
+        chain_ir, kw_ir, tp_bank, deess,
+    )
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    is_scalar = [_packable(l) for l in flat]
+    dtypes = [l.dtype for l in flat]
+    return treedef, is_scalar, dtypes
+
+
+def _unpack_tree(packed, arrays, treedef, is_scalar, dtypes):
+    packed = np.asarray(packed)
+    arrays = [np.asarray(a) for a in arrays]
+    flat = []
+    si = ai = 0
+    for scalar, dt in zip(is_scalar, dtypes):
+        if scalar:
+            v = packed[si]; si += 1
+            flat.append(np.bool_(v > 0.5) if dt == np.bool_ else dt.type(v))
+        else:
+            flat.append(arrays[ai]); ai += 1
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
 @functools.lru_cache(maxsize=8)
 def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
     """Per-sample-rate baked filter constants (host-designed)."""
@@ -464,8 +528,16 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
         sample_rate, cfg.rumble_highpass.frequency, cfg.bandlimit_lowpass.frequency
     )
 
-    z, metrics = _fused_master_impl(
-        jnp.asarray(x, dtype=jnp.float32),
+    x = jnp.asarray(x)
+    n = int(x.shape[0])
+    flags = dict(
+        sr=sample_rate,
+        nlm_enabled=nr.enabled,
+        afftdn_enabled=nr.enabled and nr.afftdn_enabled,
+        declick_enabled=cfg.adeclick.enabled,
+    )
+    z, packed, arrays = _fused_master_packed(
+        x.astype(jnp.float32) if x.dtype != jnp.float32 else x,
         jnp.float32(cfg.speech_gate.threshold),
         jnp.float32(cfg.speech_gate.ratio),
         jnp.float32(cfg.speech_gate.range),
@@ -478,20 +550,21 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
         jnp.asarray(noise_b),
         jnp.asarray(speech_b),
         chain_ir, kw_ir, tp_bank, deess_k,
-        sr=sample_rate,
-        nlm_enabled=nr.enabled,
-        afftdn_enabled=nr.enabled and nr.afftdn_enabled,
-        declick_enabled=cfg.adeclick.enabled,
+        **flags,
     )
-    return z, jax.device_get(metrics)
+    treedef, is_scalar, dtypes = _master_meta(
+        n, sample_rate, flags["nlm_enabled"], flags["afftdn_enabled"],
+        flags["declick_enabled"],
+    )
+    metrics = _unpack_tree(packed, arrays, treedef, is_scalar, dtypes)
+    return z, metrics
 
 
 # ---------------------------------------------------------------------------
 # fused pass-1 analysis program
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("sr", "interval_len", "n_intervals"))
-def _fused_analysis_impl(
+def _analysis_tree(
     x: jnp.ndarray,
     kw_ir: jnp.ndarray,
     tp_bank: jnp.ndarray,
@@ -532,17 +605,45 @@ def _fused_analysis_impl(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "interval_len", "n_intervals"))
+def _fused_analysis_packed(x, kw_ir, tp_bank, sr, interval_len, n_intervals):
+    tree = _analysis_tree(x, kw_ir, tp_bank, sr, interval_len, n_intervals)
+    flat, _ = jax.tree_util.tree_flatten(tree)
+    scalars = [l for l in flat if _packable(l)]
+    arrays = tuple(l for l in flat if not _packable(l))
+    packed = jnp.stack([jnp.asarray(l, jnp.float32) for l in scalars])
+    return packed, arrays
+
+
+@functools.lru_cache(maxsize=32)
+def _analysis_meta(n: int, sr: int, interval_len: int, n_intervals: int):
+    xs = jax.ShapeDtypeStruct((n,), jnp.float32)
+    kw = jax.ShapeDtypeStruct((4096,), jnp.float32)
+    tp = jax.ShapeDtypeStruct((4, 12), jnp.float32)
+    tree = jax.eval_shape(
+        functools.partial(_analysis_tree, sr=sr, interval_len=interval_len,
+                          n_intervals=n_intervals),
+        xs, kw, tp,
+    )
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return treedef, [_packable(l) for l in flat], [l.dtype for l in flat]
+
+
 def fused_analysis(x, sample_rate: int):
     """One-dispatch Pass-1 device program; returns the host pytree the
     analyser assembles LoudnessResult/AstatsResult/SpectralFrameSeries/
-    Intervals from (a single device_get)."""
+    Intervals from (scalars packed into one vector — per-scalar pulls cost
+    a tunnel round trip each)."""
     x = jnp.asarray(x, dtype=jnp.float32)
     n = int(x.shape[0])
     _, kw_ir, tp_bank, _ = _constants_for_rate(sample_rate, 80.0, 20500.0)
     interval_len = max(1, int(round(0.25 * sample_rate)))
     n_intervals = max(1, -(-n // interval_len))
-    out = _fused_analysis_impl(x, kw_ir, tp_bank, sample_rate, interval_len, n_intervals)
-    return jax.device_get(out)
+    packed, arrays = _fused_analysis_packed(
+        x, kw_ir, tp_bank, sample_rate, interval_len, n_intervals
+    )
+    treedef, is_scalar, dtypes = _analysis_meta(n, sample_rate, interval_len, n_intervals)
+    return _unpack_tree(packed, arrays, treedef, is_scalar, dtypes)
 
 
 # ---------------------------------------------------------------------------

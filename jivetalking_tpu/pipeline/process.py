@@ -59,7 +59,7 @@ class ProcessResult:
     filtered: OutputMeasurements
     final: OutputMeasurements
     normalisation: NormalisationResult
-    output_audio: np.ndarray          # final PCM at output_rate, float32
+    output_audio: np.ndarray          # final PCM at output_rate, int16
     output_rate: int
     pass_timings: dict = field(default_factory=dict)   # pass name -> seconds
 
@@ -275,9 +275,13 @@ def process_audio(
         timings["normalising"] = time.perf_counter() - t0
         report("normalising", 1.0)
 
-    # chain-final resample (FilterResample: 44.1 kHz s16 delivery format)
+    # chain-final resample (FilterResample: 44.1 kHz s16 delivery format);
+    # quantise to s16 ON DEVICE so the device->host pull is half the bytes
     out_audio, out_rate = output_resample(final_audio, sample_rate, eff)
-    out_np = np.asarray(jnp.clip(out_audio, -1.0, 1.0), dtype=np.float32)
+    out_i16 = jnp.clip(
+        jnp.round(out_audio * 32767.0), -32768.0, 32767.0
+    ).astype(jnp.int16)
+    out_np = np.asarray(out_i16)
 
     return ProcessResult(
         measurements=m,
