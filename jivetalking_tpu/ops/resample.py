@@ -23,34 +23,39 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=16)
-def _design_polyphase(L: int, M: int, taps_per_phase: int = 96, beta: float = 10.0):
-    """(L, taps_per_phase) polyphase bank of a windowed-sinc low-pass with
-    cutoff just below min(pi/L, pi/M) on the upsampled grid, gain L.
-
-    The 147/160 (48k->44.1k) conversion needs a narrow transition band
-    (20.4k pass to 22.05k stop), hence the long 96-tap phases; the whole
-    bank is one (n_out, taps) gather + dot, so tap count costs bandwidth,
-    not latency."""
+def _prototype(L: int, M: int, taps_per_phase: int = 96, beta: float = 10.0):
+    """Windowed-sinc low-pass prototype on the L-upsampled grid, cutoff just
+    below min(pi/L, pi/M), gain L.  The 147/160 (48k->44.1k) conversion
+    needs a narrow transition band (20.4k pass to 22.05k stop), hence the
+    long 96-taps-per-phase prototype."""
     n_taps = L * taps_per_phase
     cutoff = 0.92 * min(1.0 / L, 1.0 / M)
     m = np.arange(n_taps, dtype=np.float64) - (n_taps - 1) / 2.0
     h = np.sinc(m * cutoff) * cutoff * L
     h *= np.kaiser(n_taps, beta)
-    # polyphase decomposition: phase p holds taps p, p+L, p+2L, ...
-    bank = h.reshape(taps_per_phase, L).T  # (L, taps_per_phase)
-    return np.ascontiguousarray(bank[:, ::-1]).astype(np.float32)
+    return h.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "M", "taps", "n_out"))
-def _resample_impl(xp: jnp.ndarray, bank: jnp.ndarray, L: int, M: int, taps: int, n_out: int):
-    n_idx = jnp.arange(n_out)
-    phase = (n_idx * M) % L
-    base = (n_idx * M) // L
-    # window [base - taps + 1, base] on the padded signal (offset taps-1)
-    idx = base[:, None] + jnp.arange(taps)[None, :]
-    frames = xp[idx]                       # (n_out, taps)
-    coeff = bank[phase]                    # (n_out, taps)
-    return jnp.sum(frames * coeff, axis=-1)
+@functools.partial(jax.jit, static_argnames=("L", "M", "n_out"))
+def _resample_impl(xp: jnp.ndarray, proto: jnp.ndarray, L: int, M: int, n_out: int):
+    """Rational resampling as ONE dilated convolution: lhs_dilation=L
+    upsamples (zeros interleaved, never materialised by XLA),
+    window_strides=M decimates.  MXU-shaped; replaces a (n_out, taps)
+    gather that materialised ~1 GB."""
+    n_taps = int(proto.shape[0])
+    out = jax.lax.conv_general_dilated(
+        xp[None, None, :],
+        proto[::-1][None, None, :],
+        window_strides=(M,),
+        padding=[(n_taps - 1, n_taps - 1)],
+        lhs_dilation=(L,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    # group delay: the prototype is linear phase, centre (n_taps-1)/2 in the
+    # upsampled domain; output grid starts there
+    delay = (n_taps - 1) // 2
+    start = -(-delay // M) if delay % M else delay // M
+    return out[0, 0, start : start + n_out]
 
 
 def resample(x, src_rate: int, dst_rate: int) -> jnp.ndarray:
@@ -63,10 +68,5 @@ def resample(x, src_rate: int, dst_rate: int) -> jnp.ndarray:
     x = jnp.asarray(x, dtype=jnp.float32)
     n = int(x.shape[0])
     n_out = int(n * L // M)
-    bank = _design_polyphase(L, M)
-    taps = bank.shape[1]
-    # centre the filter: pad taps//2 on the left for ~zero group delay
-    xp = jnp.concatenate(
-        [jnp.zeros(taps // 2, x.dtype), x, jnp.zeros(taps, x.dtype)]
-    )
-    return _resample_impl(xp, jnp.asarray(bank), L, M, taps, n_out)
+    proto = _prototype(L, M)
+    return _resample_impl(x, jnp.asarray(proto), L, M, n_out)

@@ -413,14 +413,46 @@ def _master_tree(
 # leaf pulled (hundreds of ms each); packing every scalar output into one
 # vector makes the whole metrics pull 2 transfers ---
 
-def _packable(leaf) -> bool:
-    """Float/bool scalars ride the packed f32 vector; integer scalars (the
-    astats bit mask) would lose precision in f32, so they stay leaves."""
-    if hasattr(leaf, "ndim"):
-        nd, dt = leaf.ndim, leaf.dtype
-    else:
-        nd, dt = jnp.ndim(leaf), jnp.result_type(leaf)
-    return nd == 0 and (jnp.issubdtype(dt, jnp.floating) or dt == jnp.bool_)
+def _pack_all(flat):
+    """Serialise EVERY leaf into one flat f32 vector: float/bool scalars as
+    one slot, integer scalars as two exact 16-bit halves, float arrays
+    raveled.  One leaf out == one tunnel transfer; per-leaf pulls cost a
+    ~30 ms round trip each on the remote backend."""
+    parts = []
+    for l in flat:
+        dt = l.dtype
+        if jnp.ndim(l) == 0:
+            if jnp.issubdtype(dt, jnp.integer):
+                v = l.astype(jnp.uint32)
+                parts.append(jnp.stack([
+                    (v & 0xFFFF).astype(jnp.float32),
+                    (v >> 16).astype(jnp.float32),
+                ]))
+            else:
+                parts.append(jnp.asarray(l, jnp.float32)[None])
+        else:
+            parts.append(jnp.ravel(l).astype(jnp.float32))
+    return jnp.concatenate(parts)
+
+
+def _unpack_all(buf: np.ndarray, shapes, dtypes, treedef):
+    flat = []
+    pos = 0
+    for shape, dt in zip(shapes, dtypes):
+        if len(shape) == 0:
+            if np.issubdtype(dt, np.integer):
+                lo, hi = buf[pos], buf[pos + 1]
+                pos += 2
+                flat.append(dt.type(int(lo) | (int(hi) << 16)))
+            elif dt == np.bool_:
+                flat.append(np.bool_(buf[pos] > 0.5)); pos += 1
+            else:
+                flat.append(dt.type(buf[pos])); pos += 1
+        else:
+            size = int(np.prod(shape))
+            flat.append(buf[pos : pos + size].reshape(shape).astype(dt))
+            pos += size
+    return jax.tree_util.tree_unflatten(treedef, flat)
 
 @functools.partial(
     jax.jit,
@@ -431,10 +463,7 @@ def _fused_master_packed(*args, sr, nlm_enabled, afftdn_enabled, declick_enabled
                            afftdn_enabled=afftdn_enabled,
                            declick_enabled=declick_enabled)
     flat, _ = jax.tree_util.tree_flatten(tree)
-    scalars = [l for l in flat if _packable(l)]
-    arrays = tuple(l for l in flat if not _packable(l))
-    packed = jnp.stack([jnp.asarray(l, jnp.float32) for l in scalars])
-    return z, packed, arrays
+    return z, _pack_all(flat)
 
 
 @functools.lru_cache(maxsize=32)
@@ -458,23 +487,12 @@ def _master_meta(n: int, sr: int, nlm_enabled: bool, afftdn_enabled: bool,
         chain_ir, kw_ir, tp_bank, deess,
     )
     flat, treedef = jax.tree_util.tree_flatten(tree)
-    is_scalar = [_packable(l) for l in flat]
-    dtypes = [l.dtype for l in flat]
-    return treedef, is_scalar, dtypes
+    shapes = [l.shape for l in flat]
+    dtypes = [np.dtype(l.dtype) for l in flat]
+    return treedef, shapes, dtypes
 
 
-def _unpack_tree(packed, arrays, treedef, is_scalar, dtypes):
-    packed = np.asarray(packed)
-    arrays = [np.asarray(a) for a in arrays]
-    flat = []
-    si = ai = 0
-    for scalar, dt in zip(is_scalar, dtypes):
-        if scalar:
-            v = packed[si]; si += 1
-            flat.append(np.bool_(v > 0.5) if dt == np.bool_ else dt.type(v))
-        else:
-            flat.append(arrays[ai]); ai += 1
-    return jax.tree_util.tree_unflatten(treedef, flat)
+
 
 
 @functools.lru_cache(maxsize=8)
@@ -536,7 +554,7 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
         afftdn_enabled=nr.enabled and nr.afftdn_enabled,
         declick_enabled=cfg.adeclick.enabled,
     )
-    z, packed, arrays = _fused_master_packed(
+    z, packed = _fused_master_packed(
         x.astype(jnp.float32) if x.dtype != jnp.float32 else x,
         jnp.float32(cfg.speech_gate.threshold),
         jnp.float32(cfg.speech_gate.ratio),
@@ -552,11 +570,11 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
         chain_ir, kw_ir, tp_bank, deess_k,
         **flags,
     )
-    treedef, is_scalar, dtypes = _master_meta(
+    treedef, shapes, dtypes = _master_meta(
         n, sample_rate, flags["nlm_enabled"], flags["afftdn_enabled"],
         flags["declick_enabled"],
     )
-    metrics = _unpack_tree(packed, arrays, treedef, is_scalar, dtypes)
+    metrics = _unpack_all(np.asarray(packed), shapes, dtypes, treedef)
     return z, metrics
 
 
@@ -609,10 +627,7 @@ def _analysis_tree(
 def _fused_analysis_packed(x, kw_ir, tp_bank, sr, interval_len, n_intervals):
     tree = _analysis_tree(x, kw_ir, tp_bank, sr, interval_len, n_intervals)
     flat, _ = jax.tree_util.tree_flatten(tree)
-    scalars = [l for l in flat if _packable(l)]
-    arrays = tuple(l for l in flat if not _packable(l))
-    packed = jnp.stack([jnp.asarray(l, jnp.float32) for l in scalars])
-    return packed, arrays
+    return _pack_all(flat)
 
 
 @functools.lru_cache(maxsize=32)
@@ -626,7 +641,7 @@ def _analysis_meta(n: int, sr: int, interval_len: int, n_intervals: int):
         xs, kw, tp,
     )
     flat, treedef = jax.tree_util.tree_flatten(tree)
-    return treedef, [_packable(l) for l in flat], [l.dtype for l in flat]
+    return treedef, [l.shape for l in flat], [np.dtype(l.dtype) for l in flat]
 
 
 def fused_analysis(x, sample_rate: int):
@@ -639,11 +654,11 @@ def fused_analysis(x, sample_rate: int):
     _, kw_ir, tp_bank, _ = _constants_for_rate(sample_rate, 80.0, 20500.0)
     interval_len = max(1, int(round(0.25 * sample_rate)))
     n_intervals = max(1, -(-n // interval_len))
-    packed, arrays = _fused_analysis_packed(
+    packed = _fused_analysis_packed(
         x, kw_ir, tp_bank, sample_rate, interval_len, n_intervals
     )
-    treedef, is_scalar, dtypes = _analysis_meta(n, sample_rate, interval_len, n_intervals)
-    return _unpack_tree(packed, arrays, treedef, is_scalar, dtypes)
+    treedef, shapes, dtypes = _analysis_meta(n, sample_rate, interval_len, n_intervals)
+    return _unpack_all(np.asarray(packed), shapes, dtypes, treedef)
 
 
 # ---------------------------------------------------------------------------
