@@ -129,3 +129,25 @@ class TestProcessAudio:
         assert m.loudness.input_i < -15.0
         assert eff.speech_gate.threshold > 0
         assert diag.bandlimit_lp_reason
+
+    def test_fused_matches_per_op_path(self, podcast_fixture):
+        """Design invariant: the fused whole-pass device program
+        (pipeline/fused.py) keeps numerical parity with the per-op module
+        chain — the unit-tested reference path (CLAUDE.md invariants;
+        measured residual is ~-98 dBFS on this fixture)."""
+        a = process_audio(podcast_fixture, SR, fused=True)
+        b = process_audio(podcast_fixture, SR, fused=False)
+        fa, fb = a.final.loudness, b.final.loudness
+        assert abs(fa.integrated_lufs - fb.integrated_lufs) <= 0.05
+        assert abs(fa.true_peak_db - fb.true_peak_db) <= 0.05
+        assert abs(
+            a.normalisation.gain_applied_db - b.normalisation.gain_applied_db
+        ) <= 0.05
+        assert abs(
+            a.filtered.loudness.integrated_lufs - b.filtered.loudness.integrated_lufs
+        ) <= 0.05
+        n = min(len(a.output_audio), len(b.output_audio))
+        d = (a.output_audio[:n].astype(np.float64)
+             - b.output_audio[:n].astype(np.float64)) / 32768.0
+        resid_db = 20.0 * np.log10(np.sqrt(np.mean(d * d)) + 1e-15)
+        assert resid_db <= -60.0
