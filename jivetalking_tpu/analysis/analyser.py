@@ -122,6 +122,9 @@ class AudioMeasurements:
     # raw metering results kept for the run record / reports
     r128: LoudnessResult | None = None
     astats: AstatsResult | None = None
+    # downmixed f32 PCM left resident on device by the fused analysis
+    # program (consumed by the band/master programs; never serialised)
+    device_pcm: object = field(default=None, repr=False, compare=False)
 
 
 def _loudness_tier(input_i: float) -> str:
@@ -199,22 +202,26 @@ def analyse_audio(
 ) -> AudioMeasurements:
     """Pass 1: full-file metering + interval engine + VAD + band measures.
 
-    `x` is mono PCM (any leading channel axis should already be downmixed by
-    the caller — the reference's `aformat=channel_layouts=mono` stage).
+    `fused=True` (default) runs all device metering as ONE compiled program
+    with a single host pull (pipeline/fused.fused_analysis); `x` may then be
+    (n,) or (channels, n), int16 or float — the downmix (the reference's
+    `aformat=channel_layouts=mono` stage) happens in-graph, and the mono PCM
+    is left on device in `AudioMeasurements.device_pcm`.  `fused=False`
+    keeps the per-op kernels and requires mono float input."""
+    if fused:
+        from ..pipeline.fused import fused_analysis
 
-    `fused=True` runs all device metering as ONE compiled program with a
-    single host pull (pipeline/fused.fused_analysis); `fused=False` keeps
-    the per-op kernels."""
-    x = jnp.asarray(x, dtype=jnp.float32)
-    n = int(x.shape[0])
+        mono, out = fused_analysis(x, sample_rate)
+        x = mono
+    else:
+        x = jnp.asarray(x, dtype=jnp.float32)
+    n = int(x.shape[-1])
     duration = n / sample_rate
 
     m = AudioMeasurements(duration=duration, sample_rate=sample_rate)
 
     if fused:
-        from ..pipeline.fused import fused_analysis
-
-        out = fused_analysis(x, sample_rate)
+        m.device_pcm = x
         r128 = _loudness_from_fused_dict(out["loudness"], sample_rate)
         w = max(2, int(round(0.05 * sample_rate)))
         ast = assemble_astats(out["astats"], n, w)

@@ -63,8 +63,9 @@ def _sliding_sumsq(x2: jnp.ndarray, w: int) -> jnp.ndarray:
     n_frames = -(-n_out // w)
     pad_to = n_frames * w + w
     xp = jnp.zeros(pad_to, x2.dtype).at[:n].set(x2)
-    starts = jnp.arange(n_frames) * w
-    frames = xp[starts[:, None] + jnp.arange(2 * w)[None, :]]  # (n_frames, 2w)
+    # gather-free: (n_frames+1, w) contiguous blocks; window i = blocks i,i+1
+    blocks = xp.reshape(n_frames + 1, w)
+    frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)  # (n_frames, 2w)
     csum = jnp.cumsum(frames, axis=1)
     zero = jnp.zeros((n_frames, 1), csum.dtype)
     csum = jnp.concatenate([zero, csum], axis=1)  # (n_frames, 2w+1)

@@ -76,8 +76,9 @@ class SpectralFrameSeries:
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "win", "hop"))
 def _spectral_core(x: jnp.ndarray, n_frames: int, win: int, hop: int, sample_rate: float):
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
-    frames = x[idx].astype(jnp.float32)
+    from ..ops.framing import frame_signal
+
+    frames = frame_signal(x, n_frames, win, hop).astype(jnp.float32)
     window = (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(win) / win)).astype(jnp.float32)
     spec = jnp.fft.rfft(frames * window[None, :], axis=-1) / win
     size = win // 2

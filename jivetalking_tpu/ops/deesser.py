@@ -51,13 +51,12 @@ def _highpass_kernel(corner_hz: float, sample_rate: int) -> np.ndarray:
 def _deesser_impl(x, hf, sample_rate: int, intensity: float, amount: float, frequency: float):
     lf = x - hf
 
-    # sibilance detector: high-band envelope (fast attack, moderate release)
+    # sibilance detector (high band) + overall programme envelope, as one
+    # BATCHED follower: the two independent recurrences share every scan pass
     ca = envelope_coeff(1.0, sample_rate)
     cr = envelope_coeff(30.0, sample_rate)
-    env = attack_release_follower(jnp.abs(hf), ca, cr)
-
-    # overall programme envelope for a relative threshold
-    env_all = attack_release_follower(jnp.abs(x), ca, cr)
+    envs = attack_release_follower(jnp.stack([jnp.abs(hf), jnp.abs(x)]), ca, cr)
+    env, env_all = envs[0], envs[1]
 
     # pow(i,5) law (ref: adaptive_deesser.go docstring; af_deesser maxdess):
     # at i=0.85 sensitivity ~0.44, at i=0.6 ~0.08 — the audibly-active part

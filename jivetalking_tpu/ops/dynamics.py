@@ -38,18 +38,42 @@ def envelope_coeff(ms: float, sample_rate: float) -> float:
     return min(1.0, 4000.0 / (ms * sample_rate))
 
 
+def _lr_combine(left, right):
+    a1, b1 = left
+    a2, b2 = right
+    return a1 * a2, a2 * b1 + b2
+
+
+_LR_BLOCK = 4096
+
+
 def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, y0: float | jnp.ndarray = 0.0) -> jnp.ndarray:
-    """Solve y[t] = a[t] * y[t-1] + b[t] with y[-1] = y0 via parallel
-    associative scan (log-depth, fully vectorized)."""
+    """Solve y[t] = a[t] * y[t-1] + b[t] with y[-1] = y0 along the LAST axis
+    (leading axes batch) via a blocked two-level parallel scan.
 
-    def combine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 * a2, a2 * b1 + b2
-
-    b = b.at[0].add(a[0] * y0)
-    A, B = jax.lax.associative_scan(combine, (a, b))
-    return B
+    The flat associative scan over n samples runs log2(n) (~24) full-array
+    passes; blocking into (m, 4096) runs log2(4096) = 12 passes over the
+    same data plus a tiny scan over the m block carries — ~2x less HBM
+    traffic and a shallower program for the TPU backend to fuse."""
+    n = a.shape[-1]
+    b = b.at[..., 0].add(a[..., 0] * y0)
+    if n <= 2 * _LR_BLOCK:
+        _, B = jax.lax.associative_scan(_lr_combine, (a, b), axis=-1)
+        return B
+    m = -(-n // _LR_BLOCK)
+    pad = m * _LR_BLOCK - n
+    if pad:
+        a = jnp.concatenate([a, jnp.ones((*a.shape[:-1], pad), a.dtype)], axis=-1)
+        b = jnp.concatenate([b, jnp.zeros((*b.shape[:-1], pad), b.dtype)], axis=-1)
+    a2 = a.reshape(*a.shape[:-1], m, _LR_BLOCK)
+    b2 = b.reshape(*b.shape[:-1], m, _LR_BLOCK)
+    A, B = jax.lax.associative_scan(_lr_combine, (a2, b2), axis=-1)
+    _, CB = jax.lax.associative_scan(_lr_combine, (A[..., -1], B[..., -1]), axis=-1)
+    c_in = jnp.concatenate(
+        [jnp.zeros((*CB.shape[:-1], 1), b.dtype), CB[..., :-1]], axis=-1
+    )
+    y = B + A * c_in[..., None]
+    return y.reshape(*y.shape[:-2], m * _LR_BLOCK)[..., :n]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -68,12 +92,14 @@ def attack_release_follower(
     ca = jnp.float32(ca)
     cr = jnp.float32(cr)
 
+    init_col = jnp.full((*d.shape[:-1], 1), init, d.dtype)
+
     # iteration 0: midpoint coefficient (converges slightly faster than
     # release-only or attack-only initialisation)
     c = jnp.full_like(d, (ca + cr) * 0.5)
     y = linear_recurrence(1.0 - c, c * d, init)
     for _ in range(max(0, iters - 1)):
-        y_prev = jnp.concatenate([jnp.asarray([init], d.dtype), y[:-1]])
+        y_prev = jnp.concatenate([init_col, y[..., :-1]], axis=-1)
         c = jnp.where(d > y_prev, ca, cr)
         y = linear_recurrence(1.0 - c, c * d, init)
     return y

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ
+from .framing import frame_signal, overlap_add
 
 WIN = 1024
 HOP = WIN // 4  # 75% overlap keeps OLA constant with hann
@@ -83,8 +84,7 @@ def _spectral_gate_impl(
     out_len: int,
 ) -> jnp.ndarray:
     window = jnp.asarray(_hann(win), dtype=jnp.float32)
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
-    frames = x_padded[idx] * window[None, :]
+    frames = frame_signal(x_padded, n_frames, win, hop) * window[None, :]
     spec = jnp.fft.rfft(frames, axis=-1)
     mag = jnp.abs(spec) / win
 
@@ -111,12 +111,11 @@ def _spectral_gate_impl(
     out_spec = spec * gain
     out_frames = jnp.fft.irfft(out_spec, n=win, axis=-1) * window[None, :]
 
-    # overlap-add with window-power normalisation
+    # overlap-add with window-power normalisation (scatter-free phase OLA)
     total = x_padded.shape[0]
-    flat_idx = idx.reshape(-1)
-    out = jnp.zeros(total, jnp.float32).at[flat_idx].add(out_frames.reshape(-1))
-    norm = jnp.zeros(total, jnp.float32).at[flat_idx].add(
-        jnp.tile(window * window, (n_frames,))
+    out = overlap_add(out_frames, n_frames, win, hop, total)
+    norm = overlap_add(
+        jnp.broadcast_to(window * window, (n_frames, win)), n_frames, win, hop, total
     )
     out = out / jnp.maximum(norm, 1e-6)
     return out[win : win + out_len]

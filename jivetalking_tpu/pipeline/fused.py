@@ -48,6 +48,7 @@ from ..ops.dynamics import (
     envelope_coeff,
     gate_gain,
 )
+from ..ops.framing import frame_signal, overlap_add
 from ..ops.iir import cascade, design_highpass, design_lowpass, sos_impulse_response
 from ..ops.limiter import limiter_core
 from ..ops.nlm import _box_filter_same
@@ -185,6 +186,18 @@ def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
 # the fused pass-2/3/4 master program
 # ---------------------------------------------------------------------------
 
+def _to_mono_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """In-graph downmix + dtype conversion (mirrors pass2.downmix exactly):
+    int16 -> f32/32768, (channels, n) -> mean over channels."""
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) / 32768.0
+    else:
+        x = x.astype(jnp.float32)
+    if x.ndim == 2:
+        x = jnp.mean(x, axis=0)
+    return x
+
+
 def _master_tree(
     x: jnp.ndarray,
     # traced per-file parameters
@@ -205,6 +218,7 @@ def _master_tree(
     tp_bank: jnp.ndarray,
     deess_kernel: jnp.ndarray,
     sr: int,
+    out_rate: int,
     nlm_enabled: bool,
     afftdn_enabled: bool,
     declick_enabled: bool,
@@ -245,8 +259,7 @@ def _master_tree(
         n_frames = 1 + -(-(n + 2 * win - win) // hop)
         pad_total = win + n + 2 * win
         xp = jnp.zeros(pad_total, jnp.float32).at[win : win + n].set(y)
-        fidx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
-        frames = xp[fidx] * window[None, :]
+        frames = frame_signal(xp, n_frames, win, hop) * window[None, :]
         spec = jnp.fft.rfft(frames, axis=-1)
         mag = jnp.abs(spec) / win
 
@@ -271,10 +284,10 @@ def _master_tree(
         gain = 0.25 * left + 0.5 * gain + 0.25 * right
 
         out_frames = jnp.fft.irfft(spec * gain, n=win, axis=-1) * window[None, :]
-        flat = fidx.reshape(-1)
-        ola = jnp.zeros(pad_total, jnp.float32).at[flat].add(out_frames.reshape(-1))
-        norm = jnp.zeros(pad_total, jnp.float32).at[flat].add(
-            jnp.tile(window * window, (n_frames,))
+        ola = overlap_add(out_frames, n_frames, win, hop, pad_total)
+        norm = overlap_add(
+            jnp.broadcast_to(window * window, (n_frames, win)),
+            n_frames, win, hop, pad_total,
         )
         y = (ola / jnp.maximum(norm, 1e-6))[win : win + n]
 
@@ -295,8 +308,8 @@ def _master_tree(
     lf = y - hf
     ca = envelope_coeff(1.0, sr)
     cr = envelope_coeff(30.0, sr)
-    env_hf = attack_release_follower(jnp.abs(hf), ca, cr)
-    env_all = attack_release_follower(jnp.abs(y), ca, cr)
+    envs = attack_release_follower(jnp.stack([jnp.abs(hf), jnp.abs(y)]), ca, cr)
+    env_hf, env_all = envs[0], envs[1]
     sens = deess_intensity ** 5
     ratio_hf = env_hf / jnp.maximum(env_all, 1e-9)
     excess = jnp.maximum(0.0, ratio_hf - (1.0 - sens))
@@ -406,7 +419,15 @@ def _master_tree(
             "offset_db": offset_db,
         },
     }
-    return z, metrics
+
+    # --- chain-final delivery format: resample + s16 quantise in-graph
+    # (ref: FilterResample `aformat=sample_rates=44100:...:s16`,
+    # filters.go:706-710) — no separate dispatch, half the pull bytes ---
+    from ..ops.resample import resample
+
+    zr = resample(z, sr, out_rate)
+    out_i16 = jnp.clip(jnp.round(zr * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
+    return out_i16, metrics
 
 
 # --- scalar packing: the remote tunnel charges a round trip per SCALAR
@@ -456,10 +477,13 @@ def _unpack_all(buf: np.ndarray, shapes, dtypes, treedef):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "nlm_enabled", "afftdn_enabled", "declick_enabled"),
+    static_argnames=("sr", "out_rate", "nlm_enabled", "afftdn_enabled",
+                     "declick_enabled"),
 )
-def _fused_master_packed(*args, sr, nlm_enabled, afftdn_enabled, declick_enabled):
-    z, tree = _master_tree(*args, sr=sr, nlm_enabled=nlm_enabled,
+def _fused_master_packed(*args, sr, out_rate, nlm_enabled, afftdn_enabled,
+                         declick_enabled):
+    z, tree = _master_tree(*args, sr=sr, out_rate=out_rate,
+                           nlm_enabled=nlm_enabled,
                            afftdn_enabled=afftdn_enabled,
                            declick_enabled=declick_enabled)
     flat, _ = jax.tree_util.tree_flatten(tree)
@@ -467,8 +491,8 @@ def _fused_master_packed(*args, sr, nlm_enabled, afftdn_enabled, declick_enabled
 
 
 @functools.lru_cache(maxsize=32)
-def _master_meta(n: int, sr: int, nlm_enabled: bool, afftdn_enabled: bool,
-                 declick_enabled: bool):
+def _master_meta(n: int, sr: int, out_rate: int, nlm_enabled: bool,
+                 afftdn_enabled: bool, declick_enabled: bool):
     """(treedef, is_scalar flags, scalar dtypes) of the metrics tree,
     derived once per static signature via eval_shape (no compile)."""
     f32 = jax.ShapeDtypeStruct((), jnp.float32)
@@ -480,7 +504,8 @@ def _master_meta(n: int, sr: int, nlm_enabled: bool, afftdn_enabled: bool,
     tp_bank = jax.ShapeDtypeStruct((4, 12), jnp.float32)
     deess = jax.ShapeDtypeStruct((255,), jnp.float32)
     _, tree = jax.eval_shape(
-        functools.partial(_master_tree, sr=sr, nlm_enabled=nlm_enabled,
+        functools.partial(_master_tree, sr=sr, out_rate=out_rate,
+                          nlm_enabled=nlm_enabled,
                           afftdn_enabled=afftdn_enabled,
                           declick_enabled=declick_enabled),
         xs, f32, f32, f32, f32, f32, f32, shape15, f32, f32, i32, i32,
@@ -520,9 +545,11 @@ def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
     )
 
 
-def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[jnp.ndarray, dict]:
+def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[jnp.ndarray, int, dict]:
     """Run the fused pass-2/3/4 program with per-file parameters drawn from
-    the adapted config.  Returns (final_audio_device_array, metrics_host)."""
+    the adapted config.  Returns (output_i16_device_array, out_rate,
+    metrics_host) — the delivery-format resample + s16 quantise happen
+    inside the program."""
     m = measurements
     nr = cfg.noise_reduction
     shape = np.zeros(15, dtype=np.float32)
@@ -548,8 +575,14 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
 
     x = jnp.asarray(x)
     n = int(x.shape[0])
+    out_rate = (
+        cfg.resample.sample_rate
+        if cfg.resample.enabled and cfg.resample.sample_rate != sample_rate
+        else sample_rate
+    )
     flags = dict(
         sr=sample_rate,
+        out_rate=out_rate,
         nlm_enabled=nr.enabled,
         afftdn_enabled=nr.enabled and nr.afftdn_enabled,
         declick_enabled=cfg.adeclick.enabled,
@@ -571,11 +604,11 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
         **flags,
     )
     treedef, shapes, dtypes = _master_meta(
-        n, sample_rate, flags["nlm_enabled"], flags["afftdn_enabled"],
-        flags["declick_enabled"],
+        n, sample_rate, out_rate, flags["nlm_enabled"],
+        flags["afftdn_enabled"], flags["declick_enabled"],
     )
     metrics = _unpack_all(np.asarray(packed), shapes, dtypes, treedef)
-    return z, metrics
+    return z, out_rate, metrics
 
 
 # ---------------------------------------------------------------------------
@@ -625,9 +658,10 @@ def _analysis_tree(
 
 @functools.partial(jax.jit, static_argnames=("sr", "interval_len", "n_intervals"))
 def _fused_analysis_packed(x, kw_ir, tp_bank, sr, interval_len, n_intervals):
-    tree = _analysis_tree(x, kw_ir, tp_bank, sr, interval_len, n_intervals)
+    mono = _to_mono_f32(x)
+    tree = _analysis_tree(mono, kw_ir, tp_bank, sr, interval_len, n_intervals)
     flat, _ = jax.tree_util.tree_flatten(tree)
-    return _pack_all(flat)
+    return mono, _pack_all(flat)
 
 
 @functools.lru_cache(maxsize=32)
@@ -645,20 +679,22 @@ def _analysis_meta(n: int, sr: int, interval_len: int, n_intervals: int):
 
 
 def fused_analysis(x, sample_rate: int):
-    """One-dispatch Pass-1 device program; returns the host pytree the
-    analyser assembles LoudnessResult/AstatsResult/SpectralFrameSeries/
-    Intervals from (scalars packed into one vector — per-scalar pulls cost
-    a tunnel round trip each)."""
-    x = jnp.asarray(x, dtype=jnp.float32)
-    n = int(x.shape[0])
+    """One-dispatch Pass-1 device program.  `x` may be (n,) or
+    (channels, n), int16 or float — downmix + conversion happen in-graph
+    (int16 input crosses the tunnel at half the bytes).  Returns
+    (mono_f32_device_array, metrics_tree): the mono PCM stays on device for
+    the band/master programs; the metrics pull is one packed transfer
+    (per-scalar pulls cost a tunnel round trip each)."""
+    x = jnp.asarray(x)
+    n = int(x.shape[-1])
     _, kw_ir, tp_bank, _ = _constants_for_rate(sample_rate, 80.0, 20500.0)
     interval_len = max(1, int(round(0.25 * sample_rate)))
     n_intervals = max(1, -(-n // interval_len))
-    packed = _fused_analysis_packed(
+    mono, packed = _fused_analysis_packed(
         x, kw_ir, tp_bank, sample_rate, interval_len, n_intervals
     )
     treedef, shapes, dtypes = _analysis_meta(n, sample_rate, interval_len, n_intervals)
-    return _unpack_all(np.asarray(packed), shapes, dtypes, treedef)
+    return mono, _unpack_all(np.asarray(packed), shapes, dtypes, treedef)
 
 
 # ---------------------------------------------------------------------------

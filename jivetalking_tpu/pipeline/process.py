@@ -83,10 +83,10 @@ def analyse_only(
     base_config: FilterConfig | None = None,
 ) -> tuple[AudioMeasurements, FilterConfig, AdaptiveDiagnostics]:
     """-a mode: Pass 1 + AdaptConfig only (ref: AnalyseOnlyDetailed,
-    processor.go:29-69)."""
+    processor.go:29-69).  Downmix happens inside the fused analysis
+    program."""
     cfg = base_config or default_filter_config()
-    mono = downmix(x)
-    m = analyse_audio(mono, sample_rate, target_i=cfg.loudnorm.target_i)
+    m = analyse_audio(x, sample_rate, target_i=cfg.loudnorm.target_i)
     eff, diag = adapt_config(cfg, m)
     return m, eff, diag
 
@@ -170,12 +170,17 @@ def process_audio(
             progress(stage, frac)
 
     timings: dict[str, float] = {}
-    mono = downmix(x)
 
-    # PASS 1
+    # PASS 1 (fused: raw PCM straight to device; downmix happens in-graph
+    # and the mono f32 stays resident for the band/master programs)
     t0 = time.perf_counter()
     report("analysis", 0.0)
-    m = analyse_audio(mono, sample_rate, target_i=cfg_base.loudnorm.target_i)
+    if fused:
+        m = analyse_audio(x, sample_rate, target_i=cfg_base.loudnorm.target_i)
+        mono = m.device_pcm
+    else:
+        mono = downmix(x)
+        m = analyse_audio(mono, sample_rate, target_i=cfg_base.loudnorm.target_i)
     timings["analysis"] = time.perf_counter() - t0
     report("analysis", 1.0)
 
@@ -201,7 +206,7 @@ def process_audio(
 
         t0 = time.perf_counter()
         report("processing", 0.0)
-        final_audio, fm = fused_master(mono, sample_rate, eff, m)
+        out_i16_dev, out_rate, fm = fused_master(mono, sample_rate, eff, m)
         report("processing", 1.0)
         report("normalising", 0.0)
 
@@ -253,6 +258,7 @@ def process_audio(
         timings["processing"] = t_both / 2.0
         timings["normalising"] = t_both / 2.0
         report("normalising", 1.0)
+        out_np = np.asarray(out_i16_dev)
     else:
         # PASS 2
         t0 = time.perf_counter()
@@ -275,13 +281,14 @@ def process_audio(
         timings["normalising"] = time.perf_counter() - t0
         report("normalising", 1.0)
 
-    # chain-final resample (FilterResample: 44.1 kHz s16 delivery format);
-    # quantise to s16 ON DEVICE so the device->host pull is half the bytes
-    out_audio, out_rate = output_resample(final_audio, sample_rate, eff)
-    out_i16 = jnp.clip(
-        jnp.round(out_audio * 32767.0), -32768.0, 32767.0
-    ).astype(jnp.int16)
-    out_np = np.asarray(out_i16)
+        # chain-final resample (FilterResample: 44.1 kHz s16 delivery
+        # format); quantise to s16 ON DEVICE so the pull is half the bytes
+        # (the fused path does both inside the master program)
+        out_audio, out_rate = output_resample(final_audio, sample_rate, eff)
+        out_i16 = jnp.clip(
+            jnp.round(out_audio * 32767.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+        out_np = np.asarray(out_i16)
 
     return ProcessResult(
         measurements=m,
