@@ -151,3 +151,32 @@ class TestProcessAudio:
              - b.output_audio[:n].astype(np.float64)) / 32768.0
         resid_db = 20.0 * np.log10(np.sqrt(np.mean(d * d)) + 1e-15)
         assert resid_db <= -60.0
+
+
+class Test48kDelivery:
+    def test_48k_int16_master_delivers_44100(self):
+        """48 kHz int16 in -> 44.1 kHz s16 out through the 147/160 polyphase
+        delivery resample (ref: aformat=sample_rates=44100:...:s16,
+        filters.go:706-710) — the bench fixture's path."""
+        sr = 48000
+        rng = np.random.default_rng(5)
+        secs = 20.0
+        n_notes, note = int(secs / 0.25), int(0.25 * sr)
+        t = np.arange(note) / sr
+        segs = [
+            (10 ** ((-24 + rng.uniform(-3, 1)) / 20)) * np.sin(2 * np.pi * f * t)
+            for f in rng.choice([400, 700, 1100, 1600, 2200], n_notes)
+        ]
+        x = np.concatenate(segs)[: int(secs * sr)].astype(np.float32)
+        x[int(7 * sr) : int(13 * sr)] = (
+            10 ** (-56 / 20) * rng.standard_normal(int(6 * sr))
+        ).astype(np.float32)
+        xi = np.clip(np.round(x * 32768), -32768, 32767).astype(np.int16)
+
+        res = process_audio(xi, sr)
+        assert res.output_rate == 44100
+        assert len(res.output_audio) == int(secs * sr) * 147 // 160
+        assert res.output_audio.dtype == np.int16
+        out = res.final.loudness
+        assert abs(out.integrated_lufs - res.normalisation.effective_target_i) <= 0.5
+        assert out.true_peak_db <= -1.0 + 0.05
