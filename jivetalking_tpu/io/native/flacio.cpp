@@ -14,13 +14,17 @@
 // frame loop).
 //
 // Encoder: 16-bit PCM, 4096-sample frames (the reference's FLAC encoder
-// settings: s16, frame 4096; ref encoder.go:54-99), per-frame best fixed
-// predictor (order 0-4) per channel, partitioned Rice coding with per-
-// partition optimal parameter, CONSTANT detection, correct CRC-8/CRC-16 and
+// settings: s16 compression_level=5, frame 4096; ref encoder.go:54-99).
+// Per channel per frame the encoder plans CONSTANT, best FIXED (order 0-4)
+// and windowed-autocorrelation LPC (Levinson-Durbin, orders up to 8,
+// 15-bit quantised coefficients — the level-5 search space) and emits
+// whichever costs the fewest EXACT bits; residuals use partitioned Rice
+// with per-partition optimal parameter; correct CRC-8/CRC-16 and
 // STREAMINFO (MD5 left zero = unknown, permitted by spec).
 //
 // Build: g++ -O2 -shared -fPIC flacio.cpp -o libflacio.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -431,6 +435,189 @@ void write_rice(BitWriter& bw, const int64_t* res, int n, int k) {
   }
 }
 
+uint64_t rice_bits(const int64_t* res, int n, int k) {
+  uint64_t total = 0;
+  for (int i = 0; i < n; ++i) {
+    uint64_t u = (uint64_t)((res[i] << 1) ^ (res[i] >> 63));
+    total += (u >> k) + 1 + k;
+  }
+  return total;
+}
+
+// Choose the partition order + per-partition Rice params for `res`
+// (n total subframe samples, `order` warmup samples missing from the first
+// partition).  Returns exact residual-section bit count.
+uint64_t plan_partitions(const int64_t* res, int n, int order,
+                         int* porder_out, std::vector<int>* ks_out) {
+  int porder = 0;
+  while (porder < 6 && (n >> (porder + 1)) >= 256 && (n % (1 << (porder + 1))) == 0)
+    ++porder;
+  while (porder > 0 && (n >> porder) <= order) --porder;
+  int nparts = 1 << porder;
+  ks_out->assign(nparts, 0);
+  uint64_t bits = 2 + 4;   // method + porder fields
+  int idx = 0;
+  for (int p = 0; p < nparts; ++p) {
+    int count = (n >> porder) - (p == 0 ? order : 0);
+    int k = best_rice_param(res + idx, count);
+    if (k > 14) k = 14;
+    // refine around the mean-derived estimate (exact counting)
+    uint64_t best = rice_bits(res + idx, count, k);
+    for (int dk = -1; dk <= 1; dk += 2) {
+      int kk = k + dk;
+      if (kk < 0 || kk > 14) continue;
+      uint64_t b = rice_bits(res + idx, count, kk);
+      if (b < best) { best = b; k = kk; }
+    }
+    (*ks_out)[p] = k;
+    bits += 4 + best;
+    idx += count;
+  }
+  *porder_out = porder;
+  return bits;
+}
+
+struct SubframePlan {
+  int type = 0;            // 0 constant, 1 fixed, 2 lpc
+  int order = 0;
+  int precision = 0;       // lpc coefficient precision
+  int shift = 0;           // lpc quantisation shift
+  int32_t qlp[32] = {0};
+  std::vector<int64_t> res;
+  int porder = 0;
+  std::vector<int> ks;
+  uint64_t bits = UINT64_MAX;   // total subframe bits (excl. 1 pad bit)
+};
+
+void plan_fixed(const int32_t* x, int n, int bits_per_sample, SubframePlan* out) {
+  std::vector<int64_t> res(n);
+  int max_order = n > 4 ? 4 : (n > 0 ? n - 1 : 0);
+  for (int order = 0; order <= max_order; ++order) {
+    compute_fixed_residual(x, n, order, res.data());
+    int m = n - order;
+    int porder;
+    std::vector<int> ks;
+    uint64_t rbits = plan_partitions(res.data(), n, order, &porder, &ks);
+    uint64_t total = 6 + 1 + (uint64_t)order * bits_per_sample + rbits;
+    if (total < out->bits) {
+      out->type = 1;
+      out->order = order;
+      out->res.assign(res.begin(), res.begin() + m);
+      out->porder = porder;
+      out->ks = ks;
+      out->bits = total;
+    }
+  }
+}
+
+// Levinson-Durbin on Welch-windowed autocorrelation; FLAC convention:
+// x_hat[i] = sum_j a[j] * x[i-j], res = x - (sum qlp[j]*x[i-1-j]) >> shift.
+void plan_lpc(const int32_t* x, int n, int bits_per_sample, SubframePlan* out) {
+  const int kMaxOrder = 8;       // libFLAC compression_level=5 search depth
+  const int kPrecision = 15;
+  if (n <= 2 * kMaxOrder) return;
+
+  double ac[kMaxOrder + 1];
+  {
+    std::vector<double> w(n);
+    for (int i = 0; i < n; ++i) {
+      double t = (i - (n - 1) / 2.0) / ((n + 1) / 2.0);
+      w[i] = (double)x[i] * (1.0 - t * t);   // Welch window
+    }
+    for (int lag = 0; lag <= kMaxOrder; ++lag) {
+      double s = 0.0;
+      for (int i = lag; i < n; ++i) s += w[i] * w[i - lag];
+      ac[lag] = s;
+    }
+  }
+  if (ac[0] <= 0.0) return;
+
+  double a[kMaxOrder + 1] = {0};
+  double lpc[kMaxOrder][kMaxOrder];
+  double e = ac[0];
+  int computed = 0;
+  for (int m = 1; m <= kMaxOrder; ++m) {
+    double k = ac[m];
+    for (int j = 1; j < m; ++j) k -= a[j] * ac[m - j];
+    k /= e;
+    double tmp[kMaxOrder + 1];
+    for (int j = 1; j < m; ++j) tmp[j] = a[j] - k * a[m - j];
+    for (int j = 1; j < m; ++j) a[j] = tmp[j];
+    a[m] = k;
+    e *= (1.0 - k * k);
+    for (int j = 1; j <= m; ++j) lpc[m - 1][j - 1] = a[j];
+    computed = m;
+    if (e <= 0.0) break;
+  }
+
+  std::vector<int64_t> res(n);
+  // try a small ladder of orders (the estimate-vs-exact tradeoff libFLAC's
+  // level 5 makes); exact bit counting decides
+  const int try_orders[] = {2, 4, 6, 8};
+  for (int oi = 0; oi < 4; ++oi) {
+    int order = try_orders[oi];
+    if (order > computed) break;
+    const double* coefs = lpc[order - 1];
+    double cmax = 0.0;
+    for (int j = 0; j < order; ++j) {
+      double c = std::fabs(coefs[j]);
+      if (c > cmax) cmax = c;
+    }
+    if (cmax <= 0.0) continue;
+    int log2cmax;
+    std::frexp(cmax, &log2cmax);                 // cmax in [2^(l-1), 2^l)
+    int shift = kPrecision - 1 - log2cmax;
+    if (shift > 15) shift = 15;                  // 5-bit field, non-negative
+    if (shift < 0) continue;
+    int32_t qlp[kMaxOrder];
+    double err = 0.0;                            // error-feedback quantiser
+    const int32_t qmax = (1 << (kPrecision - 1)) - 1;
+    const int32_t qmin = -(1 << (kPrecision - 1));
+    for (int j = 0; j < order; ++j) {
+      double v = coefs[j] * (double)(1 << shift) + err;
+      int32_t q = (int32_t)std::lround(v);
+      if (q > qmax) q = qmax;
+      if (q < qmin) q = qmin;
+      err = v - q;
+      qlp[j] = q;
+    }
+    for (int i = order; i < n; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += (int64_t)qlp[j] * x[i - 1 - j];
+      res[i - order] = (int64_t)x[i] - (pred >> shift);
+    }
+    int porder;
+    std::vector<int> ks;
+    uint64_t rbits = plan_partitions(res.data(), n, order, &porder, &ks);
+    uint64_t total = 6 + 1 + (uint64_t)order * bits_per_sample + 4 + 5 +
+                     (uint64_t)order * kPrecision + rbits;
+    if (total < out->bits) {
+      out->type = 2;
+      out->order = order;
+      out->precision = kPrecision;
+      out->shift = shift;
+      for (int j = 0; j < order; ++j) out->qlp[j] = qlp[j];
+      out->res.assign(res.begin(), res.begin() + (n - order));
+      out->porder = porder;
+      out->ks = ks;
+      out->bits = total;
+    }
+  }
+}
+
+void write_partitions(BitWriter& bw, const SubframePlan& plan, int n) {
+  bw.write_bits(0, 2);       // rice method 0 (4-bit params)
+  bw.write_bits((uint64_t)plan.porder, 4);
+  int nparts = 1 << plan.porder;
+  int idx = 0;
+  for (int p = 0; p < nparts; ++p) {
+    int count = (n >> plan.porder) - (p == 0 ? plan.order : 0);
+    bw.write_bits((uint64_t)plan.ks[p], 4);
+    write_rice(bw, plan.res.data() + idx, count, plan.ks[p]);
+    idx += count;
+  }
+}
+
 void encode_subframe(BitWriter& bw, const int32_t* x, int n, int bits) {
   // CONSTANT?
   bool constant = true;
@@ -444,51 +631,29 @@ void encode_subframe(BitWriter& bw, const int32_t* x, int n, int bits) {
     return;
   }
 
-  // best fixed order by residual magnitude sum
-  std::vector<int64_t> res(n), best_res(n);
-  int best_order = 0;
-  uint64_t best_sum = UINT64_MAX;
-  int max_order = n > 4 ? 4 : (n > 0 ? n - 1 : 0);
-  for (int order = 0; order <= max_order; ++order) {
-    compute_fixed_residual(x, n, order, res.data());
-    int m = n - order;
-    uint64_t sum = 0;
-    for (int i = 0; i < m; ++i)
-      sum += res[i] < 0 ? (uint64_t)(-res[i]) : (uint64_t)res[i];
-    if (sum < best_sum) {
-      best_sum = sum;
-      best_order = order;
-      best_res.assign(res.begin(), res.begin() + m);
-    }
-  }
+  SubframePlan plan;
+  plan_fixed(x, n, bits, &plan);
+  plan_lpc(x, n, bits, &plan);
 
   bw.write_bits(0, 1);                        // pad
-  bw.write_bits(0x08 | (uint32_t)best_order, 6);  // FIXED type
-  bw.write_bits(0, 1);                        // no wasted bits
-  for (int i = 0; i < best_order; ++i)
-    bw.write_bits((uint64_t)(uint32_t)x[i] & ((1ULL << bits) - 1), bits);
-
-  int m = n - best_order;
-  // partitioned rice, partition order chosen so partitions are ~256 samples
-  int porder = 0;
-  while (porder < 6 && (n >> (porder + 1)) >= 256 && (n % (1 << (porder + 1))) == 0)
-    ++porder;
-  // first partition must hold >= order samples
-  while (porder > 0 && (n >> porder) <= best_order) --porder;
-
-  bw.write_bits(0, 2);       // rice method 0 (4-bit params)
-  bw.write_bits((uint64_t)porder, 4);
-  int nparts = 1 << porder;
-  int idx = 0;
-  for (int p = 0; p < nparts; ++p) {
-    int count = (n >> porder) - (p == 0 ? best_order : 0);
-    int k = best_rice_param(best_res.data() + idx, count);
-    if (k > 14) k = 14;
-    bw.write_bits((uint64_t)k, 4);
-    write_rice(bw, best_res.data() + idx, count, k);
-    idx += count;
+  if (plan.type == 2) {
+    bw.write_bits(0x20 | (uint32_t)(plan.order - 1), 6);   // LPC type
+    bw.write_bits(0, 1);                      // no wasted bits
+    for (int i = 0; i < plan.order; ++i)
+      bw.write_bits((uint64_t)(uint32_t)x[i] & ((1ULL << bits) - 1), bits);
+    bw.write_bits((uint64_t)(plan.precision - 1), 4);
+    bw.write_bits((uint64_t)plan.shift, 5);
+    for (int j = 0; j < plan.order; ++j)
+      bw.write_bits((uint64_t)(uint32_t)plan.qlp[j] &
+                        ((1ULL << plan.precision) - 1),
+                    plan.precision);
+  } else {
+    bw.write_bits(0x08 | (uint32_t)plan.order, 6);         // FIXED type
+    bw.write_bits(0, 1);                      // no wasted bits
+    for (int i = 0; i < plan.order; ++i)
+      bw.write_bits((uint64_t)(uint32_t)x[i] & ((1ULL << bits) - 1), bits);
   }
-  (void)m;
+  write_partitions(bw, plan, n);
 }
 
 void write_utf8_u64(std::vector<uint8_t>& out, uint64_t v) {

@@ -115,3 +115,33 @@ class TestFacade:
     def test_missing_file_raises(self):
         with pytest.raises((FileNotFoundError, ValueError)):
             open_audio_file("/nonexistent/file.flac")
+
+
+class TestLpcEncode:
+    def test_tonal_content_roundtrips_exactly_and_compresses(self):
+        """LPC subframes (windowed-autocorr + Levinson-Durbin, orders <= 8,
+        15-bit quantised coefficients — the reference's compression_level=5
+        search space, ref encoder.go:54-99) must round-trip bit-exactly and
+        beat raw PCM decisively on tonal programme."""
+        import os
+
+        from jivetalking_tpu.io.flac import read_flac, write_flac
+
+        sr = 44100
+        n = sr * 10
+        t = np.arange(n) / sr
+        rng = np.random.default_rng(11)
+        x = (
+            0.2 * np.sin(2 * np.pi * 220 * t)
+            + 0.05 * np.sin(2 * np.pi * 1567 * t)
+            + 0.002 * rng.standard_normal(n)
+        )
+        xi = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int16)[None, :]
+        path = "/tmp/jt_lpc_roundtrip.flac"
+        write_flac(path, xi, sr)
+        pcm, rate, bits = read_flac(path)
+        assert rate == sr and bits == 16
+        ints = np.round(pcm * 32768.0).astype(np.int64)
+        np.testing.assert_array_equal(ints, xi.astype(np.int64))
+        assert os.path.getsize(path) < 0.62 * xi.size * 2
+        os.remove(path)
