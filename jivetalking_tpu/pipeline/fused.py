@@ -15,12 +15,15 @@ pipeline to THREE device round trips per file:
   2. `fused_band_rms(x, bounds)` — the 17 region-band RMS measures with
      TRACED region bounds (static pad sizes), so electing different
      regions never recompiles.
-  3. `fused_master(x, params)` — passes 2+3+4 end to end: cleanup chain
-     (all adaptive parameters as traced scalars/vectors), limiter
-     planning (jnp.where arithmetic in-graph), linear-mode loudnorm,
-     declick, brickwall, and the filtered/final stage metering including
-     masked region samples.  One compile per (length, sample_rate) serves
-     every file.
+  3. `fused_master(x, params)` — passes 2+3+4 end to end as TWO chained
+     device programs (stage A: cleanup chain + filtered metering +
+     limiter plan + prefix limiter + pass-3 metering; stage B: linear
+     gain + declick + brickwall + final metering + delivery resample).
+     Stage B consumes stage A's device outputs (audio + offset scalar)
+     directly, so the host never syncs between the dispatches — the
+     split exists because the monolithic program OOM-kills the local
+     AOT compile helper, not for the host's benefit.  One compile per
+     (length, sample_rate) serves every file.
 
 Numerical contract preserved from the unfused modules (see normalise.py /
 pass2.py provenance comments); the unfused per-op kernels remain the unit
@@ -198,7 +201,46 @@ def _to_mono_f32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _master_tree(
+def _stage_metrics_fns(n: int, sr: int, kw_ir, tp_bank):
+    """Shared filtered/final stage-metering builder: loudness + astats +
+    spectral means + a masked-region average closure."""
+    w_astats = max(2, int(round(0.05 * sr)))
+    spec_win, spec_hop = 2048, 1024
+    n_sframes = max(1, 1 + (n - spec_win) // spec_hop)
+
+    def stage_metrics(sig):
+        loud = _loudness_ingraph(sig, kw_ir, tp_bank, sr)
+        ast = _astats_core(sig, w_astats)
+        spec_frames = _spectral_core(sig, n_sframes, spec_win, spec_hop, float(sr))
+        spec_mean = {k: jnp.mean(v) for k, v in spec_frames.items()}
+
+        def spec_avg(start, end):
+            f_start = jnp.arange(n_sframes) * spec_hop
+            fm = (f_start >= start) & (f_start < end)
+            cnt = jnp.maximum(jnp.sum(fm), 1)
+            return {f"spec_{k}": jnp.sum(jnp.where(fm, v, 0.0)) / cnt
+                    for k, v in spec_frames.items()}
+
+        return loud, ast, spec_mean, spec_avg
+
+    return stage_metrics
+
+
+# The pass-2/3/4 master is TWO chained device programs (the monolithic
+# single program exceeds what the local AOT compile helper can build —
+# it gets OOM-killed; each half compiles comfortably):
+#
+#   stage A: cleanup chain -> filtered metering + regions -> limiter plan
+#            -> prefix limiter -> pass-3 metering -> linear-mode offset.
+#            Returns (prefixed_audio, offset_db) as DEVICE values plus the
+#            packed stage-A metrics.
+#   stage B: offset gain -> adeclick -> brickwall -> final metering +
+#            regions -> delivery resample + s16 quantise.
+#            Consumes stage A's device outputs directly — the host never
+#            syncs between the two dispatches, so the latency profile
+#            matches the monolith.
+
+def _master_stage_a_tree(
     x: jnp.ndarray,
     # traced per-file parameters
     gate_threshold: jnp.ndarray,     # linear
@@ -218,10 +260,8 @@ def _master_tree(
     tp_bank: jnp.ndarray,
     deess_kernel: jnp.ndarray,
     sr: int,
-    out_rate: int,
     nlm_enabled: bool,
     afftdn_enabled: bool,
-    declick_enabled: bool,
 ):
     n = int(x.shape[0])
     x = x.astype(jnp.float32)
@@ -320,25 +360,7 @@ def _master_tree(
     y = lf + hf * de_gain
 
     # --- filtered-stage metering (loudness + astats + spectral in-graph) ---
-    w_astats = max(2, int(round(0.05 * sr)))
-    spec_win, spec_hop = 2048, 1024
-    n_sframes = max(1, 1 + (n - spec_win) // spec_hop)
-
-    def stage_metrics(sig):
-        loud = _loudness_ingraph(sig, kw_ir, tp_bank, sr)
-        ast = _astats_core(sig, w_astats)
-        spec_frames = _spectral_core(sig, n_sframes, spec_win, spec_hop, float(sr))
-        spec_mean = {k: jnp.mean(v) for k, v in spec_frames.items()}
-
-        def spec_avg(start, end):
-            f_start = jnp.arange(n_sframes) * spec_hop
-            fm = (f_start >= start) & (f_start < end)
-            cnt = jnp.maximum(jnp.sum(fm), 1)
-            return {f"spec_{k}": jnp.sum(jnp.where(fm, v, 0.0)) / cnt
-                    for k, v in spec_frames.items()}
-
-        return loud, ast, spec_mean, spec_avg
-
+    stage_metrics = _stage_metrics_fns(n, sr, kw_ir, tp_bank)
     loud_f, ast_f, spec_f, spec_avg_f = stage_metrics(y)
     region_f_noise = _region_sample_ingraph(y, loud_f, spec_avg_f, sr,
                                             noise_bounds[0], noise_bounds[1])
@@ -378,34 +400,14 @@ def _master_tree(
     effective_i = jnp.minimum(target_i, max_linear_i)
     offset_db = effective_i - m_i
 
-    z = prefixed * 10.0 ** (offset_db / 20.0)
-    if declick_enabled:
-        window = max(8, int(round(55.0 * sr / 1000.0)))
-        z = _declick_impl(z, window, 1.7)
-    brick_lin = 10.0 ** ((target_tp_db - BRICKWALL_TRUE_PEAK_HEADROOM_DB) / 20.0)
-    z = limiter_core(z, brick_lin, max(1, int(round(sr / 1000.0))),
-                     max(1.0, 50.0 * sr / 1000.0))
-
-    # --- final-stage metering ---
-    loud_z, ast_z, spec_z, spec_avg_z = stage_metrics(z)
-    region_z_noise = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
-                                            noise_bounds[0], noise_bounds[1])
-    region_z_speech = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
-                                             speech_bounds[0], speech_bounds[1])
-
     metrics = {
         "filtered": loud_f,
         "filtered_astats": ast_f,
         "filtered_spectral": spec_f,
         "pass3": loud_m,
-        "final": loud_z,
-        "final_astats": ast_z,
-        "final_spectral": spec_z,
         "regions": {
             "filtered_noise": region_f_noise,
             "filtered_speech": region_f_speech,
-            "final_noise": region_z_noise,
-            "final_speech": region_z_speech,
         },
         "plan": {
             "needed": needed,
@@ -417,6 +419,49 @@ def _master_tree(
             "measured_tp_db": m_tp_db,
             "effective_i": effective_i,
             "offset_db": offset_db,
+        },
+    }
+    return prefixed, offset_db, metrics
+
+
+def _master_stage_b_tree(
+    prefixed: jnp.ndarray,
+    offset_db: jnp.ndarray,          # device scalar from stage A
+    target_tp_lin: jnp.ndarray,
+    noise_bounds: jnp.ndarray,
+    speech_bounds: jnp.ndarray,
+    kw_ir: jnp.ndarray,
+    tp_bank: jnp.ndarray,
+    sr: int,
+    out_rate: int,
+    declick_enabled: bool,
+):
+    n = int(prefixed.shape[0])
+    target_tp_db = 20.0 * jnp.log10(jnp.maximum(target_tp_lin, 1e-12))
+
+    z = prefixed * 10.0 ** (offset_db / 20.0)
+    if declick_enabled:
+        window = max(8, int(round(55.0 * sr / 1000.0)))
+        z = _declick_impl(z, window, 1.7)
+    brick_lin = 10.0 ** ((target_tp_db - BRICKWALL_TRUE_PEAK_HEADROOM_DB) / 20.0)
+    z = limiter_core(z, brick_lin, max(1, int(round(sr / 1000.0))),
+                     max(1.0, 50.0 * sr / 1000.0))
+
+    # --- final-stage metering ---
+    stage_metrics = _stage_metrics_fns(n, sr, kw_ir, tp_bank)
+    loud_z, ast_z, spec_z, spec_avg_z = stage_metrics(z)
+    region_z_noise = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
+                                            noise_bounds[0], noise_bounds[1])
+    region_z_speech = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
+                                             speech_bounds[0], speech_bounds[1])
+
+    metrics = {
+        "final": loud_z,
+        "final_astats": ast_z,
+        "final_spectral": spec_z,
+        "regions": {
+            "final_noise": region_z_noise,
+            "final_speech": region_z_speech,
         },
     }
 
@@ -477,24 +522,36 @@ def _unpack_all(buf: np.ndarray, shapes, dtypes, treedef):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "out_rate", "nlm_enabled", "afftdn_enabled",
-                     "declick_enabled"),
+    static_argnames=("sr", "nlm_enabled", "afftdn_enabled"),
 )
-def _fused_master_packed(*args, sr, out_rate, nlm_enabled, afftdn_enabled,
-                         declick_enabled):
-    z, tree = _master_tree(*args, sr=sr, out_rate=out_rate,
-                           nlm_enabled=nlm_enabled,
-                           afftdn_enabled=afftdn_enabled,
-                           declick_enabled=declick_enabled)
+def _fused_master_a_packed(*args, sr, nlm_enabled, afftdn_enabled):
+    prefixed, offset_db, tree = _master_stage_a_tree(
+        *args, sr=sr, nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled
+    )
     flat, _ = jax.tree_util.tree_flatten(tree)
-    return z, _pack_all(flat)
+    return prefixed, offset_db, _pack_all(flat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "out_rate", "declick_enabled"),
+)
+def _fused_master_b_packed(*args, sr, out_rate, declick_enabled):
+    out_i16, tree = _master_stage_b_tree(
+        *args, sr=sr, out_rate=out_rate, declick_enabled=declick_enabled
+    )
+    flat, _ = jax.tree_util.tree_flatten(tree)
+    return out_i16, _pack_all(flat)
+
+
+def _meta_from(tree):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return treedef, [l.shape for l in flat], [np.dtype(l.dtype) for l in flat]
 
 
 @functools.lru_cache(maxsize=32)
-def _master_meta(n: int, sr: int, out_rate: int, nlm_enabled: bool,
-                 afftdn_enabled: bool, declick_enabled: bool):
-    """(treedef, is_scalar flags, scalar dtypes) of the metrics tree,
-    derived once per static signature via eval_shape (no compile)."""
+def _master_a_meta(n: int, sr: int, nlm_enabled: bool, afftdn_enabled: bool):
+    """Stage-A metrics treedef/shapes via eval_shape (no compile)."""
     f32 = jax.ShapeDtypeStruct((), jnp.float32)
     i32 = jax.ShapeDtypeStruct((2,), jnp.int32)
     xs = jax.ShapeDtypeStruct((n,), jnp.float32)
@@ -503,18 +560,29 @@ def _master_meta(n: int, sr: int, out_rate: int, nlm_enabled: bool,
     kw_ir = jax.ShapeDtypeStruct((4096,), jnp.float32)
     tp_bank = jax.ShapeDtypeStruct((4, 12), jnp.float32)
     deess = jax.ShapeDtypeStruct((255,), jnp.float32)
-    _, tree = jax.eval_shape(
-        functools.partial(_master_tree, sr=sr, out_rate=out_rate,
+    _, _, tree = jax.eval_shape(
+        functools.partial(_master_stage_a_tree, sr=sr,
                           nlm_enabled=nlm_enabled,
-                          afftdn_enabled=afftdn_enabled,
-                          declick_enabled=declick_enabled),
+                          afftdn_enabled=afftdn_enabled),
         xs, f32, f32, f32, f32, f32, f32, shape15, f32, f32, i32, i32,
         chain_ir, kw_ir, tp_bank, deess,
     )
-    flat, treedef = jax.tree_util.tree_flatten(tree)
-    shapes = [l.shape for l in flat]
-    dtypes = [np.dtype(l.dtype) for l in flat]
-    return treedef, shapes, dtypes
+    return _meta_from(tree)
+
+
+@functools.lru_cache(maxsize=32)
+def _master_b_meta(n: int, sr: int, out_rate: int, declick_enabled: bool):
+    f32 = jax.ShapeDtypeStruct((), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((2,), jnp.int32)
+    xs = jax.ShapeDtypeStruct((n,), jnp.float32)
+    kw_ir = jax.ShapeDtypeStruct((4096,), jnp.float32)
+    tp_bank = jax.ShapeDtypeStruct((4, 12), jnp.float32)
+    _, tree = jax.eval_shape(
+        functools.partial(_master_stage_b_tree, sr=sr, out_rate=out_rate,
+                          declick_enabled=declick_enabled),
+        xs, f32, f32, i32, i32, kw_ir, tp_bank,
+    )
+    return _meta_from(tree)
 
 
 
@@ -546,10 +614,11 @@ def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
 
 
 def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[jnp.ndarray, int, dict]:
-    """Run the fused pass-2/3/4 program with per-file parameters drawn from
-    the adapted config.  Returns (output_i16_device_array, out_rate,
+    """Run the fused pass-2/3/4 master (two chained device programs, no
+    host sync between them) with per-file parameters drawn from the
+    adapted config.  Returns (output_i16_device_array, out_rate,
     metrics_host) — the delivery-format resample + s16 quantise happen
-    inside the program."""
+    inside stage B."""
     m = measurements
     nr = cfg.noise_reduction
     shape = np.zeros(15, dtype=np.float32)
@@ -580,14 +649,15 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
         if cfg.resample.enabled and cfg.resample.sample_rate != sample_rate
         else sample_rate
     )
-    flags = dict(
-        sr=sample_rate,
-        out_rate=out_rate,
-        nlm_enabled=nr.enabled,
-        afftdn_enabled=nr.enabled and nr.afftdn_enabled,
-        declick_enabled=cfg.adeclick.enabled,
-    )
-    z, packed = _fused_master_packed(
+    nlm_enabled = nr.enabled
+    afftdn_enabled = nr.enabled and nr.afftdn_enabled
+    declick_enabled = cfg.adeclick.enabled
+    target_tp_lin = jnp.float32(10.0 ** (cfg.loudnorm.target_tp / 20.0))
+    noise_bj = jnp.asarray(noise_b)
+    speech_bj = jnp.asarray(speech_b)
+
+    # stage A dispatch
+    prefixed, offset_db, packed_a = _fused_master_a_packed(
         x.astype(jnp.float32) if x.dtype != jnp.float32 else x,
         jnp.float32(cfg.speech_gate.threshold),
         jnp.float32(cfg.speech_gate.ratio),
@@ -597,17 +667,30 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
         jnp.float32(nf),
         jnp.asarray(shape),
         jnp.float32(cfg.loudnorm.target_i),
-        jnp.float32(10.0 ** (cfg.loudnorm.target_tp / 20.0)),
-        jnp.asarray(noise_b),
-        jnp.asarray(speech_b),
+        target_tp_lin,
+        noise_bj,
+        speech_bj,
         chain_ir, kw_ir, tp_bank, deess_k,
-        **flags,
+        sr=sample_rate, nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled,
     )
-    treedef, shapes, dtypes = _master_meta(
-        n, sample_rate, out_rate, flags["nlm_enabled"],
-        flags["afftdn_enabled"], flags["declick_enabled"],
+
+    # stage B dispatch — consumes A's device outputs, no host sync between
+    z, packed_b = _fused_master_b_packed(
+        prefixed, offset_db, target_tp_lin, noise_bj, speech_bj,
+        kw_ir, tp_bank,
+        sr=sample_rate, out_rate=out_rate, declick_enabled=declick_enabled,
     )
-    metrics = _unpack_all(np.asarray(packed), shapes, dtypes, treedef)
+
+    treedef_a, shapes_a, dtypes_a = _master_a_meta(
+        n, sample_rate, nlm_enabled, afftdn_enabled
+    )
+    treedef_b, shapes_b, dtypes_b = _master_b_meta(
+        n, sample_rate, out_rate, declick_enabled
+    )
+    ma = _unpack_all(np.asarray(packed_a), shapes_a, dtypes_a, treedef_a)
+    mb = _unpack_all(np.asarray(packed_b), shapes_b, dtypes_b, treedef_b)
+    metrics = {**ma, **mb,
+               "regions": {**ma["regions"], **mb["regions"]}}
     return z, out_rate, metrics
 
 
