@@ -313,24 +313,32 @@ def analyse_audio(
 
     # --- band phase (batched on-device; ref: analyser.go:335-358) ---
     if measure_bands and fused:
-        # one dispatch per region with traced bounds (no recompiles)
+        # one dispatch per region with traced bounds (no recompiles); both
+        # regions dispatch before either pulls, so they overlap on device
         from ..pipeline.fused import (
             NOISE_PAD_SECS,
             SPEECH_PAD_SECS,
-            fused_band_rms,
+            band_rms_collect,
+            band_rms_dispatch,
         )
 
+        speech_h = noise_h = None
         if vad.speech_profile is not None and vad.speech_profile.region.duration > 0:
-            rms = fused_band_rms(x, sample_rate, vad.speech_profile.region, SPEECH_PAD_SECS)
+            speech_h = band_rms_dispatch(
+                x, sample_rate, vad.speech_profile.region, SPEECH_PAD_SECS
+            )
+        if vad.noise_profile is not None and vad.noise_region is not None and vad.noise_profile.duration > 0:
+            noise_h = band_rms_dispatch(x, sample_rate, vad.noise_region, NOISE_PAD_SECS)
+        if speech_h is not None:
+            rms = band_rms_collect(speech_h)
             body, sib = rms[15], rms[16]
             body_ok = math.isfinite(body)
             sib_ok = math.isfinite(sib)
             vad.speech_profile.body_band_rms = body if body_ok else 0.0
             vad.speech_profile.sib_band_rms = sib if sib_ok else 0.0
             vad.speech_profile.bands_measured = body_ok and sib_ok
-        if vad.noise_profile is not None and vad.noise_region is not None and vad.noise_profile.duration > 0:
-            rms = fused_band_rms(x, sample_rate, vad.noise_region, NOISE_PAD_SECS)
-            band_noise = rms[:15]
+        if noise_h is not None:
+            band_noise = band_rms_collect(noise_h)[:15]
             finite = sum(1 for v in band_noise if math.isfinite(v))
             vad.noise_profile.band_noise = band_noise
             vad.noise_profile.bands_measured = finite >= 10

@@ -4,7 +4,9 @@ TPU-fast.
 The naive pipeline issues ~80-100 separate device dispatches per file, each
 with a host sync; on a remote-attached TPU every sync costs dispatch
 latency that dwarfs the compute.  These fused programs collapse the
-pipeline to THREE device round trips per file:
+pipeline to a handful of host-sync points per file (analysis pull, two
+band-RMS pulls, and the master's packed-metrics pulls — the master's A/B
+stages chain on device without a sync between them):
 
   1. `fused_analysis(x)`  — every Pass-1 device quantity in one jit:
      K-weighted block powers, momentary/short-term series, gated
@@ -829,10 +831,10 @@ def _band_irs(sample_rate: int, pad_len: int):
     return jnp.asarray(mat), fft_len, tuple(live), len(bands)
 
 
-def fused_band_rms(x, sample_rate: int, region, pad_secs: float) -> list[float]:
-    """All 17 band RMS values over one region in one dispatch with traced
-    bounds (no per-region recompiles).  Returns dB values; NaN for
-    unmeasurable bands; region windows clamp at `pad_secs`."""
+def band_rms_dispatch(x, sample_rate: int, region, pad_secs: float):
+    """Dispatch the 17-band region-RMS program; returns an opaque handle.
+    Pull with `band_rms_collect` — dispatching BOTH regions before pulling
+    either overlaps their device execution (one sync instead of two)."""
     x = jnp.asarray(x, dtype=jnp.float32)
     n = int(x.shape[0])
     pad_len = int(pad_secs * sample_rate)
@@ -841,14 +843,24 @@ def fused_band_rms(x, sample_rate: int, region, pad_secs: float) -> list[float]:
     length = min(e - s, pad_len)
 
     irs, fft_len, live, n_bands = _band_irs(sample_rate, pad_len)
-    ms = np.asarray(
-        _fused_band_rms_impl(
-            x, jnp.int32(s), jnp.int32(length), irs, pad_len, fft_len
-        ),
-        dtype=np.float64,
+    dev = _fused_band_rms_impl(
+        x, jnp.int32(s), jnp.int32(length), irs, pad_len, fft_len
     )
+    return dev, live, n_bands
+
+
+def band_rms_collect(handle) -> list[float]:
+    dev, live, n_bands = handle
+    ms = np.asarray(dev, dtype=np.float64)
     out = [math.nan] * n_bands
     for k, i in enumerate(live):
         v = float(ms[k])
         out[i] = 10.0 * math.log10(v) if v > 0 and math.isfinite(v) else -math.inf
     return out
+
+
+def fused_band_rms(x, sample_rate: int, region, pad_secs: float) -> list[float]:
+    """All 17 band RMS values over one region in one dispatch with traced
+    bounds (no per-region recompiles).  Returns dB values; NaN for
+    unmeasurable bands; region windows clamp at `pad_secs`."""
+    return band_rms_collect(band_rms_dispatch(x, sample_rate, region, pad_secs))
