@@ -38,42 +38,61 @@ def envelope_coeff(ms: float, sample_rate: float) -> float:
     return min(1.0, 4000.0 / (ms * sample_rate))
 
 
-def _lr_combine(left, right):
-    a1, b1 = left
-    a2, b2 = right
-    return a1 * a2, a2 * b1 + b2
-
-
-_LR_BLOCK = 4096
+_LR_BLOCK = 65536
 
 
 def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, y0: float | jnp.ndarray = 0.0) -> jnp.ndarray:
     """Solve y[t] = a[t] * y[t-1] + b[t] with y[-1] = y0 along the LAST axis
-    (leading axes batch) via a blocked two-level parallel scan.
+    (leading axes batch): `lax.scan` over 64k blocks, Hillis-Steele parallel
+    prefix inside each block.
 
-    The flat associative scan over n samples runs log2(n) (~24) full-array
-    passes; blocking into (m, 4096) runs log2(4096) = 12 passes over the
-    same data plus a tiny scan over the m block carries — ~2x less HBM
-    traffic and a shallower program for the TPU backend to fuse."""
+    Formulation chosen for the TPU AOT compiler as much as the TPU itself:
+    a flat `associative_scan` over the full signal unrolls ~2*log2(n)
+    full-array HLO stages PER CALL and the compile helper gets OOM-killed
+    on programs with several of them (measured 2026-08-16).  The scan body
+    here is compiled ONCE for all blocks — program size is O(log block),
+    independent of signal length — while the runtime work is the same
+    log-depth parallel prefix, and the cross-block dependency is the
+    scalar carry the recurrence already has."""
     n = a.shape[-1]
+    lead = a.shape[:-1]
     b = b.at[..., 0].add(a[..., 0] * y0)
-    if n <= 2 * _LR_BLOCK:
-        _, B = jax.lax.associative_scan(_lr_combine, (a, b), axis=-1)
+    block = _LR_BLOCK
+    if n <= block:
+        # single block: one in-place prefix, no scan
+        A, B = a, b
+        s = 1
+        pad0 = [(0, 0)] * (a.ndim - 1)
+        while s < n:
+            Ash = jnp.pad(A, pad0 + [(s, 0)], constant_values=1.0)[..., :n]
+            Bsh = jnp.pad(B, pad0 + [(s, 0)])[..., :n]
+            A, B = Ash * A, A * Bsh + B
+            s *= 2
         return B
-    m = -(-n // _LR_BLOCK)
-    pad = m * _LR_BLOCK - n
+    m = -(-n // block)
+    pad = m * block - n
     if pad:
-        a = jnp.concatenate([a, jnp.ones((*a.shape[:-1], pad), a.dtype)], axis=-1)
-        b = jnp.concatenate([b, jnp.zeros((*b.shape[:-1], pad), b.dtype)], axis=-1)
-    a2 = a.reshape(*a.shape[:-1], m, _LR_BLOCK)
-    b2 = b.reshape(*b.shape[:-1], m, _LR_BLOCK)
-    A, B = jax.lax.associative_scan(_lr_combine, (a2, b2), axis=-1)
-    _, CB = jax.lax.associative_scan(_lr_combine, (A[..., -1], B[..., -1]), axis=-1)
-    c_in = jnp.concatenate(
-        [jnp.zeros((*CB.shape[:-1], 1), b.dtype), CB[..., :-1]], axis=-1
-    )
-    y = B + A * c_in[..., None]
-    return y.reshape(*y.shape[:-2], m * _LR_BLOCK)[..., :n]
+        a = jnp.concatenate([a, jnp.ones((*lead, pad), a.dtype)], axis=-1)
+        b = jnp.concatenate([b, jnp.zeros((*lead, pad), b.dtype)], axis=-1)
+    a2 = jnp.moveaxis(a.reshape(*lead, m, block), -2, 0)
+    b2 = jnp.moveaxis(b.reshape(*lead, m, block), -2, 0)
+
+    def body(carry, ab):
+        A, B = ab
+        s = 1
+        pad0 = [(0, 0)] * (A.ndim - 1)
+        while s < block:
+            Ash = jnp.pad(A, pad0 + [(s, 0)], constant_values=1.0)[..., :block]
+            Bsh = jnp.pad(B, pad0 + [(s, 0)])[..., :block]
+            A, B = Ash * A, A * Bsh + B
+            s *= 2
+        y = B + A * carry[..., None]
+        return y[..., -1], y
+
+    carry0 = jnp.full(lead, y0, a.dtype) if lead else jnp.asarray(y0, a.dtype)
+    _, ys = jax.lax.scan(body, carry0, (a2, b2))
+    out = jnp.moveaxis(ys, 0, -2).reshape(*lead, m * block)
+    return out[..., :n]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

@@ -50,6 +50,47 @@ def _sliding_min_lookahead(x: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.minimum(suffix, prefix).reshape(-1)[:n]
 
 
+_MP_BLOCK = 65536
+
+
+def _maxplus_prefix(v: jnp.ndarray, c) -> jnp.ndarray:
+    """w[t] = max(v[t], w[t-1] + c) with w[-1] = -inf: `lax.scan` over 64k
+    blocks, Hillis-Steele max-plus prefix inside each block.  The blocked
+    form keeps the program size O(log block) — a flat associative scan
+    over the signal OOM-kills the AOT compile helper — and keeps the
+    additive offsets small (|t_local * c| <= block/release), where the
+    flat log-domain trick pushed t*c to ~3000 at float32's edge."""
+    n = v.shape[0]
+    block = _MP_BLOCK
+    neg = jnp.float32(-3.0e38)
+
+    def prefix(P):
+        s = 1
+        while s < P.shape[-1]:
+            Psh = jnp.pad(P, [(s, 0)], constant_values=neg)[: P.shape[-1]]
+            P = jnp.maximum(P, Psh + s * c)
+            s *= 2
+        return P
+
+    if n <= block:
+        return prefix(v)
+
+    m = -(-n // block)
+    pad = m * block - n
+    if pad:
+        v = jnp.concatenate([v, jnp.full(pad, neg, v.dtype)])
+    v2 = v.reshape(m, block)
+    steps = jnp.arange(1, block + 1, dtype=jnp.float32) * c
+
+    def body(carry, vb):
+        P = prefix(vb)
+        w = jnp.maximum(P, carry + steps)
+        return w[-1], w
+
+    _, ws = jax.lax.scan(body, neg, v2)
+    return ws.reshape(m * block)[:n]
+
+
 def limiter_core(
     x: jnp.ndarray,
     limit,
@@ -66,10 +107,7 @@ def limiter_core(
     c = -1.0 / release_samples           # log(lambda)
     v = 1.0 - target                     # attenuation depth, in [0, 1)
     wv = jnp.log(jnp.maximum(v, jnp.exp(_LOG_FLOOR)))
-    t_idx = jnp.arange(n, dtype=jnp.float32)
-    shifted = wv - t_idx * c
-    run = jax.lax.associative_scan(jnp.maximum, shifted)
-    w = run + t_idx * c
+    w = _maxplus_prefix(wv, c)           # w[t] = max(wv[t], w[t-1] + c)
     u = jnp.exp(jnp.minimum(w, 0.0))
     gain = 1.0 - u
     gain = jnp.minimum(gain, target)
