@@ -23,39 +23,52 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=16)
-def _prototype(L: int, M: int, taps_per_phase: int = 96, beta: float = 10.0):
-    """Windowed-sinc low-pass prototype on the L-upsampled grid, cutoff just
-    below min(pi/L, pi/M), gain L.  The 147/160 (48k->44.1k) conversion
-    needs a narrow transition band (20.4k pass to 22.05k stop), hence the
-    long 96-taps-per-phase prototype."""
+def _design_polyphase(L: int, M: int, taps_per_phase: int = 96, beta: float = 10.0):
+    """(L, taps_per_phase) polyphase bank of a windowed-sinc low-pass with
+    cutoff just below min(pi/L, pi/M) on the upsampled grid, gain L.
+
+    The 147/160 (48k->44.1k) conversion needs a narrow transition band
+    (20.4k pass to 22.05k stop), hence the long 96-tap phases."""
     n_taps = L * taps_per_phase
     cutoff = 0.92 * min(1.0 / L, 1.0 / M)
     m = np.arange(n_taps, dtype=np.float64) - (n_taps - 1) / 2.0
     h = np.sinc(m * cutoff) * cutoff * L
     h *= np.kaiser(n_taps, beta)
-    return h.astype(np.float32)
+    # polyphase decomposition: phase p holds taps p, p+L, p+2L, ...
+    bank = h.reshape(taps_per_phase, L).T  # (L, taps_per_phase)
+    return np.ascontiguousarray(bank[:, ::-1]).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "M", "n_out"))
-def _resample_impl(xp: jnp.ndarray, proto: jnp.ndarray, L: int, M: int, n_out: int):
-    """Rational resampling as ONE dilated convolution: lhs_dilation=L
-    upsamples (zeros interleaved, never materialised by XLA),
-    window_strides=M decimates.  MXU-shaped; replaces a (n_out, taps)
-    gather that materialised ~1 GB."""
-    n_taps = int(proto.shape[0])
-    out = jax.lax.conv_general_dilated(
-        xp[None, None, :],
-        proto[::-1][None, None, :],
-        window_strides=(M,),
-        padding=[(n_taps - 1, n_taps - 1)],
-        lhs_dilation=(L,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+_OUT_CHUNK = 1 << 18   # outputs per scan step: (256k, 96) gather = 100 MB
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M", "taps", "n_out"))
+def _resample_impl(xp: jnp.ndarray, bank: jnp.ndarray, L: int, M: int, taps: int, n_out: int):
+    """Phase-batched gather + dot, chunked with `lax.scan` over output
+    blocks: the program is O(1) in signal length (a single dilated-conv
+    formulation never got through the AOT compile helper, and a whole-file
+    gather materialises (n_out, 96) = ~5 GB).  The (base, phase) position
+    carries advance incrementally, so no index product ever exceeds
+    chunk*M — int32-safe for any file length."""
+    chunk = min(_OUT_CHUNK, max(1, n_out))
+    m = -(-n_out // chunk)
+    t = jnp.arange(chunk, dtype=jnp.int32)
+
+    def body(carry, _):
+        base0, phase0 = carry
+        up = phase0 + t * M                   # <= chunk*M, fits int32
+        ph = up % L
+        base = base0 + up // L
+        frames = xp[base[:, None] + jnp.arange(taps, dtype=jnp.int32)[None, :]]
+        coeff = bank[ph]
+        out = jnp.sum(frames * coeff, axis=-1)
+        total = phase0 + chunk * M
+        return (base0 + total // L, total % L), out
+
+    (_, _), outs = jax.lax.scan(
+        body, (jnp.int32(0), jnp.int32(0)), None, length=m
     )
-    # group delay: the prototype is linear phase, centre (n_taps-1)/2 in the
-    # upsampled domain; output grid starts there
-    delay = (n_taps - 1) // 2
-    start = -(-delay // M) if delay % M else delay // M
-    return out[0, 0, start : start + n_out]
+    return outs.reshape(-1)[:n_out]
 
 
 def resample(x, src_rate: int, dst_rate: int) -> jnp.ndarray:
@@ -68,5 +81,15 @@ def resample(x, src_rate: int, dst_rate: int) -> jnp.ndarray:
     x = jnp.asarray(x, dtype=jnp.float32)
     n = int(x.shape[0])
     n_out = int(n * L // M)
-    proto = _prototype(L, M)
-    return _resample_impl(x, jnp.asarray(proto), L, M, n_out)
+    bank = _design_polyphase(L, M)
+    taps = int(bank.shape[1])
+    # centre the filter (taps//2 left pad ~ zero group delay) + right slack
+    # for the final chunk's overshoot past n_out
+    chunk = min(_OUT_CHUNK, max(1, n_out))
+    m = -(-n_out // chunk)
+    overshoot_in = ((m * chunk) * M) // L - n + taps + 1
+    xp = jnp.concatenate(
+        [jnp.zeros(taps // 2, x.dtype), x,
+         jnp.zeros(max(taps, overshoot_in), x.dtype)]
+    )
+    return _resample_impl(xp, jnp.asarray(bank), L, M, taps, n_out)
