@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _box_filter_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -33,6 +34,62 @@ def _box_filter_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     return c[w:] - c[:-w]
 
 
+_NLM_BLOCK = 65536
+
+
+def _nlm_core(
+    x: jnp.ndarray,
+    h2: jnp.ndarray,
+    patch_radius: int,
+    research_radius: int,
+) -> jnp.ndarray:
+    """`lax.scan` over 64k time blocks; within a block ALL research offsets
+    are static slices of one halo'd window, so each block is one pass of
+    batched (n_offsets, block) vector work.
+
+    The previous offsets-scan ran a full-signal cumsum per offset — ~97
+    log-depth passes over the whole file (~2.3 s of the 300 s fixture's
+    device time) — and the per-offset `roll` kept the whole signal hot in
+    HBM.  Blocked, the distance cumsums run over 66k-sample windows and
+    the whole op is one streaming pass; program size is O(n_offsets), not
+    O(n_offsets * log n)."""
+    n = int(x.shape[0])
+    P, R = patch_radius, research_radius
+    halo = P + R
+    block = _NLM_BLOCK
+    m = -(-n // block)
+    total = m * block
+    xp = jnp.zeros(total + 2 * halo, x.dtype).at[halo : halo + n].set(x)
+    width = block + 2 * P
+    w_box = 2 * P + 1
+    offs = np.arange(-R, R + 1)
+
+    def body(_, i):
+        s = i * block
+        win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+        centre = win[R : R + width]                       # [s-P, s+block+P)
+        shifted = jnp.stack([win[R + d : R + d + width] for d in offs])
+        diff2 = (centre[None, :] - shifted) ** 2
+        c = jnp.cumsum(
+            jnp.concatenate(
+                [jnp.zeros((len(offs), 1), diff2.dtype), diff2], axis=1
+            ),
+            axis=1,
+        )
+        dist = c[:, w_box:] - c[:, :-w_box]               # (n_offs, block)
+        t_global = s + jnp.arange(block)
+        valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
+            (t_global[None, :] + offs[:, None]) < n
+        )
+        w = jnp.exp(-dist / h2) * valid
+        mid = shifted[:, P : P + block]
+        y = jnp.sum(w * mid, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-12)
+        return None, y
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(m))
+    return ys.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("patch_radius", "research_radius"))
 def _nlm_impl(
     x: jnp.ndarray,
@@ -40,29 +97,7 @@ def _nlm_impl(
     patch_radius: int,
     research_radius: int,
 ) -> jnp.ndarray:
-    n = x.shape[0]
-    offsets = jnp.arange(-research_radius, research_radius + 1)
-    idx = jnp.arange(n)
-
-    def accumulate(carry, d):
-        num, den = carry
-        shifted = jnp.roll(x, -d)
-        # zero out the wrapped region so rolled samples don't alias
-        valid = (idx + d >= 0) & (idx + d < n)
-        shifted = jnp.where(valid, shifted, 0.0)
-        diff2 = (x - shifted) ** 2
-        dist = _box_filter_same(diff2, patch_radius)
-        w = jnp.exp(-dist / h2) * valid
-        return (num + w * shifted, den + w), None
-
-    # scan over the ~2R+1 offsets (each step is full-length vector work) so
-    # peak memory stays at two signal-length accumulators instead of a
-    # (n_offsets, n) batch — an hour of 48 kHz audio would need ~10 GB HBM
-    # with the batched formulation
-    (num, den), _ = jax.lax.scan(
-        accumulate, (jnp.zeros(n, x.dtype), jnp.zeros(n, x.dtype)), offsets
-    )
-    return num / jnp.maximum(den, 1e-12)
+    return _nlm_core(x, h2, patch_radius, research_radius)
 
 
 def apply_nlm(

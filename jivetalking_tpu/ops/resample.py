@@ -39,36 +39,43 @@ def _design_polyphase(L: int, M: int, taps_per_phase: int = 96, beta: float = 10
     return np.ascontiguousarray(bank[:, ::-1]).astype(np.float32)
 
 
-_OUT_CHUNK = 1 << 18   # outputs per scan step: (256k, 96) gather = 100 MB
+@functools.lru_cache(maxsize=16)
+def _banded_bank(L: int, M: int, taps_per_phase: int = 96, beta: float = 10.0):
+    """The polyphase bank arranged as `r` banded (M, L) matmul operands.
+
+    Group outputs by phase p = j mod L: j = p + L*q has input base
+    (j*M)//L = (p*M)//L + M*q — a REGULAR stride of M rows.  With the
+    input reshaped to rows X of width M, output row q is
+
+        out[q, p] = sum_k bank[p, k] * X.flat[b_p + M*q + k]
+                  = sum_r (X[q + r] @ B_r)[p],   B_r[c, p] = bank[p, b_p + c - r*M]
+
+    i.e. the ENTIRE rational resample is `sum_r X[r:r+nq] @ B_r` — a couple
+    of MXU matmuls.  No gather (a (n_out, taps) gather ran 11 s on the
+    300 s fixture; this runs in the noise), no dilated conv (which the AOT
+    compile helper never finished)."""
+    bank = _design_polyphase(L, M, taps_per_phase, beta)   # (L, taps), tap-reversed
+    taps = bank.shape[1]
+    r_rows = 1 + (M - 1 + taps - 1) // M      # rows of X each output touches
+    B = np.zeros((r_rows, M, L), dtype=np.float32)
+    for p in range(L):                        # p = j mod L output group
+        b_p = (p * M) // L                    # input base of the group
+        ph = (p * M) % L                      # filter phase the group uses
+        for k in range(taps):
+            c = b_p + k
+            B[c // M, c % M, p] = bank[ph, k]
+    return B, taps
 
 
 @functools.partial(jax.jit, static_argnames=("L", "M", "taps", "n_out"))
-def _resample_impl(xp: jnp.ndarray, bank: jnp.ndarray, L: int, M: int, taps: int, n_out: int):
-    """Phase-batched gather + dot, chunked with `lax.scan` over output
-    blocks: the program is O(1) in signal length (a single dilated-conv
-    formulation never got through the AOT compile helper, and a whole-file
-    gather materialises (n_out, 96) = ~5 GB).  The (base, phase) position
-    carries advance incrementally, so no index product ever exceeds
-    chunk*M — int32-safe for any file length."""
-    chunk = min(_OUT_CHUNK, max(1, n_out))
-    m = -(-n_out // chunk)
-    t = jnp.arange(chunk, dtype=jnp.int32)
-
-    def body(carry, _):
-        base0, phase0 = carry
-        up = phase0 + t * M                   # <= chunk*M, fits int32
-        ph = up % L
-        base = base0 + up // L
-        frames = xp[base[:, None] + jnp.arange(taps, dtype=jnp.int32)[None, :]]
-        coeff = bank[ph]
-        out = jnp.sum(frames * coeff, axis=-1)
-        total = phase0 + chunk * M
-        return (base0 + total // L, total % L), out
-
-    (_, _), outs = jax.lax.scan(
-        body, (jnp.int32(0), jnp.int32(0)), None, length=m
-    )
-    return outs.reshape(-1)[:n_out]
+def _resample_impl(xp: jnp.ndarray, B: jnp.ndarray, L: int, M: int, taps: int, n_out: int):
+    r_rows = int(B.shape[0])
+    nq = -(-n_out // L)
+    X = xp[: (nq + r_rows) * M].reshape(nq + r_rows, M)
+    out = jnp.zeros((nq, L), jnp.float32)
+    for r in range(r_rows):
+        out = out + X[r : r + nq] @ B[r]
+    return out.reshape(-1)[:n_out]
 
 
 def resample(x, src_rate: int, dst_rate: int) -> jnp.ndarray:
@@ -81,15 +88,14 @@ def resample(x, src_rate: int, dst_rate: int) -> jnp.ndarray:
     x = jnp.asarray(x, dtype=jnp.float32)
     n = int(x.shape[0])
     n_out = int(n * L // M)
-    bank = _design_polyphase(L, M)
-    taps = int(bank.shape[1])
+    B, taps = _banded_bank(L, M)
+    r_rows = int(B.shape[0])
+    nq = -(-n_out // L)
     # centre the filter (taps//2 left pad ~ zero group delay) + right slack
-    # for the final chunk's overshoot past n_out
-    chunk = min(_OUT_CHUNK, max(1, n_out))
-    m = -(-n_out // chunk)
-    overshoot_in = ((m * chunk) * M) // L - n + taps + 1
+    # so the (nq + r_rows, M) reshape always has data
+    need = (nq + r_rows) * M
     xp = jnp.concatenate(
         [jnp.zeros(taps // 2, x.dtype), x,
-         jnp.zeros(max(taps, overshoot_in), x.dtype)]
+         jnp.zeros(max(0, need - n - taps // 2) + M, x.dtype)]
     )
-    return _resample_impl(xp, jnp.asarray(bank), L, M, taps, n_out)
+    return _resample_impl(xp, jnp.asarray(B), L, M, taps, n_out)

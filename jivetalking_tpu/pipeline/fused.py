@@ -56,7 +56,7 @@ from ..ops.dynamics import (
 from ..ops.framing import frame_signal, overlap_add
 from ..ops.iir import cascade, design_highpass, design_lowpass, sos_impulse_response
 from ..ops.limiter import limiter_core
-from ..ops.nlm import _box_filter_same
+from ..ops.nlm import _nlm_core
 from ..ops.spectral_gate import _hann
 from ..utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ, afftdn_band_edges_hz
 from .normalise import (
@@ -277,22 +277,7 @@ def _master_stage_a_tree(
         research_radius = max(1, int(round(0.0020 * sr / 2.0)))
         h = 0.00001 * 10000.0
         h2 = jnp.float32(h * h / 3.0)
-        idx = jnp.arange(n)
-
-        def accumulate(carry, d):
-            num, den = carry
-            shifted = jnp.roll(y, -d)
-            valid = (idx + d >= 0) & (idx + d < n)
-            shifted = jnp.where(valid, shifted, 0.0)
-            dist = _box_filter_same((y - shifted) ** 2, patch_radius)
-            w = jnp.exp(-dist / h2) * valid
-            return (num + w * shifted, den + w), None
-
-        offsets = jnp.arange(-research_radius, research_radius + 1)
-        (num, den), _ = jax.lax.scan(
-            accumulate, (jnp.zeros(n, y.dtype), jnp.zeros(n, y.dtype)), offsets
-        )
-        y = num / jnp.maximum(den, 1e-12)
+        y = _nlm_core(y, h2, patch_radius, research_radius)
 
     # --- afftdn spectral gate (traced nf + band shape) ---
     if afftdn_enabled:
