@@ -216,13 +216,19 @@ class GainAdviceResult:
         return f"Level well set. Peaks at {self.input_tp:+.1f} ㏈TP. No action required."
 
 
+def _round_half_away(x: float) -> float:
+    """Go math.Round semantics (half away from zero); Python's round is
+    half-to-even, which diverges at exact .5 deltas."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def gain_advice(input_tp: float) -> GainAdviceResult:
     """4-state advice on the input true peak alone."""
-    lower_delta = -round(input_tp - GAIN_ADVICE_TARGET_TP)
+    lower_delta = -_round_half_away(input_tp - GAIN_ADVICE_TARGET_TP)
     if input_tp >= 0:
         return GainAdviceResult("clipping", input_tp, lower_delta)
     if input_tp > GAIN_ADVICE_HOT_TP:
         return GainAdviceResult("hot", input_tp, lower_delta)
     if input_tp < GAIN_ADVICE_QUIET_TP:
-        return GainAdviceResult("quiet", input_tp, round(GAIN_ADVICE_TARGET_TP - input_tp))
+        return GainAdviceResult("quiet", input_tp, _round_half_away(GAIN_ADVICE_TARGET_TP - input_tp))
     return GainAdviceResult("fine", input_tp, 0.0)
