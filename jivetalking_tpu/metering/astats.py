@@ -129,11 +129,15 @@ def _astats_core(x: jnp.ndarray, w: int):
     min_runs = jnp.sum(at_min[1:] & ~at_min[:-1]) + at_min[0]
     max_runs = jnp.sum(at_max[1:] & ~at_max[:-1]) + at_max[0]
 
-    # entropy over an 8192-bin sample-value histogram, log2-normalised
+    # entropy over an 8192-bin sample-value histogram, log2-normalised.
+    # The histogram is built scatter-free (TPU scatters serialise): sort the
+    # bin indices once, then per-bin counts are adjacent differences of
+    # searchsorted edge positions.
     bins = _ENTROPY_BINS
     idx = jnp.clip(((x + 1.0) * (bins / 2.0)).astype(jnp.int32), 0, bins - 1)
-    hist = jnp.zeros(bins, jnp.float32).at[idx].add(1.0)
-    p = hist / nf
+    sorted_idx = jax.lax.sort(idx)
+    edges = jnp.searchsorted(sorted_idx, jnp.arange(bins + 1, dtype=jnp.int32))
+    p = jnp.diff(edges).astype(jnp.float32) / nf
     ent = -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0)) / math.log2(bins)
 
     # windowed stats

@@ -41,58 +41,51 @@ def envelope_coeff(ms: float, sample_rate: float) -> float:
 _LR_BLOCK = 65536
 
 
+def _ab_prefix(A: jnp.ndarray, B: jnp.ndarray, length: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive Hillis-Steele prefix of the first-order-recurrence monoid
+    (A1,B1)∘(A2,B2) = (A1·A2, A2·B1+B2) along the last axis."""
+    s = 1
+    pad0 = [(0, 0)] * (A.ndim - 1)
+    while s < length:
+        Ash = jnp.pad(A, pad0 + [(s, 0)], constant_values=1.0)[..., :length]
+        Bsh = jnp.pad(B, pad0 + [(s, 0)])[..., :length]
+        A, B = Ash * A, A * Bsh + B
+        s *= 2
+    return A, B
+
+
 def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, y0: float | jnp.ndarray = 0.0) -> jnp.ndarray:
     """Solve y[t] = a[t] * y[t-1] + b[t] with y[-1] = y0 along the LAST axis
-    (leading axes batch): `lax.scan` over 64k blocks, Hillis-Steele parallel
-    prefix inside each block.
+    (leading axes batch): two-level parallel prefix — Hillis-Steele inside
+    64k blocks, then a tiny cross-block carry prefix.
 
     Formulation chosen for the TPU AOT compiler as much as the TPU itself:
     a flat `associative_scan` over the full signal unrolls ~2*log2(n)
     full-array HLO stages PER CALL and the compile helper gets OOM-killed
-    on programs with several of them (measured 2026-08-16).  The scan body
-    here is compiled ONCE for all blocks — program size is O(log block),
-    independent of signal length — while the runtime work is the same
-    log-depth parallel prefix, and the cross-block dependency is the
-    scalar carry the recurrence already has."""
+    on programs with several of them (measured 2026-08-16).  The blocked
+    form keeps the program size O(log block), independent of signal
+    length.  No `lax.scan` over blocks either: on the TPU each while-loop
+    iteration costs ~1 ms of dispatch overhead, so a 220-block scan burnt
+    ~270 ms per follower (profiled 2026-08-16); the cross-block carries
+    are themselves a first-order recurrence over ~220 elements, solved
+    with the same prefix in O(log m) tiny stages."""
     n = a.shape[-1]
     lead = a.shape[:-1]
     b = b.at[..., 0].add(a[..., 0] * y0)
     block = _LR_BLOCK
     if n <= block:
-        # single block: one in-place prefix, no scan
-        A, B = a, b
-        s = 1
-        pad0 = [(0, 0)] * (a.ndim - 1)
-        while s < n:
-            Ash = jnp.pad(A, pad0 + [(s, 0)], constant_values=1.0)[..., :n]
-            Bsh = jnp.pad(B, pad0 + [(s, 0)])[..., :n]
-            A, B = Ash * A, A * Bsh + B
-            s *= 2
-        return B
+        return _ab_prefix(a, b, n)[1]
     m = -(-n // block)
     pad = m * block - n
     if pad:
         a = jnp.concatenate([a, jnp.ones((*lead, pad), a.dtype)], axis=-1)
         b = jnp.concatenate([b, jnp.zeros((*lead, pad), b.dtype)], axis=-1)
-    a2 = jnp.moveaxis(a.reshape(*lead, m, block), -2, 0)
-    b2 = jnp.moveaxis(b.reshape(*lead, m, block), -2, 0)
-
-    def body(carry, ab):
-        A, B = ab
-        s = 1
-        pad0 = [(0, 0)] * (A.ndim - 1)
-        while s < block:
-            Ash = jnp.pad(A, pad0 + [(s, 0)], constant_values=1.0)[..., :block]
-            Bsh = jnp.pad(B, pad0 + [(s, 0)])[..., :block]
-            A, B = Ash * A, A * Bsh + B
-            s *= 2
-        y = B + A * carry[..., None]
-        return y[..., -1], y
-
-    carry0 = jnp.full(lead, y0, a.dtype) if lead else jnp.asarray(y0, a.dtype)
-    _, ys = jax.lax.scan(body, carry0, (a2, b2))
-    out = jnp.moveaxis(ys, 0, -2).reshape(*lead, m * block)
-    return out[..., :n]
+    A2, B2 = _ab_prefix(a.reshape(*lead, m, block), b.reshape(*lead, m, block), block)
+    # carries: y at each block's end obeys the same recurrence over blocks
+    _, Bc = _ab_prefix(A2[..., -1], B2[..., -1], m)
+    carry = jnp.concatenate([jnp.zeros_like(Bc[..., :1]), Bc[..., :-1]], axis=-1)
+    y = B2 + A2 * carry[..., None]
+    return y.reshape(*lead, m * block)[..., :n]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

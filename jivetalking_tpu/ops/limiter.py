@@ -53,42 +53,49 @@ def _sliding_min_lookahead(x: jnp.ndarray, w: int) -> jnp.ndarray:
 _MP_BLOCK = 65536
 
 
+_MP_NEG = -3.0e38
+
+
+def _mp_prefix(P: jnp.ndarray, c, length: int) -> jnp.ndarray:
+    """Inclusive max-plus prefix w[t] = max(P[t], w[t-1] + c) along the last
+    axis (Hillis-Steele; step s adds s*c)."""
+    s = 1
+    pad0 = [(0, 0)] * (P.ndim - 1)
+    while s < length:
+        Psh = jnp.pad(P, pad0 + [(s, 0)], constant_values=_MP_NEG)[..., :length]
+        P = jnp.maximum(P, Psh + s * c)
+        s *= 2
+    return P
+
+
 def _maxplus_prefix(v: jnp.ndarray, c) -> jnp.ndarray:
-    """w[t] = max(v[t], w[t-1] + c) with w[-1] = -inf: `lax.scan` over 64k
-    blocks, Hillis-Steele max-plus prefix inside each block.  The blocked
+    """w[t] = max(v[t], w[t-1] + c) with w[-1] = -inf: two-level max-plus
+    parallel prefix — Hillis-Steele inside 64k blocks, then a tiny
+    cross-block carry prefix (shift block*c per block step).  The blocked
     form keeps the program size O(log block) — a flat associative scan
     over the signal OOM-kills the AOT compile helper — and keeps the
     additive offsets small (|t_local * c| <= block/release), where the
-    flat log-domain trick pushed t*c to ~3000 at float32's edge."""
+    flat log-domain trick pushed t*c to ~3000 at float32's edge.  No
+    `lax.scan` over blocks: TPU while-loop iterations cost ~1 ms each in
+    dispatch overhead (profiled 2026-08-16)."""
     n = v.shape[0]
     block = _MP_BLOCK
-    neg = jnp.float32(-3.0e38)
-
-    def prefix(P):
-        s = 1
-        while s < P.shape[-1]:
-            Psh = jnp.pad(P, [(s, 0)], constant_values=neg)[: P.shape[-1]]
-            P = jnp.maximum(P, Psh + s * c)
-            s *= 2
-        return P
+    neg = jnp.float32(_MP_NEG)
 
     if n <= block:
-        return prefix(v)
+        return _mp_prefix(v, c, n)
 
     m = -(-n // block)
     pad = m * block - n
     if pad:
         v = jnp.concatenate([v, jnp.full(pad, neg, v.dtype)])
-    v2 = v.reshape(m, block)
+    P = _mp_prefix(v.reshape(m, block), c, block)
+    # carries: w at block ends obey w_i = max(P_i[-1], w_{i-1} + block*c)
+    Cl = _mp_prefix(P[:, -1], block * c, m)
+    carry = jnp.concatenate([jnp.full((1,), neg), Cl[:-1]])
     steps = jnp.arange(1, block + 1, dtype=jnp.float32) * c
-
-    def body(carry, vb):
-        P = prefix(vb)
-        w = jnp.maximum(P, carry + steps)
-        return w[-1], w
-
-    _, ws = jax.lax.scan(body, neg, v2)
-    return ws.reshape(m * block)[:n]
+    w = jnp.maximum(P, carry[:, None] + steps[None, :])
+    return w.reshape(m * block)[:n]
 
 
 def limiter_core(

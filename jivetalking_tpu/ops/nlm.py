@@ -34,7 +34,11 @@ def _box_filter_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     return c[w:] - c[:-w]
 
 
-_NLM_BLOCK = 65536
+# 512k blocks: the body's work per block (~n_offsets * block vector ops) is
+# large enough to amortise the ~1 ms/iteration TPU while-loop dispatch
+# overhead (28 iterations for an hour-scale file instead of 220+), while the
+# (n_offsets, block + 2P) intermediates stay ~200 MB — comfortably in HBM.
+_NLM_BLOCK = 524288
 
 
 def _nlm_core(
