@@ -23,7 +23,8 @@ class DebugSink:
     def open(cls, enabled: bool, path: str = DEBUG_LOG_PATH) -> "DebugSink":
         if not enabled:
             return cls(None)
-        return cls(open(path, "a"))
+        # truncate per run (ref: createDebugLogFile = os.Create, main.go:36)
+        return cls(open(path, "w"))
 
     def logf(self, fmt: str, *args) -> None:
         if self._file is None:

@@ -144,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
                     on_adapted=live.on_adapted_summary,
                     on_file_complete=live.on_file_complete,
                     on_warning=lambda w: warnings.append(w),
+                    on_debug=lambda p, msg: sink.for_file(p)(msg),
                 )
                 outcomes = run_pool(
                     args.files,
@@ -159,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
                 on_progress=on_progress,
                 on_file_complete=on_complete,
                 on_warning=lambda w: warnings.append(w),
+                on_debug=lambda p, msg: sink.for_file(p)(msg),
             )
             outcomes = run_pool(
                 args.files,

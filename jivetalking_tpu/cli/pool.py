@@ -15,6 +15,7 @@ Behavioural rebuild of cmd/jivetalking/pool.go:122-340:
 
 from __future__ import annotations
 
+import math
 import os
 import threading
 import time
@@ -86,6 +87,7 @@ class PoolEvents:
     on_adapted: callable = None         # (path, AdaptedSummary)
     on_file_complete: callable = None   # (FileOutcome)
     on_warning: callable = None         # (str)
+    on_debug: callable = None           # (path, str) -> serialised debug sink
 
 
 def _emit(cb, *args) -> None:
@@ -133,6 +135,67 @@ def _emit_report_artefacts(
                 fn(target)
             except Exception as e:
                 _emit(warn, f"failed to write {os.path.basename(target)}: {e}")
+
+
+def _debug_analysis(events: PoolEvents, path: str, m: AudioMeasurements) -> None:
+    """Per-file Pass-1 debug lines (ref: the VAD summary Logf,
+    analyser_vad.go:781-783)."""
+    v = m.vad
+    _emit(
+        events.on_debug, path,
+        "VAD: split=%.1f dB, floor=%.1f dB, margin=%.2f dB, gapTol=%d, "
+        "runs=%d, speechElected=%s, noiseRegion=%s, flooredFrac=%.2f, "
+        "voiceActivated=%s"
+        % (v.split, v.floor, v.margin, v.gap_tolerance_intervals,
+           len(v.speech_regions),
+           f"{v.speech_profile.region.start:.1f}s+{v.speech_profile.region.duration:.1f}s"
+           if v.speech_profile else "none",
+           f"{v.noise_region.start:.1f}s+{v.noise_region.duration:.1f}s"
+           if v.noise_region else "none",
+           v.floored_fraction, v.voice_activated),
+    )
+    g = v.gate_stats
+    _emit(
+        events.on_debug, path,
+        "gate stats: voicedP10=%.1f dB, noiseP95=%.1f dB, separation=%.1f dB"
+        % (g.voiced_low_percentile, g.noise_high_percentile, g.separation_db),
+    )
+
+
+def _debug_result(events: PoolEvents, path: str, res: ProcessResult) -> None:
+    """Per-file adaptation + normalisation debug lines (ref: the plan and
+    detective messages in normalise.go and the AdaptConfig diagnostics)."""
+    eff, d = res.effective_config, res.diagnostics
+    nr = eff.noise_reduction
+    _emit(
+        events.on_debug, path,
+        "adapted: afftdn=%s nf=%.1f type=%s; gate thr=%.1f dB ratio=%.1f "
+        "depth=%.0f dB; comp thr=%.1f dB; deesser i=%.2f"
+        % ("on" if nr.afftdn_enabled else "off", nr.afftdn_noise_floor,
+           nr.afftdn_noise_type,
+           20.0 * math.log10(eff.speech_gate.threshold)
+           if eff.speech_gate.threshold > 0 else float("-inf"),
+           eff.speech_gate.ratio,
+           d.speech_gate_depth_db if d else 0.0,
+           eff.levelling_compressor.threshold,
+           eff.deesser.intensity),
+    )
+    n = res.normalisation
+    _emit(
+        events.on_debug, path,
+        "normalise: limiter=%s ceiling=%.1f dBTP preGain=%.1f dB clamped=%s; "
+        "offset=%.2f dB effectiveTarget=%.2f LUFS final=%.2f LUFS withinTarget=%s"
+        % ("on" if n.limiter_enabled else "off", n.limiter_ceiling_dbtp,
+           n.pre_gain_db, n.limiter_clamped, n.gain_applied_db,
+           n.effective_target_i, n.output_lufs, n.within_target),
+    )
+    if n.linear_mode_forced:
+        _emit(
+            events.on_debug, path,
+            "NOTE: linear-mode cap engaged; effective target %.2f LUFS below "
+            "requested %.2f (peak-limited input)"
+            % (n.effective_target_i, n.requested_target_i),
+        )
 
 
 def process_one_file(
@@ -222,6 +285,8 @@ def process_one_file(
         outcome.result = res
         outcome.measurements = res.measurements
 
+        _debug_analysis(events, path, res.measurements)
+        _debug_result(events, path, res)
         _emit_report_artefacts(path, outcome, res, diagnostics, events.on_warning)
     except InterruptedError:
         outcome.error = "cancelled"
@@ -249,6 +314,7 @@ def analyse_one_file(
         if cancel.is_set():
             raise InterruptedError("cancelled")
         m, eff, diag = analyse_only(samples, meta.sample_rate, base)
+        _debug_analysis(events, path, m)
         outcome.input_lufs = m.loudness.input_i
         outcome.input_tp = m.loudness.input_tp
         outcome.input_lra = m.loudness.input_lra

@@ -135,6 +135,16 @@ class TestPool:
         rec = json.load(open(f"{stem}-wav-analysis.json"))
         assert rec["schema_version"] == 1
 
+    def test_debug_lines_emitted(self, fixture_wav):
+        # -d threading: the pool emits the VAD summary + gate-stats lines per
+        # file (ref: the Logf at analyser_vad.go:781)
+        lines = []
+        events = PoolEvents(on_debug=lambda p, msg: lines.append((p, msg)))
+        run_pool([fixture_wav], events=events, analysis_only=True)
+        assert any(m.startswith("VAD: split=") for _, m in lines)
+        assert any(m.startswith("gate stats:") for _, m in lines)
+        assert all(p == fixture_wav for p, _ in lines)
+
     def test_error_isolation(self, fixture_wav, tmp_path):
         bad = str(tmp_path / "bad.wav")
         open(bad, "wb").write(b"RIFFgarbage")
