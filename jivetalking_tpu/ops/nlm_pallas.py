@@ -14,7 +14,17 @@ in VMEM (halo = research + patch radius), and for each offset d:
     num  += w * shifted;  den += w
 
 `apply_nlm_pallas` falls back to the XLA path on non-TPU backends (the
-kernel also runs under `interpret=True` for CPU tests)."""
+kernel also runs under `interpret=True` for CPU tests).
+
+CAVEAT (2026-08-16): the current Mosaic toolchain in this environment
+cannot lower the kernel (1D `dynamic_slice`/`cumsum` are unimplemented
+for KernelType.TC, and the chipless AOT compile helper 500s on
+`pallas_call` programs), so compiled mode raises at trace/compile time.
+`apply_nlm_pallas` therefore catches lowering/compile failures and falls
+back to the XLA formulation (ops/nlm.py) — which profiling shows is
+memory-bound at ~0.36 s for a 5-min 48 kHz file, the #2 op in the fused
+master after the transfers.  Revisit when Mosaic grows 1D window
+primitives."""
 
 from __future__ import annotations
 
@@ -127,9 +137,17 @@ def apply_nlm_pallas(
     idx = starts[:, None] + jnp.arange(TILE + 2 * halo)[None, :]
     tiles = xp[0][idx]                                    # (n_tiles, T+2h)
 
-    out = _nlm_pallas_impl(
-        tiles.reshape(1, -1), h2, patch_radius, research_radius, n_tiles,
-        interpret,
-    )
+    try:
+        out = _nlm_pallas_impl(
+            tiles.reshape(1, -1), h2, patch_radius, research_radius, n_tiles,
+            interpret,
+        )
+    except Exception:
+        # Mosaic lowering unavailable (see module caveat): use the XLA path
+        from .nlm import apply_nlm
+
+        return apply_nlm(x, sample_rate, strength=strength,
+                         patch_sec=patch_sec, research_sec=research_sec,
+                         smooth=smooth)
     # _nlm_pallas_impl's in_spec block (1, TILE+2h) at block-offset i*(TILE+2h)
     return out[0, :n]
