@@ -34,6 +34,41 @@ def _box_filter_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     return c[w:] - c[:-w]
 
 
+@functools.lru_cache(maxsize=8)
+def _band_matrix(w: int) -> np.ndarray:
+    """(2w, w) ones-band: column i covers rows [i, i+w)."""
+    j = np.arange(2 * w)[:, None]
+    i = np.arange(w)[None, :]
+    return ((i <= j) & (j < i + w)).astype(np.float32)
+
+
+def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Valid sliding-window sum along the last axis (leading axes batch) as
+    a banded matmul: frames of 2w consecutive samples x (2w, w) ones-band.
+
+    A flat `jnp.cumsum` along a 512k-sample axis lowers to ~log2(n)
+    full-array passes (the NLM block's distance filter spent ~0.3 s there,
+    profiled 2026-08-16); the banded matmul is ONE pass whose reduction
+    runs on the MXU."""
+    *lead, n = x.shape
+    n_out = n - w + 1
+    n_frames = -(-n_out // w)
+    pad_to = n_frames * w + w
+    if pad_to != n:
+        xp = jnp.zeros((*lead, pad_to), x.dtype).at[..., :n].set(x)
+    else:
+        xp = x
+    blocks = xp.reshape(*lead, n_frames + 1, w)
+    frames = jnp.concatenate([blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
+    band = jnp.asarray(_band_matrix(w))
+    sums = jax.lax.dot_general(
+        frames, band,
+        dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return sums.reshape(*lead, n_frames * w)[..., :n_out]
+
+
 # 512k blocks: the body's work per block (~n_offsets * block vector ops) is
 # large enough to amortise the ~1 ms/iteration TPU while-loop dispatch
 # overhead (28 iterations for an hour-scale file instead of 220+), while the
@@ -74,13 +109,7 @@ def _nlm_core(
         centre = win[R : R + width]                       # [s-P, s+block+P)
         shifted = jnp.stack([win[R + d : R + d + width] for d in offs])
         diff2 = (centre[None, :] - shifted) ** 2
-        c = jnp.cumsum(
-            jnp.concatenate(
-                [jnp.zeros((len(offs), 1), diff2.dtype), diff2], axis=1
-            ),
-            axis=1,
-        )
-        dist = c[:, w_box:] - c[:, :-w_box]               # (n_offs, block)
+        dist = _sliding_sum_matmul(diff2, w_box)          # (n_offs, block)
         t_global = s + jnp.arange(block)
         valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
             (t_global[None, :] + offs[:, None]) < n
