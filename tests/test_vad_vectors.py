@@ -276,3 +276,69 @@ class TestDeriveGateStatistics:
         assert got.voiced_low_percentile == 0.0
         assert got.noise_high_percentile == pytest.approx(-42.0, abs=0.001)
         assert got.separation_db == pytest.approx(42.0, abs=0.001)
+
+
+from jivetalking_tpu.analysis.vad import (  # noqa: E402
+    MIN_VIABLE_SPEECH_SCORE,
+    find_best_speech_region,
+    level_variance,
+)
+
+
+class TestFindBestSpeechRegionVectors:
+    """(ref: analyser_candidates_speech_test.go:132-219)."""
+
+    def _runs(self, specs):
+        """specs: [(n_intervals, level)] separated by 20 quiet intervals;
+        returns (iv, [Region])."""
+        levels, regions, idx = [], [], 0
+        for n, lv in specs:
+            start = idx * HOP
+            levels += [lv] * n
+            idx += n
+            regions.append(Region(start, idx * HOP))
+            levels += [-75.0] * 20
+            idx += 20
+        return build_intervals(np.asarray(levels)), regions
+
+    def test_voice_activated_case_sparse_wide_snr_wins(self):
+        # a sparse short wide-SNR run beats a long narrow-SNR run: the
+        # duration term saturates at the adequacy minimum
+        min_iv = int(30.0 / HOP)
+        iv, regions = self._runs([(min_iv + 4, -18.0), ((min_iv + 4) * 3, -38.0)])
+        best, _ = find_best_speech_region(regions, iv, -60.0)
+        assert best is not None
+        assert best.start == regions[0].start
+
+    def test_always_elects_sub_floor_fallback(self):
+        # a lone 3 s run 2 dB over the floor scores under the 0.3 sanity
+        # minimum but must still be elected via the fallback
+        iv, regions = self._runs([(12, -33.0)])
+        best, candidates = find_best_speech_region(regions, iv, -35.0)
+        assert best is not None
+        assert best.start == regions[0].start
+        assert len(candidates) == 1
+        assert candidates[0].score < MIN_VIABLE_SPEECH_SCORE
+
+    def test_all_below_snr_minimum_elects_highest(self):
+        # both candidates sit in the sub-minimum SNR band (~10.65 / ~11.54 dB
+        # margins); the scorer ranks within the band, electing the higher
+        iv, regions = self._runs([(74, -49.35), (81, -48.46)])
+        best, _ = find_best_speech_region(regions, iv, -60.0)
+        assert best is not None
+        assert best.start == regions[1].start
+
+
+class TestLevelVariance:
+    """(ref: analyser_candidates_speech_test.go:221-239)."""
+
+    def test_flat_zero_spread_positive(self):
+        flat = build_intervals(np.full(20, -20.0))
+        assert level_variance(flat, Region(0.0, 20 * HOP)) <= 1e-9
+        spread_levels = np.where(np.arange(20) % 2 == 1, -24.0, -16.0)
+        spread = build_intervals(spread_levels.astype(np.float64))
+        assert level_variance(spread, Region(0.0, 20 * HOP)) > 1e-9
+
+    def test_empty_region_is_zero(self):
+        iv = build_intervals(np.full(10, -20.0))
+        assert level_variance(iv, Region(100.0, 110.0)) == 0.0
