@@ -54,12 +54,15 @@ def _fmt(value, unit: str = "") -> str:
     if isinstance(value, str):
         return value if value else "-"
     v = float(value)
+    # digital silence (-inf or at/below -120) renders the token on dB axes;
+    # NaN/+inf render the placeholder (ref: isDigitalSilence + formatMetricDB,
+    # mdtable.go:80-117)
+    if unit in ("dBFS", "dBTP") and (v == -math.inf or v <= DIGITAL_SILENCE_DB):
+        return "< -120"
+    if unit == "LUFS" and (v == -math.inf or v < LUFS_FLOOR):
+        return "< -70"
     if not math.isfinite(v):
         return "-"
-    if unit in ("dBFS", "dBTP") and v <= DIGITAL_SILENCE_DB:
-        return "< -120"
-    if unit == "LUFS" and v <= LUFS_FLOOR:
-        return "< -70"
     if unit in ("LUFS", "dBTP", "dBFS", "dB", "s"):
         return f"{v:.2f}"
     if unit == "LU":

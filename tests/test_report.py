@@ -129,6 +129,22 @@ class TestMarkdown:
         assert "1m 30s" in md
         assert "12.5x" in md
 
+    def test_digital_silence_and_floor_tokens(self):
+        # -inf and <= -120 render the silence token on dB axes; exactly -70
+        # LUFS is a real measurement, strictly below is the floor token
+        # (ref: mdtable.go:80-131)
+        from jivetalking_tpu.report.render import _fmt
+        import math
+
+        assert _fmt(-math.inf, "dBFS") == "< -120"
+        assert _fmt(-120.0, "dBFS") == "< -120"
+        assert _fmt(-119.9, "dBFS") == "-119.90"
+        assert _fmt(-math.inf, "LUFS") == "< -70"
+        assert _fmt(-70.001, "LUFS") == "< -70"
+        assert _fmt(-70.0, "LUFS") == "-70.00"
+        assert _fmt(math.nan, "dBFS") == "-"
+        assert _fmt(math.inf, "LUFS") == "-"
+
     def test_placeholder_formatting(self):
         from jivetalking_tpu.report.render import _fmt
 
