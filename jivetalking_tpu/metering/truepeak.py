@@ -46,6 +46,7 @@ def _true_peak_impl(x: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1,),
         padding=[(tp - 1, tp - 1)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.max(jnp.abs(out))
 

@@ -65,6 +65,7 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
         frames, band,
         dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return sums.reshape(*lead, n_frames * w)[..., :n_out]
 

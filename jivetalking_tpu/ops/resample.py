@@ -74,7 +74,10 @@ def _resample_impl(xp: jnp.ndarray, B: jnp.ndarray, L: int, M: int, taps: int, n
     X = xp[: (nq + r_rows) * M].reshape(nq + r_rows, M)
     out = jnp.zeros((nq, L), jnp.float32)
     for r in range(r_rows):
-        out = out + X[r : r + nq] @ B[r]
+        # HIGHEST: jax's default matmul precision truncates operands to
+        # bf16 on TPU — unacceptable on the delivery audio path
+        out = out + jnp.matmul(X[r : r + nq], B[r],
+                               precision=jax.lax.Precision.HIGHEST)
     return out.reshape(-1)[:n_out]
 
 

@@ -31,8 +31,8 @@ DEFINITIONS = {
     # spectral
     "mean": ("Spectral mean", "Arithmetic mean of the magnitude bins, sum(mag[n])/size.", ""),
     "variance": ("Spectral variance", "Population variance of the magnitudes about the mean.", ""),
-    "centroid": ("Spectral centroid", "Magnitude-weighted mean frequency of the spectrum.", "Hz"),
-    "spread": ("Spectral spread", "Magnitude-weighted standard deviation of frequency about the centroid.", "Hz"),
+    "centroid_hz": ("Spectral centroid", "Magnitude-weighted mean frequency of the spectrum.", "Hz"),
+    "spread_hz": ("Spectral spread", "Magnitude-weighted standard deviation of frequency about the centroid.", "Hz"),
     "skewness": ("Spectral skewness", "Third standardised spectral moment about the centroid.", ""),
     "kurtosis": ("Spectral kurtosis", "Fourth standardised (Pearson) spectral moment about the centroid; not excess kurtosis.", ""),
     "flatness": ("Spectral flatness", "Geometric mean over arithmetic mean of the magnitudes, a 0-1 linear ratio.", ""),
@@ -40,7 +40,7 @@ DEFINITIONS = {
     "flux": ("Spectral flux", "L2 distance between this frame's and the previous frame's magnitude spectrum.", ""),
     "slope": ("Spectral slope", "Linear-regression slope of magnitude against normalised bin index.", ""),
     "decrease": ("Spectral decrease", "Relative spectral decrease from the first bin.", ""),
-    "rolloff": ("Spectral roll-off", "Frequency below which 85% of the cumulative magnitude lies.", "Hz"),
+    "rolloff_hz": ("Spectral roll-off", "Frequency below which 85% of the cumulative magnitude lies.", "Hz"),
     # noise
     "floor_dbfs": ("Noise floor", "Input VAD noise floor on the K-weighted momentary-LUFS axis (the afftdn seed); a low percentile of the per-interval level set.", "dBFS"),
     "floor_source": ("Floor source", "Origin of the elected floor: astats, rms_estimate, ebur128_estimate, or vad_percentile.", ""),
@@ -53,12 +53,8 @@ DEFINITIONS = {
     # regions
     "start_s": ("Start", "Start time of the elected region from the input origin.", "s"),
     "duration_s": ("Duration", "Length of the elected region.", "s"),
-    "measured_noise_floor": ("Measured floor", "Input room-tone RMS (dBFS) on the astats RMS axis; a different axis from the VAD noise floor.", "dBFS"),
-    "peak_level": ("Peak level", "Largest absolute sample, 20*log10(max(|min|,|max|)).", "dBFS"),
-    "rms_level": ("RMS level", "RMS amplitude of the samples.", "dBFS"),
-    "crest_factor": ("Crest factor", "Region-scoped time-domain peak-to-RMS ratio, in dB.", "dB"),
-    "true_peak": ("True peak", "Inter-sample peak of the 4x-oversampled signal.", "dBTP"),
-    "sample_peak": ("Sample peak", "Largest digital sample without oversampling.", "dBFS"),
+    "measured_floor_dbfs": ("Measured floor", "Input room-tone RMS (dBFS) on the astats RMS axis; a different axis from the VAD noise floor.", "dBFS"),
+    "crest_factor_db": ("Crest factor", "Region-scoped time-domain peak-to-RMS ratio, in dB.", "dB"),
     "speech_band_body_rms_dbfs": ("Body-band RMS", "RMS over the 1-3 kHz vocal-presence band of the elected speech region.", "dBFS"),
     "speech_band_sib_rms_dbfs": ("Sibilant-band RMS", "RMS over the 6-9 kHz sibilant band of the elected speech region.", "dBFS"),
     "voicing_density": ("Voicing density", "Proportion of voiced intervals over the elected speech region, 0-1.", ""),

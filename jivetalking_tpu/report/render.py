@@ -140,8 +140,8 @@ _DYNAMICS_KEYS = [
     "bit_depth", "entropy",
 ]
 _SPECTRAL_KEYS = [
-    "mean", "variance", "centroid", "spread", "skewness", "kurtosis",
-    "entropy", "flatness", "crest", "flux", "slope", "decrease", "rolloff",
+    "mean", "variance", "centroid_hz", "spread_hz", "skewness", "kurtosis",
+    "entropy", "flatness", "crest", "flux", "slope", "decrease", "rolloff_hz",
 ]
 
 
@@ -191,29 +191,26 @@ def _render_regions(rec: dict) -> str:
     parts.append("### Room Tone")
     elected = room.get("elected")
     if elected:
-        flat = {
-            "start_s": elected.get("start"),
-            "duration_s": elected.get("duration"),
-            "measured_noise_floor": elected.get("measured_noise_floor"),
-            "peak_level": elected.get("peak_level"),
-            "crest_factor": elected.get("crest_factor"),
-            "entropy": elected.get("entropy"),
-        }
-        spec = elected.get("spectral") or {}
+        flat = {k: elected.get(k) for k in (
+            "start_s", "duration_s", "measured_floor_dbfs",
+            "peak_level_dbfs", "crest_factor_db", "entropy")}
+        spec = {k[len("spectral_"):]: v for k, v in elected.items()
+                if k.startswith("spectral_")}
         sub = _render_kv_block("**Elected profile**", flat,
-                               ["start_s", "duration_s", "measured_noise_floor",
-                                "peak_level", "crest_factor", "entropy"])
+                               ["start_s", "duration_s", "measured_floor_dbfs",
+                                "peak_level_dbfs", "crest_factor_db", "entropy"])
         if sub:
             parts.append(sub)
         sub = _render_kv_block("**Elected spectral**", spec,
-                               ["centroid", "flatness", "kurtosis", "flux"])
+                               ["centroid_hz", "flatness", "kurtosis", "flux"])
         if sub:
             parts.append(sub)
     samples = room.get("samples") or {}
     if any(samples.values()):
         headers = ["Metric", "Definition", *_stage_headers(samples)]
-        keys = ["rms_level", "peak_level", "crest_factor", "momentary_lufs",
-                "short_term_lufs", "true_peak", "sample_peak"]
+        keys = ["rms_level_dbfs", "peak_level_dbfs", "crest_factor_db",
+                "momentary_lufs", "short_term_lufs", "true_peak_dbtp",
+                "sample_peak_dbfs"]
         parts.append("**Samples**\n\n" + _table(headers, _metric_rows(keys, samples)))
 
     speech = regions.get("speech", {})
@@ -224,11 +221,11 @@ def _render_regions(rec: dict) -> str:
         flat = {
             "start_s": region.get("start_s"),
             "duration_s": region.get("duration_s"),
-            "rms_level": elected.get("rms_level"),
-            "peak_level": elected.get("peak_level"),
-            "crest_factor": elected.get("crest_factor"),
+            "rms_level_dbfs": elected.get("rms_level_dbfs"),
+            "peak_level_dbfs": elected.get("peak_level_dbfs"),
+            "crest_factor_db": elected.get("crest_factor_db"),
             "momentary_lufs": elected.get("momentary_lufs"),
-            "true_peak": elected.get("true_peak"),
+            "true_peak_dbtp": elected.get("true_peak_dbtp"),
             "speech_band_body_rms_dbfs": elected.get("speech_band_body_rms_dbfs"),
             "speech_band_sib_rms_dbfs": elected.get("speech_band_sib_rms_dbfs"),
             "voicing_density": elected.get("voicing_density"),
@@ -246,8 +243,9 @@ def _render_regions(rec: dict) -> str:
     samples = speech.get("samples") or {}
     if any(samples.values()):
         headers = ["Metric", "Definition", *_stage_headers(samples)]
-        keys = ["rms_level", "peak_level", "crest_factor", "momentary_lufs",
-                "short_term_lufs", "true_peak", "sample_peak"]
+        keys = ["rms_level_dbfs", "peak_level_dbfs", "crest_factor_db",
+                "momentary_lufs", "short_term_lufs", "true_peak_dbtp",
+                "sample_peak_dbfs"]
         parts.append("**Samples**\n\n" + _table(headers, _metric_rows(keys, samples)))
 
     gate = regions.get("gate_statistics")

@@ -121,21 +121,65 @@ def _dynamics_from_astats(ast) -> dict | None:
     }
 
 
+# §8.4 canonical spectral keys (ref: SpectralMetrics JSON tags,
+# analyser_metrics.go:696-711): Hz-valued metrics carry the _hz suffix
+_SPECTRAL_KEY = {
+    "mean": "mean", "variance": "variance", "centroid": "centroid_hz",
+    "spread": "spread_hz", "skewness": "skewness", "kurtosis": "kurtosis",
+    "entropy": "entropy", "flatness": "flatness", "crest": "crest",
+    "flux": "flux", "slope": "slope", "decrease": "decrease",
+    "rolloff": "rolloff_hz",
+}
+
+
 def _spectral_block(spec) -> dict | None:
     if spec is None:
         return None
     d = _dc(spec)
     d.pop("found", None)
-    return d
+    return {_SPECTRAL_KEY[k]: v for k, v in d.items()}
 
 
 def _region_sample_block(sample) -> dict | None:
+    """(ref: RegionSample JSON tags, analyser.go:85-99)."""
     if sample is None:
         return None
-    d = _dc(sample)
-    if "spectral" in d and isinstance(d["spectral"], dict):
-        d["spectral"].pop("found", None)
-    return d
+    return {
+        "rms_level_dbfs": sample.rms_level,
+        "peak_level_dbfs": sample.peak_level,
+        "crest_factor_db": sample.crest_factor,
+        "spectral": _spectral_block(sample.spectral) or {},
+        "momentary_lufs": sample.momentary_lufs,
+        "short_term_lufs": sample.short_term_lufs,
+        "true_peak_dbtp": sample.true_peak,
+        "sample_peak_dbfs": sample.sample_peak,
+    }
+
+
+def _noise_profile_block(npf) -> dict:
+    """(ref: NoiseProfile JSON tags + MarshalJSON spectral_* flattening,
+    analyser.go:48-79, runrecord.go:464).  Times are seconds (the reference
+    emits Go duration ns; this schema uses _s-suffixed seconds throughout)."""
+    out = {
+        "start_s": npf.start,
+        "duration_s": npf.duration,
+        "measured_floor_dbfs": npf.measured_noise_floor,
+        "peak_level_dbfs": npf.peak_level,
+        "crest_factor_db": npf.crest_factor,
+        "entropy": npf.entropy,
+    }
+    if npf.extraction_warning:
+        out["extraction_warning"] = npf.extraction_warning
+    spec = _dc(npf.spectral) or {}
+    spec.pop("found", None)
+    out.update({f"spectral_{_SPECTRAL_KEY[k]}": v for k, v in spec.items()})
+    if npf.band_noise:
+        out["band_noise_dbfs"] = list(npf.band_noise)
+        out["band_noise_measured"] = npf.bands_measured
+    if npf.was_refined:
+        out["original_start_s"] = npf.original_start
+        out["original_duration_s"] = npf.original_duration
+    return out
 
 
 def _interval_summary(iv: Intervals | None) -> dict | None:
@@ -208,9 +252,7 @@ def _regions_block(m: AudioMeasurements, res: ProcessResult | None) -> dict:
 
     room: dict = {"samples": {}}
     if vad.noise_profile is not None:
-        room["elected"] = _dc(vad.noise_profile)
-        if "spectral" in room["elected"]:
-            room["elected"]["spectral"].pop("found", None)
+        room["elected"] = _noise_profile_block(vad.noise_profile)
     if vad.elected_room_tone_sample is not None:
         room["samples"]["input"] = _region_sample_block(vad.elected_room_tone_sample)
 

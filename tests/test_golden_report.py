@@ -17,16 +17,17 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "report_full.md.
 def _record() -> dict:
     """A fully-populated synthetic record with fixed provenance."""
     spectral = {
-        "mean": 6.89e-06, "variance": 6.24e-09, "centroid": 7073.31,
-        "spread": 5254.60, "skewness": 0.85, "kurtosis": 5.16,
+        "mean": 6.89e-06, "variance": 6.24e-09, "centroid_hz": 7073.31,
+        "spread_hz": 5254.60, "skewness": 0.85, "kurtosis": 5.16,
         "entropy": 0.0086, "flatness": 0.656, "crest": 31.74,
         "flux": 0.0006, "slope": -1.5e-05, "decrease": -0.0091,
-        "rolloff": 13092.45,
+        "rolloff_hz": 13092.45,
     }
     region_sample = {
-        "rms_level": -84.58, "peak_level": -71.22, "crest_factor": 13.36,
+        "rms_level_dbfs": -84.58, "peak_level_dbfs": -71.22,
+        "crest_factor_db": 13.36,
         "momentary_lufs": -82.1, "short_term_lufs": -81.9,
-        "true_peak": -70.9, "sample_peak": -71.22,
+        "true_peak_dbtp": -70.9, "sample_peak_dbfs": -71.22,
         "spectral": dict(spectral),
     }
     return {
@@ -86,19 +87,19 @@ def _record() -> dict:
         "regions": {
             "room_tone": {
                 "elected": {
-                    "start": 7.0, "duration": 10.0,
-                    "measured_noise_floor": -84.58, "peak_level": -71.22,
-                    "crest_factor": 13.36, "entropy": 0.0011,
-                    "spectral": dict(spectral),
+                    "start_s": 7.0, "duration_s": 10.0,
+                    "measured_floor_dbfs": -84.58, "peak_level_dbfs": -71.22,
+                    "crest_factor_db": 13.36, "entropy": 0.0011,
+                    **{f"spectral_{k}": v for k, v in spectral.items()},
                 },
                 "samples": {"input": dict(region_sample)},
             },
             "speech": {
                 "elected": {
                     "region": {"start_s": 30.0, "end_s": 90.0, "duration_s": 60.0},
-                    "rms_level": -45.37, "peak_level": -15.46,
-                    "crest_factor": 29.91, "momentary_lufs": -40.93,
-                    "true_peak": -13.15,
+                    "rms_level_dbfs": -45.37, "peak_level_dbfs": -15.46,
+                    "crest_factor_db": 29.91, "momentary_lufs": -40.93,
+                    "true_peak_dbtp": -13.15,
                     "speech_band_body_rms_dbfs": -48.05,
                     "speech_band_sib_rms_dbfs": -55.87,
                     "voicing_density": 0.856, "score": 0.65,

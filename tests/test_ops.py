@@ -227,3 +227,60 @@ class TestDeclick:
         y = np.asarray(apply_declick(clicked, SR))
         for p in pos:
             assert abs(y[p] - x[p]) < 0.05, (p, y[p], x[p])
+
+
+class TestMatmulPrecision:
+    """jax's default matmul precision truncates operands to bf16; every
+    audio-path dot/conv must request HIGHEST.  These pin f32-level accuracy
+    so a dropped precision= regresses loudly (found 2026-08-16: the
+    delivery resample was silently bf16)."""
+
+    def test_banded_conv_is_f32_exact(self):
+        from jivetalking_tpu.pipeline.fused import _fft_convolve_full, _constants_for_rate
+
+        chain_ir, kw_ir, _, _ = _constants_for_rate(48000, 80.0, 20500.0)
+        rng = np.random.default_rng(0)
+        n = 50000
+        x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        for ir in (chain_ir, kw_ir):
+            want = np.convolve(x.astype(np.float64), np.asarray(ir, np.float64))[:n]
+            import jax.numpy as jnp
+            got = np.asarray(_fft_convolve_full(jnp.asarray(x), ir, n))
+            assert np.max(np.abs(got - want)) < 1e-5
+
+    def test_resample_is_f32_exact(self):
+        from jivetalking_tpu.ops.resample import _banded_bank, resample
+
+        rng = np.random.default_rng(1)
+        n = 48000
+        x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        y = np.asarray(resample(x, 48000, 44100))
+        # f64 reference through the same polyphase operands + padding
+        L, M = 147, 160
+        B, taps = _banded_bank(L, M)
+        r_rows = B.shape[0]
+        n_out = n * L // M
+        nq = -(-n_out // L)
+        need = (nq + r_rows) * M
+        xp = np.zeros(taps // 2 + n + max(0, need - n - taps // 2) + M)
+        xp[taps // 2 : taps // 2 + n] = x.astype(np.float64)
+        X = xp[: (nq + r_rows) * M].reshape(nq + r_rows, M)
+        out = np.zeros((nq, L))
+        for r in range(r_rows):
+            out = out + X[r : r + nq] @ np.asarray(B[r], np.float64)
+        want = out.reshape(-1)[:n_out]
+        assert np.max(np.abs(y - want)) < 1e-5
+
+    def test_nlm_sliding_sum_is_f32_exact(self):
+        from jivetalking_tpu.ops.nlm import _sliding_sum_matmul
+
+        rng = np.random.default_rng(2)
+        x = (rng.standard_normal((3, 4000)) * 0.1).astype(np.float32) ** 2
+        w = 289
+        import jax.numpy as jnp
+        got = np.asarray(_sliding_sum_matmul(jnp.asarray(x), w))
+        want = np.stack([
+            np.convolve(row.astype(np.float64), np.ones(w))[w - 1 : 4000]
+            for row in x
+        ])
+        assert np.max(np.abs(got - want)) < 1e-5
