@@ -65,7 +65,8 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
         frames, band,
         dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        # the ones-band is exact in bf16; HIGH protects the frames operand
+        precision=jax.lax.Precision.HIGH,
     )
     return sums.reshape(*lead, n_frames * w)[..., :n_out]
 
