@@ -159,3 +159,59 @@ class TestPaths:
     def test_output_naming(self):
         assert output_audio_path("/x/ep1.flac") == "/x/ep1-LUFS-16-processed.flac"
         assert analysis_report_path("/x/ep1.flac") == "/x/ep1-flac-analysis.md"
+
+
+class TestCanonicalKeys:
+    """The §8.4 canonical key contract (ref: runrecord_tags_test.go:87-163):
+    suffixed units everywhere, no legacy un-suffixed keys."""
+
+    WANT = [
+        "loudness", "dynamics", "noise", "regions",
+        "integrated_lufs", "true_peak_dbtp", "lra_lu", "thresh_lufs",
+        "target_offset_db", "momentary_lufs", "short_term_lufs",
+        "sample_peak_dbfs",
+        "rms_level_dbfs", "peak_level_dbfs", "dynamic_range_db",
+        "crest_factor_astats_db", "rms_trough_dbfs", "rms_peak_dbfs",
+        "dc_offset", "flat_factor", "zero_crossings_rate", "min_level_dbfs",
+        "max_level_dbfs", "bit_depth", "number_of_samples",
+        "noise_floor_count", "entropy",
+        "floor_dbfs", "floor_source", "floor_prescan_dbfs",
+        "floor_astats_dbfs", "reduction_headroom_db",
+        "room_tone_detect_level_dbfs", "voice_activated", "floored_fraction",
+        "centroid_hz", "spread_hz", "rolloff_hz",
+        "voiced_low_percentile_dbfs", "noise_high_percentile_dbfs",
+        "gate_separation_db",
+        "crest_factor_db",
+        "measured_floor_dbfs", "spectral_centroid_hz", "spectral_mean",
+        "spectral_variance", "spectral_spread_hz", "spectral_skewness",
+        "spectral_entropy", "spectral_crest", "spectral_flux",
+        "spectral_slope", "spectral_decrease", "spectral_rolloff_hz",
+    ]
+    ABSENT = [
+        "input_i", "input_tp", "input_lra", "input_thresh",
+        "rms_level", "peak_level", "dynamic_range", "crest_factor",
+        "target_offset", "momentary_loudness", "short_term_loudness",
+        "sample_peak", "floor", "floor_prescan", "floor_astats",
+        "reduction_headroom", "room_tone_detect_level", "min_level",
+        "max_level", "zero_crossings",
+        "spectral_centroid", "spectral_spread", "spectral_rolloff",
+        "suggested_gate_threshold", "measured_noise_floor",
+    ]
+
+    def _keys(self, tree, keys):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                keys.add(k)
+                self._keys(v, keys)
+        elif isinstance(tree, list):
+            for v in tree:
+                self._keys(v, keys)
+        return keys
+
+    def test_analysis_record_keys(self, measurements):
+        rec = sanitize_json(new_analysis_run_record("x.wav", measurements))
+        keys = self._keys(rec, set())
+        missing = [k for k in self.WANT if k not in keys]
+        legacy = [k for k in self.ABSENT if k in keys]
+        assert not missing, f"missing canonical keys: {missing}"
+        assert not legacy, f"legacy keys present: {legacy}"
