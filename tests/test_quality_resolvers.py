@@ -258,3 +258,29 @@ class TestGainAdviceSpotValues:
             msg = gain_advice(tp).message()
             for glyph in ("—", "✓", "(", ")"):
                 assert glyph not in msg
+
+
+class TestGainAdviceCorpusDistribution:
+    """51 corpus input true peaks: 11 hot/clipping, 4 quiet, 36 fine
+    (ref: advice_test.go:133-172)."""
+
+    CORPUS = [
+        -0.13, 0.35, -0.5, -0.9, -0.2, 0.1, -0.7, -0.4, 0.05, -0.8, -0.3,
+        -21.41, -14.0, -13.2, -16.5,
+        -1.0, -12.0, -6.21, -4.9, -4.5, -2.0, -3.0, -5.0, -6.0, -7.0,
+        -8.0, -9.0, -10.0, -11.0, -1.5, -2.5, -3.5, -4.0, -5.5, -6.5,
+        -7.5, -8.5, -9.5, -10.5, -11.5, -2.2, -3.3, -4.4, -5.6, -6.7,
+        -7.8, -8.9, -9.1, -10.2, -11.3, -2.8,
+    ]
+
+    def test_distribution(self):
+        assert len(self.CORPUS) == 51
+        kinds = [gain_advice(tp).kind for tp in self.CORPUS]
+        assert sum(k in ("hot", "clipping") for k in kinds) == 11
+        assert sum(k == "quiet" for k in kinds) == 4
+        assert sum(k == "fine" for k in kinds) == 36
+
+    def test_delta_is_whole_db(self):
+        for tp in self.CORPUS:
+            d = gain_advice(tp).delta_db
+            assert d == int(d)
