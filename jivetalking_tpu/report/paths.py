@@ -7,9 +7,13 @@ import os
 
 
 def output_audio_path(input_path: str, target_lufs: float = -16.0) -> str:
-    """<stem>-LUFS-NN-processed.flac (ref: processor.go:206-214)."""
+    """<stem>-LUFS-NN-processed.flac (ref: processor.go:206-214).  The NN
+    value rounds half away from zero like Go's math.Round
+    (ref: lufsFilenameValue: -16.5 -> 17, not banker's 16)."""
     stem, _ = os.path.splitext(input_path)
-    return f"{stem}-LUFS-{abs(int(round(target_lufs)))}-processed.flac"
+    v = abs(target_lufs)
+    nn = int(v + 0.5)
+    return f"{stem}-LUFS-{nn}-processed.flac"
 
 
 def analysis_report_path(input_path: str) -> str:

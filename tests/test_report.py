@@ -215,3 +215,28 @@ class TestCanonicalKeys:
         legacy = [k for k in self.ABSENT if k in keys]
         assert not missing, f"missing canonical keys: {missing}"
         assert not legacy, f"legacy keys present: {legacy}"
+
+
+class TestOutputPathVectors:
+    """(ref: processor_test.go:18-63)."""
+
+    @pytest.mark.parametrize(
+        "inp,want",
+        [
+            ("/tmp/foo.wav", "/tmp/foo-LUFS-16-processed.flac"),
+            ("/tmp/foo.WAV", "/tmp/foo-LUFS-16-processed.flac"),
+            ("/tmp/foo.flac", "/tmp/foo-LUFS-16-processed.flac"),
+            ("/tmp/foo.mp3", "/tmp/foo-LUFS-16-processed.flac"),
+            ("/tmp/foo", "/tmp/foo-LUFS-16-processed.flac"),
+            ("/tmp/foo.bar.wav", "/tmp/foo.bar-LUFS-16-processed.flac"),
+        ],
+    )
+    def test_naming(self, inp, want):
+        assert output_audio_path(inp) == want
+
+    @pytest.mark.parametrize(
+        "lufs,nn",
+        [(-16.4, 16), (-16.5, 17), (-16.6, 17), (-15.5, 16)],
+    )
+    def test_filename_value_rounds_half_away(self, lufs, nn):
+        assert output_audio_path("/x/a.wav", lufs) == f"/x/a-LUFS-{nn}-processed.flac"
