@@ -8,10 +8,20 @@ from .batch import (
     pad_to_batch,
     process_files_data_parallel,
 )
+from .sequence import (
+    sharded_fir,
+    sharded_gated_loudness,
+    sharded_linear_recurrence,
+    sharded_maxplus_prefix,
+)
 
 __all__ = [
     "batched_integrated_loudness",
     "make_mesh",
     "pad_to_batch",
     "process_files_data_parallel",
+    "sharded_fir",
+    "sharded_gated_loudness",
+    "sharded_linear_recurrence",
+    "sharded_maxplus_prefix",
 ]
