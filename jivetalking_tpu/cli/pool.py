@@ -105,10 +105,13 @@ def _emit_report_artefacts(
     res: ProcessResult,
     diagnostics: bool,
     warn,
+    spectrograms: list | None = None,
 ) -> None:
     """Write record + report (+ sidecars under --diagnostics); each write is
     isolated and non-fatal (ref: emitReportArtefacts, pool.go:288-340)."""
     rec = new_run_record(path, res)
+    if spectrograms:
+        rec["spectrograms"] = spectrograms
     t = res.pass_timings
     timings = Timings(
         analysis_s=t.get("analysis", 0.0),
@@ -236,14 +239,19 @@ def process_one_file(
         out_path = output_audio_path(path, res.normalisation.requested_target_i)
         save_flac(out_path, res.output_audio, res.output_rate)
 
+        spectrogram_images = None
         if diagnostics:
-            # before/after spectrogram set for whole file + elected regions
-            # (ref: pool.go:43-65 background renders; <=6 PNGs)
+            # before/after spectrogram set for whole file + elected regions,
+            # named off the OUTPUT stem (ref: pool.go:43-65, 370; <=6 PNGs)
             try:
                 from ..io.audio import downmix_mono
-                from ..report.spectrogram import render_run_spectrograms
+                from ..report.spectrogram import (
+                    PROCESSING_STAGES,
+                    derive_spectrogram_images,
+                    render_run_spectrograms,
+                )
 
-                stem = os.path.splitext(path)[0]
+                stem = os.path.splitext(out_path)[0]
                 m = res.measurements
                 speech_region = (
                     m.vad.speech_profile.region if m.vad.speech_profile else None
@@ -257,6 +265,11 @@ def process_one_file(
                     meta.sample_rate,
                     noise_region=m.vad.noise_region,
                     speech_region=speech_region,
+                )
+                spectrogram_images = derive_spectrogram_images(
+                    stem, PROCESSING_STAGES,
+                    has_room_tone=m.vad.noise_profile is not None,
+                    has_speech=m.vad.speech_profile is not None,
                 )
             except Exception as e:
                 _emit(events.on_warning, f"spectrogram render failed: {e}")
@@ -287,7 +300,8 @@ def process_one_file(
 
         _debug_analysis(events, path, res.measurements)
         _debug_result(events, path, res)
-        _emit_report_artefacts(path, outcome, res, diagnostics, events.on_warning)
+        _emit_report_artefacts(path, outcome, res, diagnostics, events.on_warning,
+                               spectrograms=spectrogram_images)
     except InterruptedError:
         outcome.error = "cancelled"
     except Exception as e:
@@ -326,6 +340,35 @@ def analyse_one_file(
             outcome.realtime_factor = meta.duration_secs / outcome.wall_secs
 
         rec = new_analysis_run_record(path, m)
+        if diagnostics:
+            # input-stage spectrograms off the analysis report stem
+            # (ref: AnalysisSpectrogramStages, main.go:466-502)
+            try:
+                from ..io.audio import downmix_mono
+                from ..report.spectrogram import (
+                    ANALYSIS_STAGES,
+                    derive_spectrogram_images,
+                    render_run_spectrograms,
+                )
+
+                stem = os.path.splitext(analysis_record_path(path))[0]
+                speech_region = (
+                    m.vad.speech_profile.region if m.vad.speech_profile else None
+                )
+                render_run_spectrograms(
+                    stem,
+                    {"input": downmix_mono(samples)},
+                    meta.sample_rate,
+                    noise_region=m.vad.noise_region,
+                    speech_region=speech_region,
+                )
+                rec["spectrograms"] = derive_spectrogram_images(
+                    stem, ANALYSIS_STAGES,
+                    has_room_tone=m.vad.noise_profile is not None,
+                    has_speech=m.vad.speech_profile is not None,
+                )
+            except Exception as e:
+                _emit(events.on_warning, f"spectrogram render failed: {e}")
         for fn, target in (
             (lambda p: write_run_record(p, rec), analysis_record_path(path)),
             (lambda p: write_markdown_report(p, rec), analysis_report_path(path)),

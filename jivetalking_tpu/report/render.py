@@ -258,6 +258,36 @@ def _render_regions(rec: dict) -> str:
     return "\n\n".join(parts)
 
 
+def _render_spectrograms(rec: dict) -> str:
+    """(ref: sections_spectrograms.go): table grouped by kind with one
+    column per present stage; cells are Markdown image links to the
+    record's relative basenames; empty when no images were derived."""
+    images = rec.get("spectrograms") or []
+    if not images:
+        return ""
+    by_key = {(i["kind"], i["stage"]): i for i in images}
+    present = {i["stage"] for i in images}
+    stage_order = [("before", "Before"), ("after", "After"), ("input", "Input")]
+    stages = [(s, h) for s, h in stage_order if s in present]
+    kind_order = [("whole", "Whole file"), ("roomtone", "Room tone"),
+                  ("speech", "Speech")]
+    headers = ["Region", *[h for _, h in stages]]
+    rows = []
+    for kind, label in kind_order:
+        row = [label]
+        any_img = False
+        for stage, _ in stages:
+            img = by_key.get((kind, stage))
+            if img is None:
+                row.append("-")
+                continue
+            any_img = True
+            row.append(f"![{kind} {stage}]({img['path']})")
+        if any_img:
+            rows.append(row)
+    return "## Spectrograms\n\n" + _table(headers, rows)
+
+
 def _render_interval_summary(rec: dict) -> str:
     s = rec.get("interval_summary")
     if not s:
@@ -343,6 +373,7 @@ def render_markdown(rec: dict, timings: Timings | None = None) -> str:
         _render_stage_domain("Spectral", rec, "spectral", _SPECTRAL_KEYS),
         _render_noise(rec),
         _render_regions(rec),
+        _render_spectrograms(rec),
         _render_interval_summary(rec),
         _render_filters(rec),
         _render_normalisation(rec),

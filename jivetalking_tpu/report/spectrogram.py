@@ -41,8 +41,34 @@ ANALYSIS_STAGES = (STAGE_INPUT,)
 
 
 def spectrogram_path(stem: str, kind: str, stage: str) -> str:
-    """<stem>-spectrogram-<kind>-<stage>.png (ref: spectrogram_paths.go:92)."""
-    return f"{stem}-spectrogram-{kind}-{stage}.png"
+    """<stem>.spectrogram-<kind>-<stage>.png (ref: spectrogram_paths.go:92).
+    For processing runs the stem is the OUTPUT stem
+    (episode-LUFS-16-processed); for analysis-only it is the analysis
+    report stem (episode-wav-analysis) — ref: pool.go:370, main.go:466."""
+    return f"{stem}.spectrogram-{kind}-{stage}.png"
+
+
+def derive_spectrogram_images(
+    stem: str, stages, has_room_tone: bool, has_speech: bool
+) -> list[dict]:
+    """Deterministic record-carried image list: whole always, elected
+    regions when present, one entry per stage per kind; Path is the
+    RELATIVE basename (ref: deriveSpectrogramImages,
+    spectrogram_paths.go:64-90)."""
+    import os
+
+    base = os.path.basename(stem)
+    kinds = [KIND_WHOLE]
+    if has_room_tone:
+        kinds.append(KIND_ROOMTONE)
+    if has_speech:
+        kinds.append(KIND_SPEECH)
+    return [
+        {"kind": kind, "stage": stage,
+         "path": spectrogram_path(base, kind, stage)}
+        for kind in kinds
+        for stage in stages
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "win", "hop"))

@@ -240,3 +240,52 @@ class TestOutputPathVectors:
     )
     def test_filename_value_rounds_half_away(self, lufs, nn):
         assert output_audio_path("/x/a.wav", lufs) == f"/x/a-LUFS-{nn}-processed.flac"
+
+
+class TestSpectrogramConventions:
+    """(ref: spectrogram_paths.go:8-92, sections_spectrograms.go)."""
+
+    def test_path_convention(self):
+        from jivetalking_tpu.report.spectrogram import spectrogram_path
+
+        assert (spectrogram_path("ep-LUFS-16-processed", "whole", "before")
+                == "ep-LUFS-16-processed.spectrogram-whole-before.png")
+
+    def test_derived_images_all_or_nothing_per_kind(self):
+        from jivetalking_tpu.report.spectrogram import (
+            ANALYSIS_STAGES,
+            PROCESSING_STAGES,
+            derive_spectrogram_images,
+        )
+
+        imgs = derive_spectrogram_images(
+            "/x/ep-LUFS-16-processed", PROCESSING_STAGES,
+            has_room_tone=True, has_speech=False)
+        assert len(imgs) == 4  # whole + roomtone, before/after each
+        assert all(i["path"].startswith("ep-LUFS-16-processed.spectrogram-")
+                   for i in imgs)  # relative basenames
+        assert {i["kind"] for i in imgs} == {"whole", "roomtone"}
+
+        imgs = derive_spectrogram_images(
+            "/x/ep-wav-analysis", ANALYSIS_STAGES,
+            has_room_tone=True, has_speech=True)
+        assert len(imgs) == 3
+        assert {i["stage"] for i in imgs} == {"input"}
+
+    def test_report_section_renders_links(self):
+        rec = {
+            "run": {"input_file": "ep.wav", "sample_rate_hz": 44100,
+                    "channels": 1, "duration_s": 1.0},
+            "spectrograms": [
+                {"kind": "whole", "stage": "before",
+                 "path": "ep-LUFS-16-processed.spectrogram-whole-before.png"},
+                {"kind": "whole", "stage": "after",
+                 "path": "ep-LUFS-16-processed.spectrogram-whole-after.png"},
+            ],
+        }
+        md = render_markdown(rec)
+        assert "## Spectrograms" in md
+        assert "![whole before](ep-LUFS-16-processed.spectrogram-whole-before.png)" in md
+        # empty list -> no heading
+        rec["spectrograms"] = []
+        assert "## Spectrograms" not in render_markdown(rec)
