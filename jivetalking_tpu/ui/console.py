@@ -59,6 +59,43 @@ def render_done_box(o: FileOutcome) -> str:
     return "\n".join(lines)
 
 
+def _lerp_clamp(v: float, in_lo: float, in_hi: float, out_lo: float, out_hi: float) -> float:
+    t = (v - in_lo) / (in_hi - in_lo)
+    return out_lo + max(0.0, min(1.0, t)) * (out_hi - out_lo)
+
+
+def _gain_glyph_position(input_tp: float) -> float:
+    """Input true peak -> [0,1] aligned to the advice zones
+    (ref: gainGlyphPosition, ui/views.go:594-611)."""
+    if input_tp < -12.0:
+        return _lerp_clamp(input_tp, -24.0, -12.0, 0.0, 0.33)
+    if input_tp <= -1.0:
+        return _lerp_clamp(input_tp, -12.0, -1.0, 0.33, 0.67)
+    return _lerp_clamp(input_tp, -1.0, 1.0, 0.67, 1.0)
+
+
+_GAIN_BAR_WIDTH = 5
+# one ANSI colour stop per cell: bright-cyan, blue, green, orange/yellow, red
+_GAIN_RAMP = ("\033[96m", "\033[94m", "\033[92m", "\033[93m", "\033[91m")
+
+
+def gain_bar(input_tp: float, color: bool = False) -> str:
+    """Five-cell gain thermometer filled from the input true peak
+    (ref: GainBar, ui/views.go:540-572): quiet ~1 cell, well-set ~3,
+    clipping pins all 5; floor at one pip so under-recorded still shows."""
+    filled = round(_gain_glyph_position(input_tp) * _GAIN_BAR_WIDTH)
+    filled = max(1, min(filled, _GAIN_BAR_WIDTH))
+    if input_tp >= 0:
+        filled = _GAIN_BAR_WIDTH
+    cells = []
+    for i in range(_GAIN_BAR_WIDTH):
+        if i < filled:
+            cells.append(f"{_GAIN_RAMP[i]}▰\033[0m" if color else "▰")
+        else:
+            cells.append("▱")
+    return "".join(cells)
+
+
 def render_analysis_summary(o: FileOutcome) -> str:
     """Analysis-only per-file summary: stars + gain advice
     (ref: main.go:530-546 console stars + gain thermometer)."""
@@ -76,7 +113,8 @@ def render_analysis_summary(o: FileOutcome) -> str:
             r = m.vad.speech_profile.region
             lines.append(f"  {'Speech region':<14} {r.start:.1f}s - {r.end:.1f}s")
     lines.append(f"  {'Recording':<14} {stars_row(o.recording_stars, o.recording_label)}")
-    lines.append(f"  {'Advice':<14} {gain_advice(o.input_tp).message()}")
+    adv = gain_advice(o.input_tp)
+    lines.append(f"  {'Gain':<14} {gain_bar(o.input_tp)}  {adv.message()}")
     return "\n".join(lines)
 
 

@@ -131,3 +131,30 @@ class TestLiveFrame:
         assert "\x1b[?25l" in text and "\x1b[?25h" in text  # cursor hide/show
         assert "x.flac" in text
         assert ui.model.all_done
+
+
+class TestGainBar:
+    """(ref: GainBar + gainGlyphPosition, ui/views.go:535-611): fill
+    aligned to the advice zones — quiet ~1, well-set ~3, clipping 5."""
+
+    def test_zone_fills(self):
+        from jivetalking_tpu.ui.console import gain_bar
+
+        assert gain_bar(-21.41).count("▰") == 1     # quiet
+        assert gain_bar(-6.0).count("▰") == 3       # well-set target
+        assert gain_bar(-0.1).count("▰") >= 4       # hot
+        assert gain_bar(0.35).count("▰") == 5       # clipping pins full
+        assert gain_bar(-60.0).count("▰") == 1      # floor at one pip
+        for tp in (-30.0, -12.0, -6.0, -1.0, 0.5):
+            assert len(gain_bar(tp)) == 5
+
+    def test_analysis_summary_includes_bar(self):
+        from jivetalking_tpu.cli.pool import FileOutcome
+        from jivetalking_tpu.ui.console import render_analysis_summary
+
+        o = FileOutcome(path="ep.wav", input_tp=-6.2, input_lufs=-30.0,
+                        input_lra=10.0, recording_stars=4,
+                        recording_label="Great")
+        out = render_analysis_summary(o)
+        assert "Gain" in out and "▰▰▰▱▱" in out
+        assert "Level well set." in out
