@@ -34,7 +34,16 @@ def _fmt_wall(secs: float) -> str:
 
 
 def _arrow_row(label: str, before, after, unit: str) -> str:
-    return f"  {label:<14} {_fmt_db(before):>8} -> {_fmt_db(after):>8} {unit}"
+    """before -> after with the signed delta column (ref: the done box's
+    'Δ +19.1' trailing figure, docs/Usage.md:18-45)."""
+    row = f"  {label:<14} {_fmt_db(before):>8} -> {_fmt_db(after):>8} {unit}"
+    try:
+        delta = float(after) - float(before)
+    except (TypeError, ValueError):
+        return row
+    if math.isfinite(delta):
+        row += f"  Δ {delta:+.1f}"
+    return row
 
 
 def render_done_box(o: FileOutcome) -> str:

@@ -185,7 +185,7 @@ class TestPool:
         out = capsys.readouterr().out
         assert rc == 0
         assert "Recording" in out
-        assert "Advice" in out
+        assert "Gain" in out and "▰" in out
 
 
 class TestStereoFlacEndToEnd:
