@@ -4,6 +4,7 @@ SURVEY.md §2.3)."""
 
 from .batch import (
     batched_integrated_loudness,
+    batched_master,
     make_mesh,
     pad_to_batch,
     process_files_data_parallel,
@@ -17,6 +18,7 @@ from .sequence import (
 
 __all__ = [
     "batched_integrated_loudness",
+    "batched_master",
     "make_mesh",
     "pad_to_batch",
     "process_files_data_parallel",

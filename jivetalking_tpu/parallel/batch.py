@@ -158,3 +158,116 @@ def process_files_data_parallel(
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(run, pcm_list))
+
+
+# ---------------------------------------------------------------------------
+# batched fused master (the 64-episode back-catalogue configuration)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("sr", "out_rate"))
+def _batched_master_impl(
+    x, gate_thr, gate_ratio, gate_range, comp_thr_lin, deess_i, nf_db,
+    band_shape, noise_bounds, speech_bounds,
+    chain_ir, kw_ir, tp_bank, deess_k, sr, out_rate,
+):
+    from ..pipeline.fused import _master_stage_a_tree, _master_stage_b_tree
+
+    target_i = jnp.float32(-16.0)
+    ttp_lin = jnp.float32(10.0 ** (-1.0 / 20.0))
+
+    def one_file(xi, gt, gr, grange, ct, di, nf, shape, nb, sb):
+        prefixed, offset_db, ma = _master_stage_a_tree(
+            xi, gt, gr, grange, ct, di, nf, shape, target_i, ttp_lin,
+            nb, sb, chain_ir, kw_ir, tp_bank, deess_k,
+            sr=sr, nlm_enabled=True, afftdn_enabled=True,
+        )
+        z, mb = _master_stage_b_tree(
+            prefixed, offset_db, ttp_lin, nb, sb, kw_ir, tp_bank,
+            sr=sr, out_rate=out_rate, declick_enabled=True,
+        )
+        return z, {
+            "final_i": mb["final"]["integrated"],
+            "final_tp": mb["final"]["true_peak"],
+            "effective_i": ma["plan"]["effective_i"],
+            "offset_db": ma["plan"]["offset_db"],
+        }
+
+    return jax.vmap(one_file)(
+        x, gate_thr, gate_ratio, gate_range, comp_thr_lin, deess_i, nf_db,
+        band_shape, noise_bounds, speech_bounds,
+    )
+
+
+def batched_master(
+    x_batch,
+    sample_rate: int,
+    configs: list,
+    measurements: list,
+    out_rate: int = 44100,
+    mesh: Mesh | None = None,
+):
+    """Master a (batch, n) block of equal-length files in ONE device
+    program, dp-sharded over the mesh: the fused pass-2/3/4 stages vmapped
+    over the batch axis with per-file adapted parameters as (batch,)
+    operand arrays.  This is the back-catalogue sweep shape (BASELINE
+    config 5): one compile serves every episode, chips split the batch.
+
+    Variable lengths are the caller's concern (pad_to_batch + per-file
+    trim); per-file delivery/publish stays on the host."""
+    from ..pipeline.fused import _constants_for_rate
+
+    chain_ir, kw_ir, tp_bank, deess_k = _constants_for_rate(
+        sample_rate,
+        configs[0].rumble_highpass.frequency,
+        configs[0].bandlimit_lowpass.frequency,
+    )
+
+    def region_bounds(m, which):
+        region = None
+        if m is not None:
+            if which == "noise":
+                region = m.vad.noise_region
+            elif m.vad.speech_profile is not None:
+                region = m.vad.speech_profile.region
+        if region is None:
+            return np.zeros(2, np.int32)
+        return np.asarray(
+            [int(round(region.start * sample_rate)),
+             int(round(region.end * sample_rate))], np.int32)
+
+    def arr(fn, dtype=np.float32):
+        return jnp.asarray(np.asarray([fn(c, m) for c, m in zip(configs, measurements)], dtype))
+
+    ops = dict(
+        gate_thr=arr(lambda c, m: c.speech_gate.threshold),
+        gate_ratio=arr(lambda c, m: c.speech_gate.ratio),
+        gate_range=arr(lambda c, m: c.speech_gate.range),
+        comp_thr_lin=arr(lambda c, m: 10.0 ** (c.levelling_compressor.threshold / 20.0)),
+        deess_i=arr(lambda c, m: c.deesser.intensity if c.deesser.enabled else 0.0),
+        nf_db=arr(lambda c, m: c.noise_reduction.afftdn_noise_floor
+                  if c.noise_reduction.afftdn_noise_floor != 0.0 else -50.0),
+        band_shape=jnp.asarray(np.asarray(
+            [np.asarray(c.noise_reduction.afftdn_band_noise, np.float32)
+             if (c.noise_reduction.afftdn_noise_type == "custom"
+                 and c.noise_reduction.afftdn_band_noise)
+             else np.zeros(15, np.float32)
+             for c in configs])),
+        noise_bounds=jnp.asarray(np.stack(
+            [region_bounds(m, "noise") for m in measurements])),
+        speech_bounds=jnp.asarray(np.stack(
+            [region_bounds(m, "speech") for m in measurements])),
+    )
+
+    x = jnp.asarray(x_batch, dtype=jnp.float32)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("dp", None))
+        x = jax.device_put(x, sharding)
+        ops = {k: jax.device_put(v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1)))))
+               for k, v in ops.items()}
+
+    return _batched_master_impl(
+        x, ops["gate_thr"], ops["gate_ratio"], ops["gate_range"],
+        ops["comp_thr_lin"], ops["deess_i"], ops["nf_db"], ops["band_shape"],
+        ops["noise_bounds"], ops["speech_bounds"],
+        chain_ir, kw_ir, tp_bank, deess_k, sample_rate, out_rate,
+    )

@@ -113,3 +113,43 @@ class TestSpectrogram:
         assert spectrogram_path(stem, "speech", "before") in rendered
         for p in rendered:
             assert os.path.exists(p)
+
+
+class TestBatchedMaster:
+    """The back-catalogue shape: the fused pass-2/3/4 master vmapped over a
+    dp-sharded batch, per-file adapted params as operand arrays — each row
+    must equal the single-file program's output."""
+
+    def test_matches_per_file_master(self):
+        import jax
+        from jax.sharding import Mesh
+        from jivetalking_tpu.adaptive import adapt_config, default_filter_config
+        from jivetalking_tpu.analysis import analyse_audio
+        from jivetalking_tpu.parallel.batch import batched_master
+        from jivetalking_tpu.pipeline.fused import fused_master
+
+        sr = 8000
+        n = sr * 3
+        rng = np.random.default_rng(11)
+        files, cfgs, metas = [], [], []
+        for i in range(4):
+            x = (0.05 * (1 + i) * rng.standard_normal(n)).astype(np.float32)
+            m = analyse_audio(x, sr)
+            cfg, _ = adapt_config(default_filter_config(), m)
+            cfg.resample.enabled = False   # keep both paths at sr
+            files.append(x)
+            cfgs.append(cfg)
+            metas.append(m)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+        z, metrics = batched_master(
+            np.stack(files), sr, cfgs, metas, out_rate=sr, mesh=mesh)
+        assert z.shape[0] == 4
+
+        for i in range(4):
+            zi, rate, fm = fused_master(files[i], sr, cfgs[i], metas[i])
+            assert rate == sr
+            np.testing.assert_allclose(
+                np.asarray(z[i]), np.asarray(zi), rtol=1e-4, atol=2e-4)
+            assert float(metrics["final_i"][i]) == pytest.approx(
+                float(fm["final"]["integrated"]), abs=0.01)
