@@ -239,3 +239,40 @@ class TestAnalyseAudio:
         assert npf.bands_measured
         assert len(npf.band_noise) == 15
         assert m.noise.reduction_headroom > 0
+
+
+class TestAfftdnBands:
+    """The 15 fixed afftdn band centres and geometric-midpoint edges
+    (ref: analyser_noise_bands.go:11-56)."""
+
+    def test_centres_pinned(self):
+        from jivetalking_tpu.utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ
+
+        assert AFFTDN_BAND_CENTRES_HZ == (
+            80.0, 125.0, 195.0, 290.0, 440.0, 660.0, 1000.0, 1500.0,
+            2250.0, 3350.0, 5000.0, 7500.0, 11200.0, 16000.0, 24000.0,
+        )
+
+    def test_edges_geometric_midpoints(self):
+        import math
+
+        from jivetalking_tpu.utils.afftdn_bands import (
+            AFFTDN_BAND_CENTRES_HZ as C,
+            afftdn_band_edges_hz,
+        )
+
+        # interior: adjacent bands share an edge at the geometric midpoint
+        for i in range(1, len(C)):
+            lo_i, _ = afftdn_band_edges_hz(i)
+            _, hi_prev = afftdn_band_edges_hz(i - 1)
+            assert lo_i == pytest.approx(hi_prev)
+            assert lo_i == pytest.approx(math.sqrt(C[i - 1] * C[i]))
+        # outer bands extend one geometric step
+        lo0, _ = afftdn_band_edges_hz(0)
+        assert lo0 == pytest.approx(C[0] / math.sqrt(C[1] / C[0]))
+        _, hi_last = afftdn_band_edges_hz(len(C) - 1)
+        assert hi_last == pytest.approx(C[-1] * math.sqrt(C[-1] / C[-2]))
+        # every band has positive width and covers its centre
+        for i in range(len(C)):
+            lo, hi = afftdn_band_edges_hz(i)
+            assert lo < C[i] < hi
