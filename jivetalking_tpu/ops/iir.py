@@ -35,8 +35,12 @@ from scipy import signal as _ssig
 def design_highpass(freq: float, sample_rate: float, q: float = 0.7071) -> np.ndarray:
     """RBJ 2-pole high-pass (FFmpeg `highpass=f=..:poles=2:width_type=q`).
 
-    Returns one SOS row [b0, b1, b2, 1, a1, a2].
+    Returns one SOS row [b0, b1, b2, 1, a1, a2].  The corner is clamped
+    below Nyquist: FFmpeg rejects f >= sr/2 outright; here a low-rate
+    caller (tests, dry-runs) gets a stable near-Nyquist filter instead of
+    an unstable recursion whose impulse response overflows f32.
     """
+    freq = min(freq, 0.49 * sample_rate)
     w0 = 2.0 * math.pi * freq / sample_rate
     alpha = math.sin(w0) / (2.0 * q)
     cosw = math.cos(w0)
@@ -50,7 +54,9 @@ def design_highpass(freq: float, sample_rate: float, q: float = 0.7071) -> np.nd
 
 
 def design_lowpass(freq: float, sample_rate: float, q: float = 0.7071) -> np.ndarray:
-    """RBJ 2-pole low-pass (FFmpeg `lowpass=f=..:poles=2:width_type=q`)."""
+    """RBJ 2-pole low-pass (FFmpeg `lowpass=f=..:poles=2:width_type=q`).
+    The corner clamps below Nyquist (see design_highpass)."""
+    freq = min(freq, 0.49 * sample_rate)
     w0 = 2.0 * math.pi * freq / sample_rate
     alpha = math.sin(w0) / (2.0 * q)
     cosw = math.cos(w0)
