@@ -181,3 +181,45 @@ class TestInternalTargetTP:
         assert LINEAR_SAFETY_MARGIN == 0.1
         assert MEASUREMENT_CUSHION_DB == 0.2
         assert MIN_LIMITER_CEILING_DB == -24.0
+
+
+class TestBindingGainCapOnHighCrest:
+    """(ref: TestBindingGainCapOnHighCrestInput, normalise_test.go:1436):
+    the linear-mode cap must bind on a high-crest post-limiter measurement
+    and the realised gain must land the projected TP at/under target."""
+
+    def test_cap_binds_and_tp_safe(self):
+        mi, mtp, di, ttp = -19.0, -3.0, -16.0, -2.0
+        eff_i, offset, linear_possible = calculate_linear_mode_target(mi, mtp, di, ttp)
+        assert not linear_possible
+        assert eff_i == pytest.approx(mi + (ttp - mtp) - 0.1, abs=0.01)
+        assert eff_i < di
+        assert mtp + offset <= ttp + 0.001
+        assert offset == pytest.approx(eff_i - mi, abs=0.001)
+
+
+class TestClampedTargetPropagation:
+    """(ref: TestClampedTargetPropagation_Arithmetic, normalise_test.go:1854):
+    the full clamped chain — ceiling clamp -> deficit -> post-gain I ->
+    linear-mode target — pins the effective target at -16.1 for the Anna
+    corpus shapes."""
+
+    @pytest.mark.parametrize(
+        "name,mi,mtp",
+        [
+            ("anna", -43.4, -19.2),
+            ("anna-like", -43.2, -18.6),
+            ("extreme quiet", -55.0, -30.0),
+        ],
+    )
+    def test_propagation(self, name, mi, mtp):
+        ti, ttp = -16.0, -2.0
+        _, needed, clamped = calculate_limiter_ceiling(mi, mtp, ti, ttp)
+        assert needed and clamped, name
+        pre_gain, rederived = calculate_pre_gain(mi, ti, ttp)
+        post_gain_i = mi + pre_gain
+        assert post_gain_i == pytest.approx(-38.0, abs=0.001), name
+        assert rederived == pytest.approx(MIN_LIMITER_CEILING_DB, abs=0.001)
+        eff_i, _, linear = calculate_linear_mode_target(post_gain_i, rederived, ti, ttp)
+        assert not linear, name
+        assert eff_i == pytest.approx(-16.1, abs=0.01), name
