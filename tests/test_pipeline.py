@@ -199,3 +199,33 @@ class TestRateGenerality:
         assert res.output_rate == 44100
         assert abs(res.normalisation.output_lufs + 16.0) <= 0.5
         assert res.normalisation.within_target
+
+
+class TestProgressCallbacks:
+    """(ref: TestProcessorSeedAndProgressCallbackBoundaries,
+    processor_test.go:287): progress fractions stay in [0,1] and the
+    stages arrive in pass order."""
+
+    def test_stage_order_and_bounds(self, podcast_fixture):
+        calls = []
+        process_audio(podcast_fixture, SR,
+                      progress=lambda st, fr: calls.append((st, fr)))
+        assert calls, "no progress reported"
+        stages = [s for s, _ in calls]
+        # pass order: analysis before processing before normalising
+        assert stages.index("analysis") < stages.index("processing")
+        assert stages.index("processing") <= stages.index("normalising")
+        assert all(0.0 <= f <= 1.0 for _, f in calls)
+        # every stage both starts and completes
+        for st in ("analysis", "processing", "normalising"):
+            fr = [f for s, f in calls if s == st]
+            assert 0.0 in fr and 1.0 in fr, st
+
+    def test_on_adapted_fires_with_config(self, podcast_fixture):
+        seen = []
+        process_audio(podcast_fixture, SR,
+                      on_adapted=lambda eff, diag, m: seen.append((eff, diag, m)))
+        assert len(seen) == 1
+        eff, diag, m = seen[0]
+        assert eff.loudnorm.target_i == -16.0
+        assert m.duration > 0
