@@ -276,3 +276,38 @@ class TestAfftdnBands:
         for i in range(len(C)):
             lo, hi = afftdn_band_edges_hz(i)
             assert lo < C[i] < hi
+
+
+class TestMeasureRegion:
+    """Region re-measure = slice + the metering kernels — no decode, no
+    pre-roll seek (ref: MeasureOutputRegions, analyser_output.go:18-120)."""
+
+    def test_matches_direct_slice_measures(self):
+        import math
+
+        from jivetalking_tpu.analysis.regions import measure_region
+        from jivetalking_tpu.analysis.types import Region
+
+        rng = np.random.default_rng(4)
+        sr = 8000
+        x = (0.1 * rng.standard_normal(sr * 10)).astype(np.float32)
+        x[3 * sr : 6 * sr] *= 0.01  # a quiet middle region
+
+        s = measure_region(x, sr, Region(3.0, 6.0))
+        seg = x[3 * sr : 6 * sr].astype(np.float64)
+        want_rms = 20 * math.log10(np.sqrt(np.mean(seg ** 2)))
+        want_peak = 20 * math.log10(np.max(np.abs(seg)))
+        assert s.rms_level == pytest.approx(want_rms, abs=0.05)
+        assert s.peak_level == pytest.approx(want_peak, abs=0.05)
+        assert s.crest_factor == pytest.approx(want_peak - want_rms, abs=0.1)
+        # quiet region is much quieter than the whole file
+        whole = measure_region(x, sr, Region(0.0, 10.0))
+        assert s.rms_level < whole.rms_level - 20
+
+    def test_edge_cases(self):
+        from jivetalking_tpu.analysis.regions import measure_region
+        from jivetalking_tpu.analysis.types import Region
+
+        x = np.zeros(80000, np.float32)  # 10 s at 8 kHz
+        assert measure_region(x, 8000, Region(2.0, 1.0)) is None   # inverted
+        assert measure_region(x, 8000, Region(5.0, 14.0)) is not None  # end clamps to n
