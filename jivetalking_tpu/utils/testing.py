@@ -15,7 +15,10 @@ from __future__ import annotations
 def force_cpu_devices(n: int = 8) -> int:
     """Ensure JAX runs on the host CPU with `n` virtual devices.
 
-    Safe to call multiple times; returns the resulting device count."""
+    Safe to call multiple times; returns the resulting device count.
+    Raises RuntimeError if it cannot deliver at least `n` CPU devices —
+    a silent 1-device fallback turns every mesh construction downstream
+    into a confusing reshape error (round-1 MULTICHIP gate failure)."""
     import jax
     from jax._src import xla_bridge as xb
 
@@ -35,6 +38,13 @@ def force_cpu_devices(n: int = 8) -> int:
         jax.config.update("jax_num_cpu_devices", n)
     except RuntimeError:
         # backends already re-initialised by a concurrent thread; the
-        # device count is whatever it is
+        # device count is whatever it is — checked below
         pass
-    return len(jax.devices())
+    count = len(jax.devices())
+    if count < n:
+        raise RuntimeError(
+            f"force_cpu_devices({n}) could only deliver {count} device(s) "
+            f"on platform {jax.default_backend()!r}; call it BEFORE anything "
+            "initialises a JAX backend (jax.devices(), device_put, jit...)"
+        )
+    return count
