@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
                    help="compute platform: auto (the environment's accelerator) "
                         "or cpu (force the host CPU)")
+    p.add_argument("--cpu-devices", type=int, default=1, metavar="N",
+                   help="with --platform cpu: number of virtual CPU devices "
+                        "(N>1 exercises the mesh/sharded paths)")
     p.add_argument("--resume", action="store_true",
                    help="skip files whose processed output already exists "
                         "(pass-boundary resume for batch runs)")
@@ -86,7 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.platform == "cpu":
         from ..utils.testing import force_cpu_devices
 
-        force_cpu_devices(1)
+        try:
+            force_cpu_devices(max(1, args.cpu_devices))
+        except RuntimeError as e:
+            # force_cpu_devices raises rather than silently running on the
+            # wrong platform/device count (round-1 gate lesson)
+            print_error(str(e))
+            return 1
 
     sink = DebugSink.open(args.debug)
     cancel = threading.Event()

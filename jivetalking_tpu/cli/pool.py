@@ -199,6 +199,17 @@ def _debug_result(events: PoolEvents, path: str, res: ProcessResult) -> None:
             "requested %.2f (peak-limited input)"
             % (n.effective_target_i, n.requested_target_i),
         )
+        # surface the detective at the console, the rebuild's analogue of
+        # the reference's dynamic-fallback WARNING (ref: normalise.go:683-693
+        # detectDynamicNormalisation): the user asked for -16 and did not
+        # get it — say so, don't bury it in the run record
+        _emit(
+            events.on_warning,
+            "%s: target lowered to %.1f LUFS (requested %.1f): input is "
+            "peak-limited; loudness kept in linear mode"
+            % (os.path.basename(path), n.effective_target_i,
+               n.requested_target_i),
+        )
 
 
 def process_one_file(
@@ -236,7 +247,14 @@ def process_one_file(
             progress=progress, on_adapted=on_adapted,
         )
 
-        out_path = output_audio_path(path, res.normalisation.requested_target_i)
+        # name the file after the MEASURED output loudness (ref:
+        # processor.go:199-214 result.OutputLUFS): a linear-mode-capped
+        # file that lands at -19.3 is LUFS-19, not LUFS-16
+        n_res = res.normalisation
+        name_lufs = n_res.output_lufs
+        if not (name_lufs < 0.0):   # skipped/degenerate normalisation
+            name_lufs = n_res.effective_target_i or n_res.requested_target_i
+        out_path = output_audio_path(path, name_lufs)
         save_flac(out_path, res.output_audio, res.output_rate)
 
         spectrogram_images = None

@@ -181,10 +181,11 @@ def _batched_master_impl(
             nb, sb, chain_ir, kw_ir, tp_bank, deess_k,
             sr=sr, nlm_enabled=True, afftdn_enabled=True,
         )
-        z, mb = _master_stage_b_tree(
+        z_chunks, mb = _master_stage_b_tree(
             prefixed, offset_db, ttp_lin, nb, sb, kw_ir, tp_bank,
             sr=sr, out_rate=out_rate, declick_enabled=True,
         )
+        z = jnp.concatenate(z_chunks)
         return z, {
             "final_i": mb["final"]["integrated"],
             "final_tp": mb["final"]["true_peak"],

@@ -85,7 +85,8 @@ def _p2l(p):
     return -0.691 + 10.0 * jnp.log10(jnp.maximum(p, _LOG_FLOOR))
 
 
-def _fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray, n: int) -> jnp.ndarray:
+def _fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray, n: int,
+                       precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """Causal linear convolution, first n samples (streaming-IIR semantics).
 
     Computed as overlap-save frames x an in-graph (S+K-1, S) banded kernel
@@ -93,7 +94,11 @@ def _fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray, n: int) -> jnp.ndarray:
     (multi-stage transposed 2D FFTs; measured ~2x slower than the banded
     matmul and with ~1e-4 spectral round-off the exact direct sums avoid).
     The band is gathered from `ir` inside the graph, so no multi-MB kernel
-    constant is baked into the executable."""
+    constant is baked into the executable.
+
+    `precision`: HIGH (3-pass bf16, ~1.3e-5) for metering-only convs;
+    audio-path applications (the cleanup-chain IR, the de-esser split)
+    pass HIGHEST per the repo-wide audio-path precision rule."""
     K = int(ir.shape[0])
     S = 1024
     if K > 8192 or n <= 2 * S:
@@ -113,11 +118,9 @@ def _fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray, n: int) -> jnp.ndarray:
     idx = jnp.arange(S)[None, :] + (K - 1) - jnp.arange(W)[:, None]
     band = jnp.where((idx >= 0) & (idx < K),
                      ir[jnp.clip(idx, 0, K - 1)], 0.0).astype(jnp.float32)
-    # HIGH = 3-pass bf16 (~1.3e-5, 0.0004 dB on the metering path) at half
-    # HIGHEST's MXU cost; DEFAULT bf16 truncation (2e-3) is unacceptable
     y = jax.lax.dot_general(frames, band, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGH)
+                            precision=precision)
     return y.reshape(-1)[:n]
 
 
@@ -203,16 +206,23 @@ def _loudness_ingraph(x: jnp.ndarray, kw_ir: jnp.ndarray, tp_bank: jnp.ndarray,
 
 
 def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
-                           start: jnp.ndarray, end: jnp.ndarray):
-    """Masked region metering: RMS/peak over [start, end) samples, momentary
-    mean over blocks ending in the region, spectral mean over frames starting
-    in it.  start/end are traced sample indices; zero-length -> zeros."""
+                           start: jnp.ndarray, end: jnp.ndarray,
+                           tp_bank: jnp.ndarray):
+    """Masked region metering: RMS/peak/true-peak over [start, end) samples,
+    momentary mean over blocks ending in the region, spectral mean over
+    frames starting in it.  start/end are traced sample indices;
+    zero-length -> zeros.  True peak is the real 4x-oversampled maximum of
+    the masked signal (ref: analyser_output.go's ebur128 peak=true region
+    measure) — the mask lands before the polyphase conv, so the only
+    divergence from a sliced measure is the 12-tap boundary ring."""
     n = x.shape[0]
     idx = jnp.arange(n)
     mask = (idx >= start) & (idx < end)
     cnt = jnp.maximum(jnp.sum(mask), 1)
-    rms = jnp.sqrt(jnp.sum(jnp.where(mask, x, 0.0) ** 2) / cnt)
-    peak = jnp.max(jnp.where(mask, jnp.abs(x), 0.0))
+    xm = jnp.where(mask, x, 0.0)
+    rms = jnp.sqrt(jnp.sum(xm ** 2) / cnt)
+    peak = jnp.max(jnp.abs(xm))
+    tp = jnp.maximum(_tp_oversampled_max(xm, tp_bank), peak)
 
     block_len = max(1, int(round(sr * 0.1)))
     m = loud["momentary"]
@@ -222,7 +232,7 @@ def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
     mom = jnp.sum(jnp.where(m_mask, m, 0.0)) / m_cnt
 
     spec = spec_avg_fn(start, end)
-    return {"rms": rms, "peak": peak, "momentary": mom, **spec}
+    return {"rms": rms, "peak": peak, "tp": tp, "momentary": mom, **spec}
 
 
 # ---------------------------------------------------------------------------
@@ -306,8 +316,9 @@ def _master_stage_a_tree(
     n = int(x.shape[0])
     x = x.astype(jnp.float32)
 
-    # --- rumble HP + band-limit LP (one fused FIR) ---
-    y = _fft_convolve_full(x, chain_ir, n)
+    # --- rumble HP + band-limit LP (one fused FIR; HIGHEST — this conv
+    # IS the delivery audio, not a meter) ---
+    y = _fft_convolve_full(x, chain_ir, n, precision=jax.lax.Precision.HIGHEST)
 
     # --- anlmdn NLM (production constants; near-transparent) ---
     if nlm_enabled:
@@ -368,7 +379,8 @@ def _master_stage_a_tree(
     # --- de-esser (traced intensity; i=0 -> unity blend) ---
     delay = (deess_kernel.shape[0] - 1) // 2
     hf = _fft_convolve_full(
-        jnp.concatenate([y, jnp.zeros(delay, y.dtype)]), deess_kernel, n + delay
+        jnp.concatenate([y, jnp.zeros(delay, y.dtype)]), deess_kernel, n + delay,
+        precision=jax.lax.Precision.HIGHEST,
     )[delay:]
     lf = y - hf
     ca = envelope_coeff(1.0, sr)
@@ -388,9 +400,11 @@ def _master_stage_a_tree(
     stage_metrics = _stage_metrics_fns(n, sr, kw_ir, tp_bank)
     loud_f, ast_f, spec_f, spec_avg_f = stage_metrics(y)
     region_f_noise = _region_sample_ingraph(y, loud_f, spec_avg_f, sr,
-                                            noise_bounds[0], noise_bounds[1])
+                                            noise_bounds[0], noise_bounds[1],
+                                            tp_bank)
     region_f_speech = _region_sample_ingraph(y, loud_f, spec_avg_f, sr,
-                                             speech_bounds[0], speech_bounds[1])
+                                             speech_bounds[0], speech_bounds[1],
+                                             tp_bank)
 
     # --- normalisation plan (in-graph scalar arithmetic, jnp.where) ---
     measured_i = loud_f["integrated"]
@@ -476,9 +490,11 @@ def _master_stage_b_tree(
     stage_metrics = _stage_metrics_fns(n, sr, kw_ir, tp_bank)
     loud_z, ast_z, spec_z, spec_avg_z = stage_metrics(z)
     region_z_noise = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
-                                            noise_bounds[0], noise_bounds[1])
+                                            noise_bounds[0], noise_bounds[1],
+                                            tp_bank)
     region_z_speech = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
-                                             speech_bounds[0], speech_bounds[1])
+                                             speech_bounds[0], speech_bounds[1],
+                                             tp_bank)
 
     metrics = {
         "final": loud_z,
@@ -492,12 +508,21 @@ def _master_stage_b_tree(
 
     # --- chain-final delivery format: resample + s16 quantise in-graph
     # (ref: FilterResample `aformat=sample_rates=44100:...:s16`,
-    # filters.go:706-710) — no separate dispatch, half the pull bytes ---
+    # filters.go:706-710) — no separate dispatch, half the pull bytes.
+    # The delivery PCM leaves the program as SEPARATE chunk buffers so the
+    # host can start overlapping async pulls directly — no per-length
+    # host-side slice programs queueing through the AOT compile helper ---
     from ..ops.resample import resample
 
     zr = resample(z, sr, out_rate)
     out_i16 = jnp.clip(jnp.round(zr * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
-    return out_i16, metrics
+    n_out = int(out_i16.shape[0])
+    k = 4 if n_out >= (1 << 21) else 1
+    bounds = [(i * n_out) // k for i in range(k + 1)]
+    chunks = tuple(
+        jax.lax.slice(out_i16, (bounds[i],), (bounds[i + 1],)) for i in range(k)
+    )
+    return chunks, metrics
 
 
 # --- scalar packing: the remote tunnel charges a round trip per SCALAR
@@ -562,11 +587,11 @@ def _fused_master_a_packed(*args, sr, nlm_enabled, afftdn_enabled):
     static_argnames=("sr", "out_rate", "declick_enabled"),
 )
 def _fused_master_b_packed(*args, sr, out_rate, declick_enabled):
-    out_i16, tree = _master_stage_b_tree(
+    out_chunks, tree = _master_stage_b_tree(
         *args, sr=sr, out_rate=out_rate, declick_enabled=declick_enabled
     )
     flat, _ = jax.tree_util.tree_flatten(tree)
-    return out_i16, _pack_all(flat)
+    return out_chunks, _pack_all(flat)
 
 
 def _meta_from(tree):
@@ -638,12 +663,24 @@ def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
     )
 
 
-def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[jnp.ndarray, int, dict]:
+def fused_master(
+    x, sample_rate: int, cfg: FilterConfig, measurements,
+    on_stage_a_done=None,
+) -> tuple[tuple, int, dict, dict]:
     """Run the fused pass-2/3/4 master (two chained device programs, no
     host sync between them) with per-file parameters drawn from the
-    adapted config.  Returns (output_i16_device_array, out_rate,
-    metrics_host) — the delivery-format resample + s16 quantise happen
-    inside stage B."""
+    adapted config.  Returns (output_i16_chunk_tuple, out_rate,
+    metrics_host, timings) — the delivery-format resample + s16 quantise
+    happen inside stage B, and the output leaves as chunk buffers whose
+    async host pulls are already in flight on return.
+
+    `timings` holds MEASURED per-stage walls: "stage_a" = dispatch to
+    stage-A completion (pass 2 chain + filtered metering + limiter plan +
+    prefix limiter + pass-3 measure), "stage_b" = stage-B execution
+    (linear gain + declick + brickwall + final metering + delivery
+    resample).  `on_stage_a_done`, when given, fires the moment stage A's
+    outputs are ready (stage B already executing)."""
+    import time as _time
     m = measurements
     nr = cfg.noise_reduction
     shape = np.zeros(15, dtype=np.float32)
@@ -682,6 +719,7 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
     speech_bj = jnp.asarray(speech_b)
 
     # stage A dispatch
+    t0 = _time.perf_counter()
     prefixed, offset_db, packed_a = _fused_master_a_packed(
         x.astype(jnp.float32) if x.dtype != jnp.float32 else x,
         jnp.float32(cfg.speech_gate.threshold),
@@ -700,11 +738,28 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
     )
 
     # stage B dispatch — consumes A's device outputs, no host sync between
-    z, packed_b = _fused_master_b_packed(
+    out_chunks, packed_b = _fused_master_b_packed(
         prefixed, offset_db, target_tp_lin, noise_bj, speech_bj,
         kw_ir, tp_bank,
         sr=sample_rate, out_rate=out_rate, declick_enabled=declick_enabled,
     )
+
+    # stage A completes while B (already queued) starts — blocking on
+    # packed_a here measures the real stage-A wall without stalling B
+    packed_a.block_until_ready()
+    t_a = _time.perf_counter() - t0
+    if on_stage_a_done is not None:
+        try:
+            on_stage_a_done()
+        except Exception:
+            pass
+    packed_b.block_until_ready()
+    t_b = _time.perf_counter() - t0 - t_a
+
+    # start the delivery-PCM pulls before the host unpacks metrics: the
+    # chunk transfers overlap each other AND the host-side assembly below
+    for c in out_chunks:
+        c.copy_to_host_async()
 
     treedef_a, shapes_a, dtypes_a = _master_a_meta(
         n, sample_rate, nlm_enabled, afftdn_enabled
@@ -716,7 +771,7 @@ def fused_master(x, sample_rate: int, cfg: FilterConfig, measurements) -> tuple[
     mb = _unpack_all(np.asarray(packed_b), shapes_b, dtypes_b, treedef_b)
     metrics = {**ma, **mb,
                "regions": {**ma["regions"], **mb["regions"]}}
-    return z, out_rate, metrics
+    return out_chunks, out_rate, metrics, {"stage_a": t_a, "stage_b": t_b}
 
 
 # ---------------------------------------------------------------------------

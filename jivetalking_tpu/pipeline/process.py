@@ -139,16 +139,19 @@ def _spectral_from_means(d: dict) -> SpectralMetrics:
 
 
 def _region_from_fused(d: dict, present: bool) -> RegionSample | None:
-    """RegionSample from the fused masked region dict (sample peak stands in
-    for the oversampled region true peak — region TPs are diagnostic-only)."""
+    """RegionSample from the fused masked region dict.  True peak is the
+    in-graph 4x-oversampled masked maximum (fused._region_sample_ingraph),
+    matching the unfused measure_region within the boundary-ring tolerance."""
     import math
 
     if not present:
         return None
     rms = float(d["rms"])
     peak = float(d["peak"])
+    tp = float(d.get("tp", peak))
     rms_db = 20.0 * math.log10(rms) if rms > 0 else -150.0
     peak_db = 20.0 * math.log10(peak) if peak > 0 else -150.0
+    tp_db = 20.0 * math.log10(tp) if tp > 0 else -150.0
     spec = {k[5:]: float(v) for k, v in d.items() if k.startswith("spec_")}
     return RegionSample(
         rms_level=rms_db,
@@ -157,7 +160,7 @@ def _region_from_fused(d: dict, present: bool) -> RegionSample | None:
         spectral=SpectralMetrics(**spec, found=True) if spec else SpectralMetrics(),
         momentary_lufs=float(d["momentary"]),
         short_term_lufs=float(d["momentary"]),
-        true_peak=peak_db,
+        true_peak=tp_db,
         sample_peak=peak_db,
     )
 
@@ -222,11 +225,15 @@ def process_audio(
         # PASSES 2+3+4: one compiled device program
         from .fused import fused_master
 
-        t0 = time.perf_counter()
         report("processing", 0.0)
-        out_i16_dev, out_rate, fm = fused_master(mono, sample_rate, eff, m)
-        report("processing", 1.0)
-        report("normalising", 0.0)
+
+        def _stage_a_done():
+            report("processing", 1.0)
+            report("normalising", 0.0)
+
+        out_chunks, out_rate, fm, fused_t = fused_master(
+            mono, sample_rate, eff, m, on_stage_a_done=_stage_a_done
+        )
 
         has_noise = m.vad.noise_region is not None
         has_speech = m.vad.speech_profile is not None
@@ -272,11 +279,15 @@ def process_audio(
             limiter_clamped=bool(plan["clamped"]),
             final_loudness=final.loudness,
         )
-        t_both = time.perf_counter() - t0
-        timings["processing"] = t_both / 2.0
-        timings["normalising"] = t_both / 2.0
+        # MEASURED stage walls (fused_master blocks per stage): stage A is
+        # the pass-2 chain + filtered metering + limiter plan + pass-3
+        # measure; stage B is the pass-3/4 gain + declick + brickwall +
+        # final metering + delivery resample
+        timings["processing"] = fused_t["stage_a"]
+        timings["normalising"] = fused_t["stage_b"]
         report("normalising", 1.0)
-        out_np = _pull_pcm(out_i16_dev)
+        # chunk pulls were started async inside fused_master
+        out_np = np.concatenate([np.asarray(c) for c in out_chunks])
     else:
         # PASS 2
         t0 = time.perf_counter()

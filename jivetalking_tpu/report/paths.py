@@ -6,12 +6,15 @@ from __future__ import annotations
 import os
 
 
-def output_audio_path(input_path: str, target_lufs: float = -16.0) -> str:
-    """<stem>-LUFS-NN-processed.flac (ref: processor.go:206-214).  The NN
-    value rounds half away from zero like Go's math.Round
-    (ref: lufsFilenameValue: -16.5 -> 17, not banker's 16)."""
+def output_audio_path(input_path: str, output_lufs: float = -16.0) -> str:
+    """<stem>-LUFS-NN-processed.flac (ref: processor.go:206-214).  NN comes
+    from the MEASURED output loudness (ref: result.OutputLUFS — when the
+    linear-mode cap lowers the effective target the reference names the
+    file after what it actually delivered, e.g. LUFS-19).  The value rounds
+    half away from zero like Go's math.Round (ref: lufsFilenameValue:
+    -16.5 -> 17, not banker's 16)."""
     stem, _ = os.path.splitext(input_path)
-    v = abs(target_lufs)
+    v = abs(output_lufs)
     nn = int(v + 0.5)
     return f"{stem}-LUFS-{nn}-processed.flac"
 

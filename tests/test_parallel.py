@@ -147,9 +147,10 @@ class TestBatchedMaster:
         assert z.shape[0] == 4
 
         for i in range(4):
-            zi, rate, fm = fused_master(files[i], sr, cfgs[i], metas[i])
+            zchunks, rate, fm, _t = fused_master(files[i], sr, cfgs[i], metas[i])
+            zi = np.concatenate([np.asarray(c) for c in zchunks])
             assert rate == sr
             np.testing.assert_allclose(
-                np.asarray(z[i]), np.asarray(zi), rtol=1e-4, atol=2e-4)
+                np.asarray(z[i]), zi, rtol=1e-4, atol=2e-4)
             assert float(metrics["final_i"][i]) == pytest.approx(
                 float(fm["final"]["integrated"]), abs=0.01)
