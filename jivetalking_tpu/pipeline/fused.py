@@ -152,7 +152,21 @@ def _loudness_ingraph(x: jnp.ndarray, kw_ir: jnp.ndarray, tp_bank: jnp.ndarray,
     if dual_mono:
         bp = bp * 2.0
 
+    out = _loudness_from_bp(bp)
+    sample_peak = jnp.max(jnp.abs(x))
+    true_peak = jnp.maximum(_tp_oversampled_max(x, tp_bank), sample_peak)
+    out["sample_peak"] = sample_peak
+    out["true_peak"] = true_peak
+    return out
+
+
+def _loudness_from_bp(bp: jnp.ndarray) -> dict:
+    """R128 gating/LRA/series maths from dual-mono-scaled 100 ms block
+    powers.  Split out so the sequence-parallel master (parallel/master.py)
+    can all_gather its shards' block powers and run EXACTLY this math —
+    parity by construction."""
     c = jnp.concatenate([jnp.zeros(1, bp.dtype), jnp.cumsum(bp)])
+    n_blocks = int(bp.shape[0])
     if n_blocks >= 4:
         mp = (c[4:] - c[:-4]) / 4.0
     else:
@@ -189,17 +203,12 @@ def _loudness_ingraph(x: jnp.ndarray, kw_ir: jnp.ndarray, tp_bank: jnp.ndarray,
     lra_low = jnp.where(g_cnt > 0, _pick(10.0), ABS_GATE)
     lra_high = jnp.where(g_cnt > 0, _pick(95.0), ABS_GATE)
 
-    sample_peak = jnp.max(jnp.abs(x))
-    true_peak = jnp.maximum(_tp_oversampled_max(x, tp_bank), sample_peak)
-
     return {
         "integrated": integrated,
         "lra": lra_high - lra_low,
         "lra_low": lra_low,
         "lra_high": lra_high,
         "rel_thresh": rel_thresh,
-        "sample_peak": sample_peak,
-        "true_peak": true_peak,
         "momentary": ml,
         "short_term": sl,
     }
