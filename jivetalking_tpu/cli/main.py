@@ -116,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
 
     lock = threading.Lock()
     last_stage: dict[str, str] = {}
-    use_tty = sys.stdout.isatty() and not args.analyse
+    use_tty = sys.stdout.isatty()
 
     def on_progress(path, stage, frac):
         # print each stage transition once (plain no-TTY path)
@@ -143,14 +143,17 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if use_tty:
-            # live ANSI view (the reference's Bubble Tea model; TTY only)
-            from ..ui.live import LiveUI
+            # live ANSI view (the reference's Bubble Tea models; TTY only —
+            # the -a mode gets the AnalysisModel equivalent)
+            from ..ui.live import AnalysisLiveUI, LiveUI
 
-            with LiveUI(args.files) as live:
+            ui_cls = AnalysisLiveUI if args.analyse else LiveUI
+            with ui_cls(args.files) as live:
                 events = PoolEvents(
                     on_file_start=live.on_file_start,
                     on_progress=live.on_progress,
                     on_adapted=live.on_adapted_summary,
+                    on_levels=live.on_levels,
                     on_file_complete=live.on_file_complete,
                     on_warning=lambda w: warnings.append(w),
                     on_debug=lambda p, msg: sink.for_file(p)(msg),

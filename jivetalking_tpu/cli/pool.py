@@ -85,6 +85,7 @@ class PoolEvents:
     on_file_start: callable = None
     on_progress: callable = None        # (path, pass_name, fraction)
     on_adapted: callable = None         # (path, AdaptedSummary)
+    on_levels: callable = None          # (path, levels_db ndarray, hop_secs)
     on_file_complete: callable = None   # (FileOutcome)
     on_warning: callable = None         # (str)
     on_debug: callable = None           # (path, str) -> serialised debug sink
@@ -241,6 +242,13 @@ def process_one_file(
             from ..ui.summary import new_adapted_summary
 
             _emit(events.on_adapted, path, new_adapted_summary(eff, diag, m))
+            # the 250 ms interval RMS series feeds the live VU meter during
+            # the device passes (ref: the per-~100-frame VU level the
+            # encoder streams to the TUI, encoder.go:224-234)
+            if m.intervals is not None and len(m.intervals):
+                _emit(events.on_levels, path,
+                      np.asarray(m.intervals.rms_level, dtype=np.float64),
+                      float(m.intervals.hop))
 
         res = process_audio(
             samples, meta.sample_rate, base_config=base,

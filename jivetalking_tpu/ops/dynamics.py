@@ -104,16 +104,18 @@ def attack_release_follower(
     ca = jnp.float32(ca)
     cr = jnp.float32(cr)
 
-    init_col = jnp.full((*d.shape[:-1], 1), init, d.dtype)
+    # init may be a scalar or a per-row array (carried chunk state)
+    init_arr = jnp.broadcast_to(jnp.asarray(init, d.dtype), d.shape[:-1])
+    init_col = init_arr[..., None]
 
     # iteration 0: midpoint coefficient (converges slightly faster than
     # release-only or attack-only initialisation)
     c = jnp.full_like(d, (ca + cr) * 0.5)
-    y = linear_recurrence(1.0 - c, c * d, init)
+    y = linear_recurrence(1.0 - c, c * d, init_arr)
     for _ in range(max(0, iters - 1)):
         y_prev = jnp.concatenate([init_col, y[..., :-1]], axis=-1)
         c = jnp.where(d > y_prev, ca, cr)
-        y = linear_recurrence(1.0 - c, c * d, init)
+        y = linear_recurrence(1.0 - c, c * d, init_arr)
     return y
 
 

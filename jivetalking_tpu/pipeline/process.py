@@ -215,25 +215,37 @@ def process_audio(
 
     from .chunked import should_chunk
 
-    if fused and should_chunk(int(mono.shape[0]), sample_rate):
-        # hour-scale files: the fused whole-file program would materialise
-        # multi-GB STFT intermediates; run the chain chunked instead
-        # (overlap-discard carried state, pipeline/chunked.py)
-        fused = False
-
     if fused:
-        # PASSES 2+3+4: one compiled device program
-        from .fused import fused_master
-
+        # PASSES 2+3+4 fused.  Whole-file: two chained device programs.
+        # Hour-scale files (the reference's real ~45-min workload): the
+        # chunked fused master — same maths over fixed-shape chunks with
+        # carried state, per-chunk progress, bounded HBM.
         report("processing", 0.0)
 
-        def _stage_a_done():
-            report("processing", 1.0)
-            report("normalising", 0.0)
+        if should_chunk(int(mono.shape[0]), sample_rate):
+            from .fused_chunked import fused_master_chunked
 
-        out_chunks, out_rate, fm, fused_t = fused_master(
-            mono, sample_rate, eff, m, on_stage_a_done=_stage_a_done
-        )
+            def chunk_progress(frac):
+                # chain+deess passes ~ pass 2; limit+B ~ passes 3/4
+                if frac <= 0.55:
+                    report("processing", min(1.0, frac / 0.55))
+                else:
+                    report("processing", 1.0)
+                    report("normalising", min(1.0, (frac - 0.55) / 0.45))
+
+            out_chunks, out_rate, fm, fused_t = fused_master_chunked(
+                mono, sample_rate, eff, m, progress=chunk_progress
+            )
+        else:
+            from .fused import fused_master
+
+            def _stage_a_done():
+                report("processing", 1.0)
+                report("normalising", 0.0)
+
+            out_chunks, out_rate, fm, fused_t = fused_master(
+                mono, sample_rate, eff, m, on_stage_a_done=_stage_a_done
+            )
 
         has_noise = m.vad.noise_region is not None
         has_speech = m.vad.speech_profile is not None

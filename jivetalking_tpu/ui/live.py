@@ -1,14 +1,19 @@
 """Live TTY progress renderer.
 
 Behavioural rebuild of the reference's Bubble Tea processing model
-(internal/ui/model.go, views.go): per-file rows with a pass timeline and
-progress bar, the Filter Chain + Analysis status boxes once AdaptConfig
-lands, per-file done boxes, and a persisted final summary.  The renderer
-repaints in place with ANSI cursor movement on a ticker thread,
-independent of message arrival (the reference's 60 fps meter tick,
-model.go:88-114 — here a 10 Hz repaint; the device passes are monolithic
-kernels rather than a frame stream, so there is no per-frame VU signal to
-animate).
+(internal/ui/model.go, views.go): per-file rows with a pass timeline,
+progress bar and an eased VU meter with peak hold (model.go:87-114,
+views.go:359-537), the Filter Chain + Analysis status boxes once
+AdaptConfig lands — associated with THEIR file's row, not a shared slot —
+per-file done boxes, and a persisted final summary.  The renderer repaints
+in place with ANSI cursor movement on a ticker thread, independent of
+message arrival (the reference's 60 fps meter tick).
+
+The meter's level signal: the device passes are monolithic kernels rather
+than a frame stream, so the pool feeds the 250 ms interval RMS series
+measured in Pass 1 (PoolEvents.on_levels) and the ticker plays it back at
+the row's current progress position — spring-eased level, 1 s peak hold
+with decay, exactly the reference's meter dynamics.
 
 Thread-safe: pool workers post typed updates (the reference's message
 types, messages.go:10-84) under a lock; only the ticker thread writes to
@@ -21,7 +26,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
-from .console import render_done_box
+from .console import render_analysis_summary, render_done_box
 from .statusbox import render_analysis_box, render_filter_chain_box
 from .summary import AdaptedSummary
 
@@ -32,6 +37,11 @@ PASS_LABELS = {
 }
 _SPINNER = "⠋⠙⠹⠸⠼⠴⠦⠧⠇⠏"
 _BAR_WIDTH = 24
+_METER_WIDTH = 30
+_METER_FLOOR_DB = -60.0      # mirrored from the reference's meter floor
+_PEAK_HOLD_SECS = 1.0
+_PEAK_DECAY_DB = 1.5         # per tick once the hold lapses
+_EASE = 0.35                 # spring factor per tick toward the target
 
 
 @dataclass
@@ -39,11 +49,17 @@ class FileRow:
     path: str
     stage: str = ""
     fraction: float = 0.0
+    disp_fraction: float = 0.0   # eased toward `fraction` by the ticker
     started: float = 0.0
     done: bool = False
     error: str = ""
     done_box: str = ""
     summary: AdaptedSummary | None = None
+    levels: object = None        # np.ndarray of dBFS per 250 ms interval
+    level_hop: float = 0.25
+    meter_db: float = _METER_FLOOR_DB
+    peak_db: float = _METER_FLOOR_DB
+    peak_at: float = 0.0
 
 
 @dataclass
@@ -62,24 +78,59 @@ def _bar(fraction: float) -> str:
     return "█" * filled + "░" * (_BAR_WIDTH - filled)
 
 
+def render_meter(level_db: float, peak_db: float) -> str:
+    """The eased VU row: gradient bar + peak-hold tick
+    (ref: views.go:359-537)."""
+    span = -_METER_FLOOR_DB
+    def cell(db):
+        return int(round((max(_METER_FLOOR_DB, min(0.0, db)) - _METER_FLOOR_DB)
+                         / span * (_METER_WIDTH - 1)))
+    lv = cell(level_db)
+    pk = cell(peak_db)
+    chars = []
+    for i in range(_METER_WIDTH):
+        if i == pk and peak_db > _METER_FLOOR_DB + 0.5:
+            chars.append("┃")
+        elif i <= lv and level_db > _METER_FLOOR_DB + 0.5:
+            chars.append("█")
+        else:
+            chars.append("░")
+    txt = f"{level_db:6.1f} dB" if level_db > _METER_FLOOR_DB + 0.5 else "    —   "
+    return "▐" + "".join(chars) + "▌" + txt
+
+
+def _advance_meter(row: FileRow, now: float) -> None:
+    """One ticker step of the meter physics (spring ease + peak hold)."""
+    row.disp_fraction += (row.fraction - row.disp_fraction) * _EASE
+    target = _METER_FLOOR_DB
+    if row.levels is not None and row.stage in ("processing", "normalising"):
+        n = len(row.levels)
+        if n:
+            idx = min(n - 1, int(row.disp_fraction * (n - 1)))
+            target = float(max(_METER_FLOOR_DB, min(0.0, row.levels[idx])))
+    row.meter_db += (target - row.meter_db) * _EASE
+    if row.meter_db >= row.peak_db:
+        row.peak_db = row.meter_db
+        row.peak_at = now
+    elif now - row.peak_at > _PEAK_HOLD_SECS:
+        row.peak_db = max(row.meter_db, row.peak_db - _PEAK_DECAY_DB)
+
+
+def _boxes_for(summary: AdaptedSummary) -> list[str]:
+    chain = render_filter_chain_box(summary).splitlines()
+    analysis = render_analysis_box(summary).splitlines()
+    height = max(len(chain), len(analysis))
+    chain += [" " * len(chain[0])] * (height - len(chain))
+    analysis += [" " * len(analysis[0])] * (height - len(analysis))
+    return [a + "  " + b for a, b in zip(chain, analysis)]
+
+
 def render_frame(model: LiveModel, tick: int) -> str:
-    """One full repaint of the live view (pure; string-testable)."""
+    """One full repaint of the live view (pure; string-testable).  Each
+    in-flight file renders its own row + ITS status boxes + ITS meter
+    (ref: per-file association, statusboxes.go:269-396)."""
     lines: list[str] = []
     spin = _SPINNER[tick % len(_SPINNER)]
-
-    # status boxes from the most recent file with a summary
-    summary = None
-    for row in model.rows.values():
-        if row.summary is not None:
-            summary = row.summary
-    if summary is not None:
-        chain = render_filter_chain_box(summary).splitlines()
-        analysis = render_analysis_box(summary).splitlines()
-        height = max(len(chain), len(analysis))
-        chain += [" " * len(chain[0])] * (height - len(chain))
-        analysis += [" " * len(analysis[0])] * (height - len(analysis))
-        lines.extend(a + "  " + b for a, b in zip(chain, analysis))
-        lines.append("")
 
     for f in model.files:
         row = model.rows[f]
@@ -89,15 +140,19 @@ def render_frame(model: LiveModel, tick: int) -> str:
         stage = PASS_LABELS.get(row.stage, row.stage or "queued")
         elapsed = time.perf_counter() - row.started if row.started else 0.0
         lines.append(
-            f"{spin} {row.path:<32} {stage:<16} {_bar(row.fraction)} {elapsed:5.0f}s"
+            f"{spin} {row.path:<32} {stage:<16} {_bar(row.disp_fraction if row.stage else 0.0)} {elapsed:5.0f}s"
         )
+        if row.levels is not None and row.stage in ("processing", "normalising"):
+            lines.append("  " + render_meter(row.meter_db, row.peak_db))
+        if row.summary is not None:
+            lines.extend("  " + b for b in _boxes_for(row.summary))
     return "\n".join(lines)
 
 
 class LiveUI:
     """Ticker-driven ANSI repaint loop; the PoolEvents adapter."""
 
-    def __init__(self, files: list[str], out=None, fps: float = 10.0):
+    def __init__(self, files: list[str], out=None, fps: float = 15.0):
         self.model = LiveModel(files=files)
         self._out = out or sys.stdout
         self._period = 1.0 / fps
@@ -116,12 +171,21 @@ class LiveUI:
     def on_progress(self, path: str, stage: str, fraction: float) -> None:
         with self._lock:
             row = self.model.rows[path]
+            if stage != row.stage:
+                # new pass: restart the eased bar from the new target's left
+                row.disp_fraction = 0.0
             row.stage = stage
             row.fraction = fraction
 
     def on_adapted_summary(self, path: str, summary: AdaptedSummary) -> None:
         with self._lock:
             self.model.rows[path].summary = summary
+
+    def on_levels(self, path: str, levels_db, hop_secs: float) -> None:
+        with self._lock:
+            row = self.model.rows[path]
+            row.levels = levels_db
+            row.level_hop = hop_secs
 
     def on_file_complete(self, outcome) -> None:
         with self._lock:
@@ -135,7 +199,11 @@ class LiveUI:
     # --- ticker ---
 
     def _paint(self) -> None:
+        now = time.perf_counter()
         with self._lock:
+            for row in self.model.rows.values():
+                if not row.done:
+                    _advance_meter(row, now)
             frame = render_frame(self.model, self._tick)
         lines = frame.count("\n") + 1
         if self._last_height:
@@ -166,3 +234,18 @@ class LiveUI:
         self._out.write("\x1b[?25h")  # show cursor
         self._out.flush()
         return False
+
+
+class AnalysisLiveUI(LiveUI):
+    """The -a live view: per-file rows while analysing, each completing
+    into the stars + gain-thermometer summary block (ref: AnalysisModel,
+    internal/ui/analysis_model.go:28-96, views.go:538-614)."""
+
+    def on_file_complete(self, outcome) -> None:
+        with self._lock:
+            row = self.model.rows[outcome.path]
+            row.done = True
+            row.error = outcome.error
+            row.done_box = render_analysis_summary(outcome)
+            if all(r.done for r in self.model.rows.values()):
+                self.model.all_done = True

@@ -1,0 +1,98 @@
+"""Chunked fused master parity vs the whole-file fused master.
+
+The chunked form (pipeline/fused_chunked.py) must reproduce
+`fused.fused_master`'s delivery audio and metrics: exact carried state for
+the followers/limiters, halo'd overlap-discard for the FIR/STFT ops,
+window-END-assigned metering partials.  Known divergences: NLM within
+patch+research extent of the FILE edges, declick p90-grid seams (no
+clicks in these fixtures), float re-association in partial sums.
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_parallel_master import _speechlike
+
+
+def _setup(sr, n, seed=21):
+    from jivetalking_tpu.adaptive import adapt_config, default_filter_config
+    from jivetalking_tpu.analysis import analyse_audio
+
+    x = _speechlike(n, sr, seed=seed)
+    m = analyse_audio(x, sr)
+    cfg, _ = adapt_config(default_filter_config(), m)
+    return x, m, cfg
+
+
+class TestChunkedParity:
+    def _compare(self, sr, n, out_rate):
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.pipeline.fused import fused_master
+        from jivetalking_tpu.pipeline.fused_chunked import (
+            chunk_length,
+            fused_master_chunked,
+        )
+
+        x, m, cfg = _setup(sr, n)
+        if out_rate == sr:
+            cfg.resample.enabled = False
+        else:
+            cfg.resample.enabled = True
+            cfg.resample.sample_rate = out_rate
+
+        C = chunk_length(sr, out_rate, target_secs=3.0)
+        assert C < n, "fixture must span several chunks"
+
+        zc, rate_c, fm_c, _ = fused_master_chunked(
+            jnp.asarray(x), sr, cfg, m, chunk_secs=3.0)
+        zw, rate_w, fm_w, _ = fused_master(jnp.asarray(x), sr, cfg, m)
+
+        assert rate_c == rate_w == out_rate
+        a = np.concatenate([np.asarray(c) for c in zc]).astype(np.int32)
+        b = np.concatenate([np.asarray(c) for c in zw]).astype(np.int32)
+        assert a.shape == b.shape
+        # interior within 2 LSB; NLM file-edge divergence allowed
+        edge = 256
+        d = np.abs(a[edge:-edge] - b[edge:-edge])
+        assert float(np.mean(d <= 1)) > 0.999
+        assert int(d.max()) <= 4
+        return fm_c, fm_w
+
+    def test_audio_and_metrics_identity_rate(self):
+        sr = 8000
+        n = 4 * 25600 + 1234          # partial final chunk exercises masking
+        fm_c, fm_w = self._compare(sr, n, sr)
+
+        for stage in ("filtered", "pass3", "final"):
+            assert float(fm_c[stage]["integrated"]) == pytest.approx(
+                float(fm_w[stage]["integrated"]), abs=0.02)
+            assert float(fm_c[stage]["lra"]) == pytest.approx(
+                float(fm_w[stage]["lra"]), abs=0.05)
+            assert float(fm_c[stage]["true_peak"]) == pytest.approx(
+                float(fm_w[stage]["true_peak"]), rel=2e-3)
+        for k in ("offset_db", "effective_i", "measured_i", "ceiling_db"):
+            assert float(fm_c["plan"][k]) == pytest.approx(
+                float(fm_w["plan"][k]), abs=0.02)
+        assert bool(fm_c["plan"]["needed"]) == bool(fm_w["plan"]["needed"])
+
+        # astats core dict parity (the assemble_astats inputs)
+        af, aw = fm_c["final_astats"], fm_w["final_astats"]
+        for k in ("rms_lin", "peak_lin", "dc", "zc", "entropy",
+                  "rms_peak", "rms_trough", "noise_floor_lin"):
+            assert float(af[k]) == pytest.approx(
+                float(aw[k]), rel=2e-3, abs=1e-5), k
+        # spectral means
+        for k, v in fm_w["final_spectral"].items():
+            assert float(fm_c["final_spectral"][k]) == pytest.approx(
+                float(v), rel=5e-3, abs=1e-4), k
+        # region dicts
+        for rk, rv in fm_w["regions"].items():
+            for k in ("rms", "peak", "tp", "momentary"):
+                assert float(fm_c["regions"][rk][k]) == pytest.approx(
+                    float(rv[k]), rel=5e-3, abs=0.05), (rk, k)
+
+    def test_audio_parity_resampled(self):
+        sr = 8000
+        n = 3 * 25600 + 800
+        self._compare(sr, n, 4000)

@@ -100,12 +100,88 @@ class TestLiveFrame:
         model = LiveModel(files=["a.flac", "b.flac"])
         model.rows["a.flac"].stage = "processing"
         model.rows["a.flac"].fraction = 0.5
+        model.rows["a.flac"].disp_fraction = 0.5   # ticker-eased display
         model.rows["a.flac"].started = time.perf_counter()
         frame = render_frame(model, tick=0)
         assert "a.flac" in frame and "b.flac" in frame
         assert "Pass 2 filter" in frame
         assert "queued" in frame
         assert "█" in frame and "░" in frame
+
+    def test_meter_row_renders_during_processing(self):
+        import numpy as np
+        from jivetalking_tpu.ui.live import _advance_meter, render_meter
+
+        model = LiveModel(files=["a.flac"])
+        row = model.rows["a.flac"]
+        row.stage = "processing"
+        row.fraction = 0.5
+        row.started = time.perf_counter()
+        row.levels = np.full(100, -18.0)
+        for _ in range(40):
+            _advance_meter(row, time.perf_counter())
+        frame = render_frame(model, tick=0)
+        assert "▐" in frame and "dB" in frame
+        # eased level converges to the series value; peak holds at/above it
+        assert abs(row.meter_db - (-18.0)) < 1.0
+        assert row.peak_db >= row.meter_db - 1e-6
+        # the meter string shows a filled bar + peak tick
+        m = render_meter(row.meter_db, row.peak_db)
+        assert "█" in m and "┃" in m
+
+    def test_peak_hold_decays(self):
+        import numpy as np
+
+        from jivetalking_tpu.ui.live import _METER_FLOOR_DB, _advance_meter
+
+        model = LiveModel(files=["a.flac"])
+        row = model.rows["a.flac"]
+        row.stage = "processing"
+        row.fraction = 0.0                 # hold playback at the loud head
+        row.levels = np.concatenate([np.full(5, -6.0), np.full(95, -55.0)])
+        t = time.perf_counter()
+        for _ in range(10):
+            _advance_meter(row, t)
+        high = row.peak_db
+        assert high > -10.0
+        # move playback into the quiet tail and let the hold lapse
+        row.fraction = 0.9
+        for i in range(60):
+            _advance_meter(row, t + 2.0 + i * 0.1)
+        assert row.peak_db < high
+        assert row.meter_db < -40.0
+        assert row.meter_db >= _METER_FLOOR_DB
+
+    def test_per_file_status_boxes(self):
+        m = _measurements()
+        cfg, diag = adapt_config(default_filter_config(), m)
+        summary = new_adapted_summary(cfg, diag, m)
+        model = LiveModel(files=["a.flac", "b.flac"])
+        for f in model.files:
+            model.rows[f].stage = "processing"
+            model.rows[f].started = time.perf_counter()
+        model.rows["a.flac"].summary = summary
+        model.rows["b.flac"].summary = summary
+        frame = render_frame(model, tick=0)
+        # each in-flight file renders its OWN boxes (two box sets)
+        assert frame.count("Filter Chain") == 2
+
+    def test_analysis_live_ui_completion_block(self):
+        import io as _io
+
+        from jivetalking_tpu.ui.live import AnalysisLiveUI
+
+        out = _io.StringIO()
+        ui = AnalysisLiveUI(["x.wav"], out=out, fps=50.0)
+        with ui:
+            ui.on_file_start("x.wav")
+            ui.on_file_complete(FileOutcome(
+                path="x.wav", recording_stars=3, recording_label="Good",
+                input_lufs=-21.0, input_tp=-6.2, input_lra=4.0))
+            time.sleep(0.1)
+        text = out.getvalue()
+        assert "Recording" in text        # stars row
+        assert "Gain" in text             # thermometer row
 
     def test_done_rows_replace_progress(self):
         model = LiveModel(files=["a.flac"])
