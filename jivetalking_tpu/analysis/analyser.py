@@ -211,7 +211,16 @@ def analyse_audio(
     if fused:
         from ..pipeline.fused import fused_analysis
 
-        mono, out = fused_analysis(x, sample_rate)
+        if (isinstance(x, np.ndarray)
+                and int(np.shape(x)[-1]) >= 60 * sample_rate):
+            # long host-side input: stream halo-overlapping chunks so the
+            # uploads overlap each other AND the per-chunk metering
+            # (pipeline/fused_chunked.fused_analysis_streamed)
+            from ..pipeline.fused_chunked import fused_analysis_streamed
+
+            mono, out = fused_analysis_streamed(x, sample_rate)
+        else:
+            mono, out = fused_analysis(x, sample_rate)
         x = mono
     else:
         x = jnp.asarray(x, dtype=jnp.float32)

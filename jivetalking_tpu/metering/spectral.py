@@ -75,7 +75,8 @@ class SpectralFrameSeries:
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "win", "hop"))
-def _spectral_core(x: jnp.ndarray, n_frames: int, win: int, hop: int, sample_rate: float):
+def _spectral_core(x: jnp.ndarray, n_frames: int, win: int, hop: int,
+                   sample_rate: float, row_valid=None):
     from ..ops.framing import frame_signal
 
     frames = frame_signal(x, n_frames, win, hop).astype(jnp.float32)
@@ -83,6 +84,10 @@ def _spectral_core(x: jnp.ndarray, n_frames: int, win: int, hop: int, sample_rat
     spec = jnp.fft.rfft(frames * window[None, :], axis=-1) / win
     size = win // 2
     mag = jnp.abs(spec[:, :size])  # (n_frames, size), bin Nyquist excluded
+    if row_valid is not None:
+        # chunked callers mask frames before the signal start so the flux
+        # zero-previous-frame convention matches the whole-file grid
+        mag = jnp.where(row_valid[:, None], mag, 0.0)
 
     scale = (sample_rate / 2.0) / size
     n_idx = jnp.arange(size, dtype=jnp.float32)

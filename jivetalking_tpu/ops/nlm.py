@@ -65,8 +65,13 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
         frames, band,
         dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        # the ones-band is exact in bf16; HIGH protects the frames operand
-        precision=jax.lax.Precision.HIGH,
+        # DEFAULT (single-pass bf16): this sum only feeds the similarity
+        # weights exp(-dist/h^2), not the delivery audio — the weighted
+        # average over `mid` below stays exact f32 vector work.  The NLM
+        # block scan was HALF of stage A's device time at HIGH (3-pass);
+        # bf16's ~0.4% distance error moves near-transparent NLM weights
+        # imperceptibly (profiled 2026-08-17, while.36 350 ms -> MXU 1-pass).
+        precision=jax.lax.Precision.DEFAULT,
     )
     return sums.reshape(*lead, n_frames * w)[..., :n_out]
 

@@ -579,13 +579,30 @@ def _unpack_all(buf: np.ndarray, shapes, dtypes, treedef):
             pos += size
     return jax.tree_util.tree_unflatten(treedef, flat)
 
+# Per-file parameters cross the tunnel as ONE packed f32 vector plus one
+# int32 bounds vector: on the remote backend every distinct host scalar
+# argument costs its own upload round trip (~30 ms each), and the master
+# dispatches carry ~14 of them — profiled 2026-08-17 as the bulk of ~860 ms
+# of per-file "unaccounted" wall.  The constants (chain_ir/kw_ir/...) are
+# content-memoized by the client, so they stay separate args.
+
+def _pack_master_params(cfg_vals: list[float]) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(cfg_vals, dtype=np.float32))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "nlm_enabled", "afftdn_enabled"),
 )
-def _fused_master_a_packed(*args, sr, nlm_enabled, afftdn_enabled):
+def _fused_master_a_packed(x, params, bounds, chain_ir, kw_ir, tp_bank,
+                           deess_k, *, sr, nlm_enabled, afftdn_enabled):
     prefixed, offset_db, tree = _master_stage_a_tree(
-        *args, sr=sr, nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled
+        x,
+        params[0], params[1], params[2], params[3], params[4], params[5],
+        params[8:23], params[6], params[7],
+        bounds[0:2], bounds[2:4],
+        chain_ir, kw_ir, tp_bank, deess_k,
+        sr=sr, nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled,
     )
     flat, _ = jax.tree_util.tree_flatten(tree)
     return prefixed, offset_db, _pack_all(flat)
@@ -595,9 +612,12 @@ def _fused_master_a_packed(*args, sr, nlm_enabled, afftdn_enabled):
     jax.jit,
     static_argnames=("sr", "out_rate", "declick_enabled"),
 )
-def _fused_master_b_packed(*args, sr, out_rate, declick_enabled):
+def _fused_master_b_packed(prefixed, offset_db, params, bounds, kw_ir,
+                           tp_bank, *, sr, out_rate, declick_enabled):
     out_chunks, tree = _master_stage_b_tree(
-        *args, sr=sr, out_rate=out_rate, declick_enabled=declick_enabled
+        prefixed, offset_db, params[7], bounds[0:2], bounds[2:4],
+        kw_ir, tp_bank,
+        sr=sr, out_rate=out_rate, declick_enabled=declick_enabled,
     )
     flat, _ = jax.tree_util.tree_flatten(tree)
     return out_chunks, _pack_all(flat)
@@ -723,33 +743,34 @@ def fused_master(
     nlm_enabled = nr.enabled
     afftdn_enabled = nr.enabled and nr.afftdn_enabled
     declick_enabled = cfg.adeclick.enabled
-    target_tp_lin = jnp.float32(10.0 ** (cfg.loudnorm.target_tp / 20.0))
-    noise_bj = jnp.asarray(noise_b)
-    speech_bj = jnp.asarray(speech_b)
+    target_tp_lin = 10.0 ** (cfg.loudnorm.target_tp / 20.0)
+
+    # one packed params vector + one bounds vector per file (2 uploads
+    # instead of ~14 scalar round trips; stage B reuses the same buffers)
+    params = _pack_master_params([
+        cfg.speech_gate.threshold,
+        cfg.speech_gate.ratio,
+        cfg.speech_gate.range,
+        10.0 ** (cfg.levelling_compressor.threshold / 20.0),
+        cfg.deesser.intensity if cfg.deesser.enabled else 0.0,
+        nf,
+        cfg.loudnorm.target_i,
+        float(target_tp_lin),
+        *np.asarray(shape, dtype=np.float32).tolist(),
+    ])
+    bounds = jnp.asarray(np.concatenate([noise_b, speech_b]).astype(np.int32))
 
     # stage A dispatch
     t0 = _time.perf_counter()
     prefixed, offset_db, packed_a = _fused_master_a_packed(
         x.astype(jnp.float32) if x.dtype != jnp.float32 else x,
-        jnp.float32(cfg.speech_gate.threshold),
-        jnp.float32(cfg.speech_gate.ratio),
-        jnp.float32(cfg.speech_gate.range),
-        jnp.float32(10.0 ** (cfg.levelling_compressor.threshold / 20.0)),
-        jnp.float32(cfg.deesser.intensity if cfg.deesser.enabled else 0.0),
-        jnp.float32(nf),
-        jnp.asarray(shape),
-        jnp.float32(cfg.loudnorm.target_i),
-        target_tp_lin,
-        noise_bj,
-        speech_bj,
-        chain_ir, kw_ir, tp_bank, deess_k,
+        params, bounds, chain_ir, kw_ir, tp_bank, deess_k,
         sr=sample_rate, nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled,
     )
 
     # stage B dispatch — consumes A's device outputs, no host sync between
     out_chunks, packed_b = _fused_master_b_packed(
-        prefixed, offset_db, target_tp_lin, noise_bj, speech_bj,
-        kw_ir, tp_bank,
+        prefixed, offset_db, params, bounds, kw_ir, tp_bank,
         sr=sample_rate, out_rate=out_rate, declick_enabled=declick_enabled,
     )
 

@@ -243,11 +243,18 @@ def _stage_partials_tree(
     noise_bounds, speech_bounds,   # traced (2,) sample bounds
     kw_ir, tp_bank,
     sr: int, C: int, hm: int, w: int,
+    with_regions: bool = True,
+    spec_series: bool = False,
 ):
     """Everything the filtered/final stage metering needs from one chunk,
     as combinable partials.  Windowed quantities are assigned by window
     END, so only the left halo is required and every window is counted
-    exactly once across chunks."""
+    exactly once across chunks.
+
+    `spec_series=True` additionally emits the raw per-frame spectral
+    metric rows (the Pass-1 interval engine consumes the series, not the
+    means); `with_regions=False` drops the region partials (Pass 1 has no
+    elected regions yet)."""
     x = ext[hm:]                             # the chunk proper
     gpos = k0 + jnp.arange(C)                # global positions
     valid = gpos < n_total
@@ -320,10 +327,15 @@ def _stage_partials_tree(
 
     # ---- spectral frame partials (frames by END; left halo SPEC_HOP) ----
     # frames handled here start at s = k0 - SPEC_HOP, ..., k0 + C - SPEC_WIN
-    # (C/SPEC_HOP of them); they end inside this chunk, so ext suffices
+    # (C/SPEC_HOP of them); one extra WARM-UP frame feeds the flux metric's
+    # previous-frame reference, and frames before the signal start are
+    # masked so flux's zero-prev convention matches the whole-file grid
     F = C // SPEC_HOP
     first_s = k0 - SPEC_HOP
-    spec = _spectral_core(ext[hm - SPEC_HOP:], F, SPEC_WIN, SPEC_HOP, float(sr))
+    s_all = first_s - SPEC_HOP + jnp.arange(F + 1) * SPEC_HOP
+    spec_all = _spectral_core(ext[hm - 2 * SPEC_HOP:], F + 1, SPEC_WIN,
+                              SPEC_HOP, float(sr), row_valid=s_all >= 0)
+    spec = {k: v[1:] for k, v in spec_all.items()}
     s_global = first_s + jnp.arange(F) * SPEC_HOP
     n_sf_total = 1 + (n_total - SPEC_WIN) // SPEC_HOP
     f_valid = (s_global >= 0) & (s_global < n_sf_total * SPEC_HOP)
@@ -331,6 +343,12 @@ def _stage_partials_tree(
         k: jnp.sum(jnp.where(f_valid, v, 0.0)) for k, v in spec.items()
     }
     out["spec_count"] = jnp.sum(f_valid)
+    if spec_series:
+        out["spec_frames"] = {k: v for k, v in spec.items()}
+        out["spec_frame_valid"] = f_valid
+
+    if not with_regions:
+        return out
 
     # region masked partials (regions are small; they just span chunks)
     def region(bounds, tag):
@@ -362,14 +380,16 @@ def _stage_partials_packed(ext, k0, n_total, noise_bounds, speech_bounds,
 
 
 @functools.lru_cache(maxsize=16)
-def _stage_partials_meta(sr: int, C: int, hm: int, w: int):
+def _stage_partials_meta(sr: int, C: int, hm: int, w: int,
+                         with_regions: bool = True, spec_series: bool = False):
     ext = jax.ShapeDtypeStruct((hm + C,), jnp.float32)
     i32 = jax.ShapeDtypeStruct((), jnp.int32)
     b2 = jax.ShapeDtypeStruct((2,), jnp.int32)
     kw = jax.ShapeDtypeStruct((4096,), jnp.float32)
     tp = jax.ShapeDtypeStruct((4, 12), jnp.float32)
     tree = jax.eval_shape(
-        functools.partial(_stage_partials_tree, sr=sr, C=C, hm=hm, w=w),
+        functools.partial(_stage_partials_tree, sr=sr, C=C, hm=hm, w=w,
+                          with_regions=with_regions, spec_series=spec_series),
         ext, i32, i32, b2, b2, kw, tp,
     )
     flat, treedef = jax.tree_util.tree_flatten(tree)
@@ -484,6 +504,180 @@ def _flat_chunk(x_k, state, k0, n_total, gmin, gmax, C: int):
 @jax.jit
 def _bp_loudness(bp):
     return _loudness_from_bp(bp)
+
+
+# ---------------------------------------------------------------------------
+# streamed Pass-1 analysis (overlapped chunk uploads)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("sr", "C", "hm", "w", "il"))
+def _analysis_chunk_packed(ext_raw, k0, n_total, kw_ir, tp_bank,
+                           sr: int, C: int, hm: int, w: int, il: int):
+    """Pass-1 metering partials for one raw chunk: in-graph downmix/f32,
+    the stage partials WITH the spectral frame series (the interval engine
+    consumes it), plus the 250 ms interval raw stats.  Returns the mono
+    chunk (stays device-resident for the master) + one packed vector."""
+    from .fused import _to_mono_f32
+
+    mono_ext = _to_mono_f32(ext_raw)
+    zero_b = jnp.zeros(2, jnp.int32)
+    tree = _stage_partials_tree(
+        mono_ext, k0, n_total, zero_b, zero_b, kw_ir, tp_bank,
+        sr=sr, C=C, hm=hm, w=w, with_regions=False, spec_series=True,
+    )
+    x = mono_ext[hm:]
+    gpos = k0 + jnp.arange(C)
+    xv = jnp.where(gpos < n_total, x, 0.0)
+    blocks = xv.reshape(C // il, il)
+    tree["iv_sumsq"] = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=1)
+    tree["iv_peak"] = jnp.max(jnp.abs(blocks), axis=1)
+    flat, _ = jax.tree_util.tree_flatten(tree)
+    return x, _pack_all(flat)
+
+
+@functools.lru_cache(maxsize=16)
+def _analysis_chunk_meta(sr: int, C: int, hm: int, w: int, il: int):
+    base = _stage_partials_meta(sr, C, hm, w, with_regions=False,
+                                spec_series=True)
+    # re-derive with the interval rows appended (eval_shape on the packer)
+    ext = jax.ShapeDtypeStruct((hm + C,), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    kw = jax.ShapeDtypeStruct((4096,), jnp.float32)
+    tp = jax.ShapeDtypeStruct((4, 12), jnp.float32)
+
+    def shape_fn(ext_raw, k0, n_total, kw_ir, tp_bank):
+        from .fused import _to_mono_f32
+
+        mono_ext = _to_mono_f32(ext_raw)
+        zero_b = jnp.zeros(2, jnp.int32)
+        tree = _stage_partials_tree(
+            mono_ext, k0, n_total, zero_b, zero_b, kw_ir, tp_bank,
+            sr=sr, C=C, hm=hm, w=w, with_regions=False, spec_series=True,
+        )
+        x = mono_ext[hm:]
+        blocks = x.reshape(C // il, il)
+        tree["iv_sumsq"] = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=1)
+        tree["iv_peak"] = jnp.max(jnp.abs(blocks), axis=1)
+        return tree
+
+    tree = jax.eval_shape(shape_fn, ext, i32, i32, kw, tp)
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return treedef, [l.shape for l in flat], [np.dtype(l.dtype) for l in flat]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _concat_chunks(chunks, k: int):
+    return jnp.concatenate(chunks)
+
+
+def analysis_chunk_length(sample_rate: int, target_secs: float = 40.0) -> int:
+    """Chunk length aligning the 100 ms block, STFT hop, astats window grid
+    and the 250 ms interval grid."""
+    block_len = max(1, int(round(sample_rate * 0.1)))
+    il = max(1, int(round(0.25 * sample_rate)))
+    base = math.lcm(block_len, SPEC_HOP, il)
+    k = max(1, int(round(target_secs * sample_rate / base)))
+    return base * k
+
+
+def fused_analysis_streamed(x: np.ndarray, sample_rate: int,
+                            chunk_secs: float = 40.0):
+    """Pass-1 analysis with OVERLAPPED chunk uploads: the host input is
+    device_put as K independent halo-overlapping chunks whose transfers
+    run concurrently, and each chunk's partial-metering program starts the
+    moment its buffer lands — the remote tunnel's ~1 s whole-file upload
+    stops serialising in front of the compute (profiled 2026-08-17: upload
+    was 26-40% of the 5-min master's wall).  Same output contract as
+    `fused.fused_analysis`: (mono_device, metrics_tree)."""
+    x = np.asarray(x)
+    n = int(x.shape[-1])
+    sr = sample_rate
+    from .fused import _constants_for_rate
+
+    _, kw_ir, tp_bank, _ = _constants_for_rate(sr, 80.0, 20500.0)
+
+    il = max(1, int(round(0.25 * sr)))
+    w = max(2, int(round(0.05 * sr)))
+    C = analysis_chunk_length(sr, chunk_secs)
+    n_chunks = max(1, -(-n // C))
+    hm = max(4096, w - 1, SPEC_HOP)
+    hm = -(-hm // SPEC_HOP) * SPEC_HOP
+
+    import jax as _jax
+
+    # upload all halo-overlapping raw chunks async — transfers overlap
+    def host_ext(k):
+        s = k * C - hm
+        e = min(n, (k + 1) * C)
+        left_pad = max(0, -s)
+        body = x[..., max(0, s) : e]
+        pad_tail = (hm + C) - left_pad - int(body.shape[-1])
+        pads = [(0, 0)] * (x.ndim - 1) + [(left_pad, pad_tail)]
+        return np.pad(body, pads)
+
+    devs = [_jax.device_put(jnp.asarray(host_ext(k))) for k in range(n_chunks)]
+
+    mono_chunks, packed = [], []
+    for k in range(n_chunks):
+        mc, p = _analysis_chunk_packed(
+            devs[k], jnp.int32(k * C), jnp.int32(n), kw_ir, tp_bank,
+            sr=sr, C=C, hm=hm, w=w, il=il)
+        mono_chunks.append(mc)
+        packed.append(p)
+
+    for p in packed:
+        p.copy_to_host_async()
+    treedef, shapes, dtypes = _analysis_chunk_meta(sr, C, hm, w, il)
+    parts = [_unpack_all(np.asarray(p), shapes, dtypes, treedef)
+             for p in packed]
+
+    block_len = max(1, int(round(sr * 0.1)))
+    n_blocks = max(1, n // block_len)
+    loud = _combine_loudness([p["bp"] for p in parts], n_blocks,
+                             [float(p["tp_max"]) for p in parts],
+                             [float(p["speak_max"]) for p in parts])
+
+    ast = _combine_astats(parts, n, w)
+    ast = _run_flat_over(mono_chunks, ast, n, C)
+
+    # spectral frame series: valid frames in chunk order ARE the global
+    # frame order (window-END assignment keeps starts consecutive)
+    n_sf = max(1, 1 + (max(n, SPEC_WIN) - SPEC_WIN) // SPEC_HOP)
+    spec_keys = parts[0]["spec_frames"].keys()
+    series = {}
+    for key in spec_keys:
+        rows = [np.asarray(p["spec_frames"][key])[
+            np.asarray(p["spec_frame_valid"]).astype(bool)] for p in parts]
+        series[key] = np.concatenate(rows)[:n_sf]
+
+    n_intervals = max(1, -(-n // il))
+    iv_sumsq = np.concatenate([np.asarray(p["iv_sumsq"]) for p in parts])[:n_intervals]
+    iv_peak = np.concatenate([np.asarray(p["iv_peak"]) for p in parts])[:n_intervals]
+
+    mono = _concat_chunks(tuple(mono_chunks), k=n_chunks)[:n]
+    out = {
+        "loudness": loud,
+        "astats": ast,
+        "spectral": series,
+        "iv_sumsq": iv_sumsq,
+        "iv_peak": iv_peak,
+    }
+    return mono, out
+
+
+def _run_flat_over(chunks, ast: dict, n: int, C: int) -> dict:
+    gmin, gmax = float(ast["min_level"]), float(ast["max_level"])
+    state = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.asarray(False), jnp.asarray(False))
+    for k in range(len(chunks)):
+        state = _flat_chunk(chunks[k], state, jnp.int32(k * C),
+                            jnp.int32(n), jnp.float32(gmin),
+                            jnp.float32(gmax), C=C)
+    ast["min_count"] = np.float32(float(state[0]))
+    ast["max_count"] = np.float32(float(state[1]))
+    ast["min_runs"] = np.float32(max(1.0, float(state[2])))
+    ast["max_runs"] = np.float32(max(1.0, float(state[3])))
+    return ast
 
 
 # ---------------------------------------------------------------------------
@@ -690,21 +884,7 @@ def fused_master_chunked(
         else max(ceiling_raw, MIN_LIMITER_CEILING_DB)
 
     # ---- filtered astats (+ flat pass over the live y stream) ----
-    def run_flat(chunks, ast):
-        gmin, gmax = float(ast["min_level"]), float(ast["max_level"])
-        state = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-                 jnp.float32(0.0), jnp.asarray(False), jnp.asarray(False))
-        for k in range(n_chunks):
-            state = _flat_chunk(chunks[k], state, jnp.int32(k * C),
-                                jnp.int32(n), jnp.float32(gmin),
-                                jnp.float32(gmax), C=C)
-        ast["min_count"] = np.float32(float(state[0]))
-        ast["max_count"] = np.float32(float(state[1]))
-        ast["min_runs"] = np.float32(max(1.0, float(state[2])))
-        ast["max_runs"] = np.float32(max(1.0, float(state[3])))
-        return ast
-
-    ast_f = run_flat(ychunks, _combine_astats(parts_f, n, w))
+    ast_f = _run_flat_over(ychunks, _combine_astats(parts_f, n, w), n, C)
 
     # ---- PASS LIMIT + pass-3 measurement ----
     t1 = time.perf_counter()
@@ -792,7 +972,7 @@ def fused_master_chunked(
                                [float(p["speak_max"]) for p in parts_z])
 
     # ---- FLAT pass over z (needs the combined global min/max) ----
-    ast_z = run_flat(zchunks, _combine_astats(parts_z, n, w))
+    ast_z = _run_flat_over(zchunks, _combine_astats(parts_z, n, w), n, C)
 
     def spec_means(parts):
         cnt = max(1, int(sum(int(p["spec_count"]) for p in parts)))

@@ -96,3 +96,51 @@ class TestChunkedParity:
         sr = 8000
         n = 3 * 25600 + 800
         self._compare(sr, n, 4000)
+
+
+class TestStreamedAnalysis:
+    """fused_analysis_streamed must match the whole-file fused_analysis
+    (pipeline/fused.py) metric for metric — it feeds the same interval
+    engine / VAD / adaptation stack."""
+
+    def test_parity_vs_whole_file(self):
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.pipeline.fused import fused_analysis
+        from jivetalking_tpu.pipeline.fused_chunked import (
+            fused_analysis_streamed,
+        )
+
+        sr = 8000
+        n = 3 * 26624 + 997     # several chunks + ragged tail
+        x = _speechlike(n, sr, seed=33)
+        xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+        mono_s, out_s = fused_analysis_streamed(xi, sr, chunk_secs=3.0)
+        mono_w, out_w = fused_analysis(jnp.asarray(xi), sr)
+
+        np.testing.assert_allclose(np.asarray(mono_s), np.asarray(mono_w),
+                                   atol=1e-7)
+        for k in ("integrated", "lra", "rel_thresh"):
+            assert float(out_s["loudness"][k]) == pytest.approx(
+                float(out_w["loudness"][k]), abs=0.02), k
+        for k in ("sample_peak", "true_peak"):
+            assert float(out_s["loudness"][k]) == pytest.approx(
+                float(out_w["loudness"][k]), rel=2e-3), k
+        np.testing.assert_allclose(
+            np.asarray(out_s["loudness"]["momentary"]),
+            np.asarray(out_w["loudness"]["momentary"]), atol=0.02)
+        for k in ("rms_lin", "peak_lin", "dc", "zc", "entropy", "rms_peak",
+                  "rms_trough", "noise_floor_lin", "min_count", "max_count"):
+            assert float(out_s["astats"][k]) == pytest.approx(
+                float(out_w["astats"][k]), rel=2e-3, abs=1e-5), k
+        for k, v in out_w["spectral"].items():
+            a = np.asarray(out_s["spectral"][k])
+            b = np.asarray(v)
+            assert a.shape == b.shape, k
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4,
+                                       err_msg=k)
+        np.testing.assert_allclose(out_s["iv_sumsq"], np.asarray(out_w["iv_sumsq"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(out_s["iv_peak"], np.asarray(out_w["iv_peak"]),
+                                   rtol=1e-5)
