@@ -225,10 +225,12 @@ def process_one_file(
     start = time.perf_counter()
     _emit(events.on_file_start, path)
     try:
-        samples, meta = open_audio_file(path)
-        if meta.bit_depth and meta.bit_depth <= 16:
-            # s16-sourced PCM transfers to the device exactly at half the
-            # bytes (remote tunnels are bandwidth-bound)
+        # keep 16-bit sources as int16 end to end until the device: half
+        # the host memory AND half the upload bytes, no decode-then-
+        # requantise round trip (the fused programs downmix/convert
+        # in-graph); deeper sources stay float32
+        samples, meta = open_audio_file(path, raw_int16=True)
+        if samples.dtype != np.int16 and meta.bit_depth and meta.bit_depth <= 16:
             samples = np.clip(
                 np.round(samples * 32768.0), -32768, 32767
             ).astype(np.int16)
@@ -350,7 +352,9 @@ def analyse_one_file(
     start = time.perf_counter()
     _emit(events.on_file_start, path)
     try:
-        samples, meta = open_audio_file(path)
+        # keep 16-bit sources as int16 until the device (half the upload
+        # bytes; the fused programs downmix/convert in-graph)
+        samples, meta = open_audio_file(path, raw_int16=True)
         if cancel.is_set():
             raise InterruptedError("cancelled")
         m, eff, diag = analyse_only(samples, meta.sample_rate, base)

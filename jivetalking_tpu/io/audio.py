@@ -29,13 +29,20 @@ class AudioMetadata:
     bit_depth: int
 
 
-def open_audio_file(path: str) -> tuple[np.ndarray, AudioMetadata]:
-    """Decode an audio file fully -> (float32 (channels, n), metadata)."""
+def open_audio_file(
+    path: str, raw_int16: bool = False
+) -> tuple[np.ndarray, AudioMetadata]:
+    """Decode an audio file fully -> ((channels, n) samples, metadata).
+
+    float32 by default; `raw_int16=True` keeps 16-bit PCM streams as int16
+    (half the host memory and half the host->device bytes — the fused
+    device programs downmix/convert in-graph), falling back to float32 for
+    deeper or float sources."""
     ext = os.path.splitext(path)[1].lower()
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     if ext == ".wav":
-        samples, rate = _wav.read_wav(path)
+        samples, rate = _wav.read_wav(path, raw_int16=raw_int16)
         info = _wav.wav_info(path)
         meta = AudioMetadata(
             sample_rate=rate,
@@ -52,7 +59,7 @@ def open_audio_file(path: str) -> tuple[np.ndarray, AudioMetadata]:
     if ext == ".flac":
         from . import flac as _flac
 
-        samples, rate, bits = _flac.read_flac(path)
+        samples, rate, bits = _flac.read_flac(path, raw_int16=raw_int16)
         meta = AudioMetadata(
             sample_rate=rate,
             channels=samples.shape[0],
@@ -76,11 +83,13 @@ def save_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:
 
 
 def downmix_mono(samples: np.ndarray) -> np.ndarray:
-    """Mean over channels (ref `aformat=channel_layouts=mono`,
-    internal/processor/filters.go:607-615)."""
+    """Mean over channels -> float32 in [-1, 1] (ref
+    `aformat=channel_layouts=mono`, internal/processor/filters.go:607-615).
+    int16 input (the raw_int16 decode path) is normalised by 32768."""
     x = np.asarray(samples)
+    scale = np.float32(1.0 / 32768.0) if x.dtype == np.int16 else np.float32(1.0)
     if x.ndim == 1:
-        return x.astype(np.float32)
+        return x.astype(np.float32) * scale
     if x.shape[0] == 1:
-        return x[0].astype(np.float32)
-    return x.mean(axis=0, dtype=np.float64).astype(np.float32)
+        return x[0].astype(np.float32) * scale
+    return (x.mean(axis=0, dtype=np.float64) * scale).astype(np.float32)

@@ -64,10 +64,15 @@ def _load() -> ctypes.CDLL:
         return lib
 
 
-def read_flac(path: str) -> tuple[np.ndarray, int, int]:
-    """Decode a FLAC file -> (float32 (channels, n), sample_rate, bit_depth).
+def read_flac(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC file -> ((channels, n) samples, sample_rate, bit_depth).
 
-    Samples are normalised to [-1, 1] by the stream's bit depth."""
+    Default output is float32 normalised to [-1, 1] by the stream's bit
+    depth.  `raw_int16=True` returns the PCM as int16 WITHOUT scaling when
+    the stream is 16-bit (the common case): half the host memory and half
+    the host->device transfer bytes, with the int16->f32 conversion
+    happening in-graph on device (fused._to_mono_f32).  Deeper streams
+    (20/24-bit) fall back to float32 so no input precision is lost."""
     lib = _load()
     pcm_ptr = ctypes.POINTER(ctypes.c_int32)()
     channels = ctypes.c_int()
@@ -84,6 +89,9 @@ def read_flac(path: str) -> tuple[np.ndarray, int, int]:
         arr = np.ctypeslib.as_array(pcm_ptr, shape=(total,)).copy()
     finally:
         lib.flac_free(pcm_ptr)
+    if raw_int16 and bits.value == 16:
+        samples = arr.astype(np.int16).reshape(n, channels.value).T
+        return np.ascontiguousarray(samples), rate.value, bits.value
     scale = float(1 << (bits.value - 1))
     samples = (arr.astype(np.float32) / scale).reshape(n, channels.value).T
     return np.ascontiguousarray(samples), rate.value, bits.value

@@ -40,8 +40,12 @@ def _iter_chunks(data: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Decode a WAV file -> (float32 array shaped (channels, n), sample_rate)."""
+def read_wav(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int]:
+    """Decode a WAV file -> ((channels, n) samples, sample_rate).
+
+    float32 in [-1, 1] by default; `raw_int16=True` keeps 16-bit PCM as
+    int16 without scaling (half the memory/transfer bytes; the in-graph
+    downmix converts on device) and falls back to float32 otherwise."""
     with open(path, "rb") as f:
         data = f.read()
 
@@ -72,7 +76,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     pcm = pcm[: num_frames * block_align]
 
     if format_tag == WAVE_FORMAT_PCM and bits == 16:
-        x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+        if raw_int16:
+            x = np.frombuffer(pcm, dtype="<i2")
+        else:
+            x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
     elif format_tag == WAVE_FORMAT_PCM and bits == 24:
         raw = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3)
         ints = (
