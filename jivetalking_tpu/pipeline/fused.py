@@ -707,9 +707,13 @@ def fused_master(
     stage-A completion (pass 2 chain + filtered metering + limiter plan +
     prefix limiter + pass-3 measure), "stage_b" = stage-B execution
     (linear gain + declick + brickwall + final metering + delivery
-    resample).  `on_stage_a_done`, when given, fires the moment stage A's
-    outputs are ready (stage B already executing)."""
+    resample), plus "pre" (arg prep + dispatch latency before t0) and
+    "post" (packed-metrics pulls + host unpack).  `on_stage_a_done`, when
+    given, fires the moment stage A's outputs are ready (stage B already
+    executing)."""
     import time as _time
+
+    t_enter = _time.perf_counter()
     m = measurements
     nr = cfg.noise_reduction
     shape = np.zeros(15, dtype=np.float32)
@@ -786,22 +790,30 @@ def fused_master(
     packed_b.block_until_ready()
     t_b = _time.perf_counter() - t0 - t_a
 
-    # start the delivery-PCM pulls before the host unpacks metrics: the
-    # chunk transfers overlap each other AND the host-side assembly below
-    for c in out_chunks:
-        c.copy_to_host_async()
-
     treedef_a, shapes_a, dtypes_a = _master_a_meta(
         n, sample_rate, nlm_enabled, afftdn_enabled
     )
     treedef_b, shapes_b, dtypes_b = _master_b_meta(
         n, sample_rate, out_rate, declick_enabled
     )
+    # pull the SMALL packed metrics first, THEN start the multi-MB delivery
+    # chunk pulls: queued the other way round, the ~100 KB metrics wait
+    # ~1 s behind the 26 MB of PCM (profiled 2026-08-17 as "master_post"),
+    # while this way the PCM transfer overlaps all downstream host work
+    t_b_done = _time.perf_counter()
+    packed_a.copy_to_host_async()
+    packed_b.copy_to_host_async()
     ma = _unpack_all(np.asarray(packed_a), shapes_a, dtypes_a, treedef_a)
     mb = _unpack_all(np.asarray(packed_b), shapes_b, dtypes_b, treedef_b)
+    for c in out_chunks:
+        c.copy_to_host_async()
     metrics = {**ma, **mb,
                "regions": {**ma["regions"], **mb["regions"]}}
-    return out_chunks, out_rate, metrics, {"stage_a": t_a, "stage_b": t_b}
+    return out_chunks, out_rate, metrics, {
+        "stage_a": t_a, "stage_b": t_b,
+        "pre": t0 - t_enter,
+        "post": _time.perf_counter() - t_b_done,
+    }
 
 
 # ---------------------------------------------------------------------------

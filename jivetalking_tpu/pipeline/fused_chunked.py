@@ -625,11 +625,13 @@ def fused_analysis_streamed(x: np.ndarray, sample_rate: int,
         mono_chunks.append(mc)
         packed.append(p)
 
-    for p in packed:
-        p.copy_to_host_async()
+    # gather every chunk's packed vector into ONE device buffer first: a
+    # single pull instead of n_chunks ~30 ms round trips
+    gathered = np.asarray(_concat_chunks(tuple(packed), k=n_chunks))
+    L = gathered.size // n_chunks
     treedef, shapes, dtypes = _analysis_chunk_meta(sr, C, hm, w, il)
-    parts = [_unpack_all(np.asarray(p), shapes, dtypes, treedef)
-             for p in packed]
+    parts = [_unpack_all(gathered[k * L : (k + 1) * L], shapes, dtypes, treedef)
+             for k in range(n_chunks)]
 
     block_len = max(1, int(round(sr * 0.1)))
     n_blocks = max(1, n // block_len)
