@@ -149,6 +149,21 @@ def render_frame(model: LiveModel, tick: int) -> str:
     return "\n".join(lines)
 
 
+def clip_to_viewport(frame: str, height: int | None = None) -> str:
+    """Keep the repaint inside the terminal: when the frame outgrows the
+    viewport, show the TAIL (the active rows accumulate below completed
+    boxes) with a one-line scroll indicator (ref: the Bubble Tea model's
+    viewport scrolling, internal/ui/model.go)."""
+    import shutil
+
+    rows = height or (shutil.get_terminal_size(fallback=(80, 24)).lines - 1)
+    lines = frame.splitlines()
+    if len(lines) <= max(2, rows):
+        return frame
+    hidden = len(lines) - (rows - 1)
+    return "\n".join([f"… {hidden} earlier line(s) …"] + lines[hidden:])
+
+
 class LiveUI:
     """Ticker-driven ANSI repaint loop; the PoolEvents adapter."""
 
@@ -205,6 +220,7 @@ class LiveUI:
                 if not row.done:
                     _advance_meter(row, now)
             frame = render_frame(self.model, self._tick)
+        frame = clip_to_viewport(frame)
         lines = frame.count("\n") + 1
         if self._last_height:
             self._out.write(f"\x1b[{self._last_height}A\x1b[J")

@@ -144,3 +144,51 @@ class TestStreamedAnalysis:
                                    rtol=1e-4)
         np.testing.assert_allclose(out_s["iv_peak"], np.asarray(out_w["iv_peak"]),
                                    rtol=1e-5)
+
+
+class TestProcessAudioChunkedRouting:
+    """process_audio must route past-threshold files through the chunked
+    fused master and keep the full ProcessResult contract (metrics
+    assembly, normalisation block, delivery PCM, measured timings)."""
+
+    def test_long_file_routes_through_chunked(self, monkeypatch):
+        import jivetalking_tpu.pipeline.process as PROC
+        from jivetalking_tpu.pipeline.process import process_audio
+
+        called = {}
+        import jivetalking_tpu.pipeline.fused_chunked as FC
+
+        orig = FC.fused_master_chunked
+
+        def spy(*a, **k):
+            called["chunked"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(FC, "fused_master_chunked", spy)
+        # lower the horizon so a 13 s fixture chunks (several 3.2 s chunks)
+        import jivetalking_tpu.pipeline.chunked as CH
+
+        monkeypatch.setattr(CH, "CHUNK_THRESHOLD_SECS", 10.0)
+
+        sr = 8000
+        n = 4 * 25600 + 1234
+        x = _speechlike(n, sr, seed=5)
+        fracs = []
+        res = process_audio(x, sr, progress=lambda s, f: fracs.append((s, f)))
+
+        assert called.get("chunked")
+        assert res.output_rate == 44100
+        assert res.output_audio.dtype.name == "int16"
+        assert res.output_audio.size == n * 441 // 80
+        assert res.normalisation.output_lufs == pytest.approx(
+            res.final.loudness.integrated_lufs)
+        assert res.final.loudness.integrated_lufs == pytest.approx(
+            res.normalisation.effective_target_i, abs=0.5)
+        assert res.pass_timings["processing"] > 0
+        assert res.pass_timings["normalising"] > 0
+        # in-pass fractional progress moved (the chunked path reports
+        # per-chunk fractions, not just 0/1 stage jumps)
+        proc_fracs = [f for s, f in fracs if s == "processing"]
+        assert any(0.0 < f < 1.0 for f in proc_fracs)
+        assert res.filtered.astats is not None
+        assert res.final.astats is not None

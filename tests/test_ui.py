@@ -234,3 +234,21 @@ class TestGainBar:
         out = render_analysis_summary(o)
         assert "Gain" in out and "▰▰▰▱▱" in out
         assert "Level well set." in out
+
+
+class TestViewport:
+    def test_short_frame_unclipped(self):
+        from jivetalking_tpu.ui.live import clip_to_viewport
+
+        frame = "a\nb\nc"
+        assert clip_to_viewport(frame, height=10) == frame
+
+    def test_tall_frame_tail_with_indicator(self):
+        from jivetalking_tpu.ui.live import clip_to_viewport
+
+        frame = "\n".join(f"line{i}" for i in range(40))
+        out = clip_to_viewport(frame, height=10)
+        lines = out.splitlines()
+        assert len(lines) == 10
+        assert "earlier line" in lines[0]
+        assert lines[-1] == "line39"
