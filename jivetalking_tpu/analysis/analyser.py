@@ -211,7 +211,14 @@ def analyse_audio(
     if fused:
         from ..pipeline.fused import fused_analysis
 
-        if (isinstance(x, np.ndarray)
+        if hasattr(x, "read") and hasattr(x, "total_samples"):
+            # bounded-memory stream reader (io/flac.FlacStreamReader):
+            # decode -> upload -> free, chunk by chunk; the host never
+            # holds the whole file (ref: reader.go's O(frame) loop)
+            from ..pipeline.fused_chunked import fused_analysis_from_reader
+
+            mono, out = fused_analysis_from_reader(x, sample_rate)
+        elif (isinstance(x, np.ndarray)
                 and int(np.shape(x)[-1]) >= 60 * sample_rate):
             # long host-side input: stream halo-overlapping chunks so the
             # uploads overlap each other AND the per-chunk metering

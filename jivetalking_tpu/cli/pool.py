@@ -51,6 +51,30 @@ def resolve_jobs(num_files: int, num_cpu: int) -> int:
     return max(1, min(num_files, num_cpu))
 
 
+STREAM_DECODE_THRESHOLD_SECS = 1200.0   # matches pipeline.chunked.should_chunk
+
+
+def _open_for_processing(path: str):
+    """Decode for the processing path.  Hour-scale FLAC inputs return a
+    bounded-memory FlacStreamReader (fed chunk-by-chunk into the streamed
+    analysis; the PCM accumulates only on device); everything else decodes
+    fully (16-bit sources as raw int16)."""
+    from ..io.audio import AudioMetadata, open_audio_file
+
+    if os.path.splitext(path)[1].lower() == ".flac":
+        from ..io.flac import FlacStreamReader, flac_info
+
+        n, channels, rate, bits = flac_info(path)
+        if n > STREAM_DECODE_THRESHOLD_SECS * rate:
+            meta = AudioMetadata(
+                sample_rate=rate, channels=channels, num_samples=n,
+                duration_secs=n / rate, format_name="flac",
+                codec_name="flac", bit_depth=bits,
+            )
+            return FlacStreamReader(path), meta
+    return open_audio_file(path, raw_int16=True)
+
+
 @dataclass
 class FileOutcome:
     """Per-file completion summary (ref: CompletionResult fields consumed by
@@ -228,9 +252,12 @@ def process_one_file(
         # keep 16-bit sources as int16 end to end until the device: half
         # the host memory AND half the upload bytes, no decode-then-
         # requantise round trip (the fused programs downmix/convert
-        # in-graph); deeper sources stay float32
-        samples, meta = open_audio_file(path, raw_int16=True)
-        if samples.dtype != np.int16 and meta.bit_depth and meta.bit_depth <= 16:
+        # in-graph); deeper sources stay float32.  Hour-scale FLAC inputs
+        # stream through the bounded-memory decoder instead of a whole-
+        # file host buffer (ref: reader.go's O(frame) loop).
+        samples, meta = _open_for_processing(path)
+        if (isinstance(samples, np.ndarray) and samples.dtype != np.int16
+                and meta.bit_depth and meta.bit_depth <= 16):
             samples = np.clip(
                 np.round(samples * 32768.0), -32768, 32767
             ).astype(np.int16)
@@ -284,10 +311,15 @@ def process_one_file(
                 speech_region = (
                     m.vad.speech_profile.region if m.vad.speech_profile else None
                 )
+                before_mono = (
+                    np.asarray(res.measurements.device_pcm)
+                    if not isinstance(samples, np.ndarray)   # streamed input
+                    else downmix_mono(samples)
+                )
                 render_run_spectrograms(
                     stem,
                     {
-                        "before": downmix_mono(samples),
+                        "before": before_mono,
                         "after": (res.output_audio, res.output_rate),
                     },
                     meta.sample_rate,

@@ -60,6 +60,22 @@ def _load() -> ctypes.CDLL:
         ]
         lib.flac_free.restype = None
         lib.flac_free.argtypes = [ctypes.c_void_p]
+        lib.flac_open_stream.restype = ctypes.c_void_p
+        lib.flac_open_stream.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.flac_read_stream.restype = ctypes.c_long
+        lib.flac_read_stream.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long,
+        ]
+        lib.flac_close_stream.restype = None
+        lib.flac_close_stream.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -97,6 +113,67 @@ def read_flac(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]
     return np.ascontiguousarray(samples), rate.value, bits.value
 
 
+class FlacStreamReader:
+    """Bounded-memory FLAC reader: decodes caller-sized chunks through the
+    native streaming decoder (the reference reads O(frame),
+    internal/audio/reader.go:129-170 — this is the chunked equivalent;
+    the compressed bytes stay resident, decoded PCM never does)."""
+
+    def __init__(self, path: str):
+        self._lib = _load()
+        ch = ctypes.c_int()
+        rate = ctypes.c_int()
+        bits = ctypes.c_int()
+        total = ctypes.c_long()
+        self._h = self._lib.flac_open_stream(
+            path.encode(), ctypes.byref(ch), ctypes.byref(rate),
+            ctypes.byref(bits), ctypes.byref(total),
+        )
+        if not self._h:
+            raise ValueError(f"failed to open FLAC stream: {path}")
+        self.channels = ch.value
+        self.sample_rate = rate.value
+        self.bit_depth = bits.value
+        self.total_samples = total.value
+
+    def read(self, max_samples: int, raw_int16: bool = False) -> np.ndarray:
+        """Next chunk as (channels, n) with n <= max_samples; empty array at
+        end of stream.  float32 in [-1, 1], or int16 when `raw_int16` and
+        the stream is 16-bit."""
+        if self._h is None:
+            raise ValueError("stream closed")
+        buf = np.empty(max_samples * self.channels, dtype=np.int32)
+        n = self._lib.flac_read_stream(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_samples,
+        )
+        if n < 0:
+            raise ValueError("FLAC stream decode error")
+        arr = buf[: n * self.channels].reshape(n, self.channels).T
+        if raw_int16 and self.bit_depth == 16:
+            return np.ascontiguousarray(arr.astype(np.int16))
+        scale = float(1 << (self.bit_depth - 1))
+        return np.ascontiguousarray(arr.astype(np.float32) / scale)
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.flac_close_stream(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def write_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:
     """Encode float32 (channels, n) or (n,) PCM to 16-bit FLAC.
 
@@ -128,7 +205,11 @@ def write_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:
 
 
 def flac_info(path: str) -> tuple[int, int, int, int]:
-    """(n_samples, channels, sample_rate, bits) — full decode (the native
-    codec exposes no header-only probe yet)."""
+    """(n_samples, channels, sample_rate, bits) from the STREAMINFO header
+    (no decode); falls back to a full decode for streams that omit the
+    total-sample count."""
+    with FlacStreamReader(path) as r:
+        if r.total_samples > 0:
+            return r.total_samples, r.channels, r.sample_rate, r.bit_depth
     samples, rate, bits = read_flac(path)
     return samples.shape[1], samples.shape[0], rate, bits

@@ -271,13 +271,12 @@ static const uint32_t kSampleRates[16] = {
     32000, 44100, 48000, 96000, 0, 0, 0, 0};
 static const int kSampleBits[8] = {0, 8, 12, 0, 16, 20, 24, 32};
 
-// returns samples decoded per channel, or -1 on error
-long decode_stream(const uint8_t* data, size_t size, StreamInfo* info,
-                   std::vector<int32_t>* pcm /* interleaved */) {
-  if (size < 42 || memcmp(data, "fLaC", 4) != 0) return -1;
+// Parse "fLaC" magic + metadata blocks; fills info, sets *start to the
+// first audio frame byte.  Returns true on success.
+bool parse_flac_header(const uint8_t* data, size_t size, StreamInfo* info,
+                       size_t* start) {
+  if (size < 42 || memcmp(data, "fLaC", 4) != 0) return false;
   size_t pos = 4;
-
-  // metadata blocks
   bool last = false;
   bool have_si = false;
   while (!last && pos + 4 <= size) {
@@ -298,7 +297,89 @@ long decode_stream(const uint8_t* data, size_t size, StreamInfo* info,
     }
     pos += len;
   }
-  if (!have_si || pos > size) return -1;
+  if (!have_si || pos > size) return false;
+  *start = pos;
+  return true;
+}
+
+// Decode ONE audio frame into per-channel buffers.  Returns the blocksize
+// (> 0), 0 on clean end of stream, -1 on error.
+long decode_one_frame(BitReader& br, const StreamInfo& info,
+                      std::vector<std::vector<int64_t>>& ch) {
+  if (br.byte_pos >= br.size) return 0;
+  uint32_t sync = (uint32_t)br.read_bits(14);
+  if (br.error || br.eof()) return 0;
+  if (sync != 0x3FFE) return -1;
+  br.read_bit();  // reserved
+  uint32_t variable = br.read_bit();
+  uint32_t bs_code = (uint32_t)br.read_bits(4);
+  uint32_t sr_code = (uint32_t)br.read_bits(4);
+  uint32_t ch_code = (uint32_t)br.read_bits(4);
+  uint32_t ss_code = (uint32_t)br.read_bits(3);
+  br.read_bit();  // reserved
+  uint64_t frame_no;
+  if (!read_utf8_u64(br, &frame_no)) return -1;
+  (void)variable;
+  (void)frame_no;
+
+  uint32_t blocksize;
+  if (bs_code == 6) blocksize = (uint32_t)br.read_bits(8) + 1;
+  else if (bs_code == 7) blocksize = (uint32_t)br.read_bits(16) + 1;
+  else blocksize = kBlockSizes[bs_code];
+  if (blocksize == 0) return -1;
+
+  if (sr_code == 12) br.read_bits(8);
+  else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
+
+  br.read_bits(8);  // CRC-8 (not enforced)
+
+  int bits = ss_code ? kSampleBits[ss_code] : info.bits;
+  if (!bits) return -1;
+
+  int nch;
+  int assign = 0;  // 0 independent, 1 L/S, 2 R/S, 3 M/S
+  if (ch_code < 8) { nch = (int)ch_code + 1; }
+  else if (ch_code == 8) { nch = 2; assign = 1; }
+  else if (ch_code == 9) { nch = 2; assign = 2; }
+  else if (ch_code == 10) { nch = 2; assign = 3; }
+  else return -1;
+  if (nch != info.channels) return -1;
+
+  for (int c = 0; c < nch; ++c) {
+    ch[c].assign(blocksize, 0);
+    int sub_bits = bits;
+    // side channel carries one extra bit
+    if ((assign == 1 && c == 1) || (assign == 2 && c == 0) ||
+        (assign == 3 && c == 1))
+      sub_bits += 1;
+    if (!decode_subframe(br, (int)blocksize, sub_bits, ch[c].data())) return -1;
+  }
+  br.align();
+  br.read_bits(16);  // CRC-16 (not enforced)
+  if (br.error) return -1;
+
+  // undo stereo decorrelation
+  if (assign == 1) {  // left/side: right = left - side
+    for (uint32_t i = 0; i < blocksize; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+  } else if (assign == 2) {  // right/side: left = right + side
+    for (uint32_t i = 0; i < blocksize; ++i) ch[0][i] = ch[1][i] + ch[0][i];
+  } else if (assign == 3) {  // mid/side
+    for (uint32_t i = 0; i < blocksize; ++i) {
+      int64_t mid = ch[0][i];
+      int64_t side = ch[1][i];
+      mid = (mid << 1) | (side & 1);
+      ch[0][i] = (mid + side) >> 1;
+      ch[1][i] = (mid - side) >> 1;
+    }
+  }
+  return (long)blocksize;
+}
+
+// returns samples decoded per channel, or -1 on error
+long decode_stream(const uint8_t* data, size_t size, StreamInfo* info,
+                   std::vector<int32_t>* pcm /* interleaved */) {
+  size_t pos = 0;
+  if (!parse_flac_header(data, size, info, &pos)) return -1;
 
   int channels = info->channels;
   pcm->clear();
@@ -312,78 +393,13 @@ long decode_stream(const uint8_t* data, size_t size, StreamInfo* info,
   long total = 0;
 
   while (br.byte_pos < size) {
-    // sync
-    uint32_t sync = (uint32_t)br.read_bits(14);
-    if (br.error || br.eof()) break;
-    if (sync != 0x3FFE) return total ? total : -1;
-    br.read_bit();  // reserved
-    uint32_t variable = br.read_bit();
-    uint32_t bs_code = (uint32_t)br.read_bits(4);
-    uint32_t sr_code = (uint32_t)br.read_bits(4);
-    uint32_t ch_code = (uint32_t)br.read_bits(4);
-    uint32_t ss_code = (uint32_t)br.read_bits(3);
-    br.read_bit();  // reserved
-    uint64_t frame_no;
-    if (!read_utf8_u64(br, &frame_no)) return -1;
-    (void)variable;
-    (void)frame_no;
-
-    uint32_t blocksize;
-    if (bs_code == 6) blocksize = (uint32_t)br.read_bits(8) + 1;
-    else if (bs_code == 7) blocksize = (uint32_t)br.read_bits(16) + 1;
-    else blocksize = kBlockSizes[bs_code];
-    if (blocksize == 0) return -1;
-
-    if (sr_code == 12) br.read_bits(8);
-    else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
-
-    br.read_bits(8);  // CRC-8 (not enforced)
-
-    int bits = ss_code ? kSampleBits[ss_code] : info->bits;
-    if (!bits) return -1;
-
-    int nch;
-    int assign = 0;  // 0 independent, 1 L/S, 2 R/S, 3 M/S
-    if (ch_code < 8) { nch = (int)ch_code + 1; }
-    else if (ch_code == 8) { nch = 2; assign = 1; }
-    else if (ch_code == 9) { nch = 2; assign = 2; }
-    else if (ch_code == 10) { nch = 2; assign = 3; }
-    else return -1;
-    if (nch != channels) return -1;
-
-    for (int c = 0; c < nch; ++c) {
-      ch[c].assign(blocksize, 0);
-      int sub_bits = bits;
-      // side channel carries one extra bit
-      if ((assign == 1 && c == 1) || (assign == 2 && c == 0) ||
-          (assign == 3 && c == 1))
-        sub_bits += 1;
-      if (!decode_subframe(br, (int)blocksize, sub_bits, ch[c].data())) return -1;
-    }
-    br.align();
-    br.read_bits(16);  // CRC-16 (not enforced)
-    if (br.error) return -1;
-
-    // undo stereo decorrelation
-    if (assign == 1) {  // left/side: right = left - side
-      for (uint32_t i = 0; i < blocksize; ++i) ch[1][i] = ch[0][i] - ch[1][i];
-    } else if (assign == 2) {  // right/side: left = right + side
-      for (uint32_t i = 0; i < blocksize; ++i) ch[0][i] = ch[1][i] + ch[0][i];
-    } else if (assign == 3) {  // mid/side
-      for (uint32_t i = 0; i < blocksize; ++i) {
-        int64_t mid = ch[0][i];
-        int64_t side = ch[1][i];
-        mid = (mid << 1) | (side & 1);
-        ch[0][i] = (mid + side) >> 1;
-        ch[1][i] = (mid - side) >> 1;
-      }
-    }
-
-    for (uint32_t i = 0; i < blocksize; ++i)
+    long blocksize = decode_one_frame(br, *info, ch);
+    if (blocksize == 0) break;
+    if (blocksize < 0) return total ? total : -1;
+    for (long i = 0; i < blocksize; ++i)
       for (int c = 0; c < channels; ++c)
         pcm->push_back((int32_t)ch[c][i]);
     total += blocksize;
-
     if (info->total_samples && (uint64_t)total >= info->total_samples) break;
   }
   return total;
@@ -844,5 +860,107 @@ int flac_encode_file(const char* path, const int16_t* pcm, long n_samples,
 }
 
 void flac_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// streaming decoder: O(frame) host memory for hour-scale inputs (the
+// reference's audio reader decodes frame by frame, reader.go:129-170;
+// this is its bounded-memory equivalent — the compressed bytes stay
+// mapped, decoded PCM leaves in caller-sized chunks)
+// ---------------------------------------------------------------------------
+
+struct FlacStream {
+  std::vector<uint8_t> data;
+  StreamInfo info;
+  size_t byte_pos = 0;
+  int bit_pos = 0;
+  std::vector<std::vector<int64_t>> ch;
+  std::vector<int32_t> pending;  // interleaved leftover from the last frame
+  size_t pending_pos = 0;        // in int32 units
+  long decoded = 0;              // per-channel samples handed out
+  bool done = false;
+};
+
+// Open for streaming; fills the stream parameters.  NULL on failure.
+void* flac_open_stream(const char* path, int* channels, int* sample_rate,
+                       int* bits, long* total_samples) {
+  bool ok;
+  FlacStream* s = new FlacStream();
+  s->data = read_file(path, &ok);
+  size_t start = 0;
+  if (!ok || !parse_flac_header(s->data.data(), s->data.size(), &s->info, &start)) {
+    delete s;
+    return nullptr;
+  }
+  s->byte_pos = start;
+  s->ch.resize(s->info.channels);
+  *channels = s->info.channels;
+  *sample_rate = (int)s->info.sample_rate;
+  *bits = s->info.bits;
+  *total_samples = (long)s->info.total_samples;
+  return s;
+}
+
+// Decode up to max_samples per-channel samples into `out` (interleaved
+// int32, capacity max_samples * channels).  Returns per-channel samples
+// written; 0 at end of stream; -1 on error.
+long flac_read_stream(void* handle, int32_t* out, long max_samples) {
+  FlacStream* s = (FlacStream*)handle;
+  if (!s || max_samples <= 0) return -1;
+  const int nch = s->info.channels;
+  long written = 0;  // per-channel samples
+
+  // drain the pending remainder first
+  if (s->pending_pos < s->pending.size()) {
+    long avail = (long)(s->pending.size() - s->pending_pos) / nch;
+    long take = avail < max_samples ? avail : max_samples;
+    memcpy(out, s->pending.data() + s->pending_pos,
+           (size_t)take * nch * sizeof(int32_t));
+    s->pending_pos += (size_t)take * nch;
+    written += take;
+    if (s->pending_pos >= s->pending.size()) {
+      s->pending.clear();
+      s->pending_pos = 0;
+    }
+  }
+
+  BitReader br(s->data.data(), s->data.size());
+  br.byte_pos = s->byte_pos;
+  br.bit_pos = s->bit_pos;
+
+  while (written < max_samples && !s->done) {
+    if (s->info.total_samples &&
+        (uint64_t)(s->decoded + written) >= s->info.total_samples) {
+      s->done = true;
+      break;
+    }
+    long blocksize = decode_one_frame(br, s->info, s->ch);
+    if (blocksize == 0) { s->done = true; break; }
+    if (blocksize < 0) {
+      s->done = true;
+      if (written == 0) return -1;
+      break;
+    }
+    long fit = max_samples - written;
+    long take = blocksize < fit ? blocksize : fit;
+    for (long i = 0; i < take; ++i)
+      for (int c = 0; c < nch; ++c)
+        out[(written + i) * nch + c] = (int32_t)s->ch[c][i];
+    if (take < blocksize) {
+      s->pending.reserve((size_t)(blocksize - take) * nch);
+      for (long i = take; i < blocksize; ++i)
+        for (int c = 0; c < nch; ++c)
+          s->pending.push_back((int32_t)s->ch[c][i]);
+      s->pending_pos = 0;
+    }
+    written += take;
+    s->byte_pos = br.byte_pos;
+    s->bit_pos = br.bit_pos;
+  }
+
+  s->decoded += written;
+  return written;
+}
+
+void flac_close_stream(void* handle) { delete (FlacStream*)handle; }
 
 }  // extern "C"

@@ -591,21 +591,9 @@ def fused_analysis_streamed(x: np.ndarray, sample_rate: int,
     `fused.fused_analysis`: (mono_device, metrics_tree)."""
     x = np.asarray(x)
     n = int(x.shape[-1])
-    sr = sample_rate
-    from .fused import _constants_for_rate
-
-    _, kw_ir, tp_bank, _ = _constants_for_rate(sr, 80.0, 20500.0)
-
-    il = max(1, int(round(0.25 * sr)))
-    w = max(2, int(round(0.05 * sr)))
-    C = analysis_chunk_length(sr, chunk_secs)
+    C, hm, il, w = _analysis_geometry(sample_rate, chunk_secs)
     n_chunks = max(1, -(-n // C))
-    hm = max(4096, w - 1, SPEC_HOP)
-    hm = -(-hm // SPEC_HOP) * SPEC_HOP
 
-    import jax as _jax
-
-    # upload all halo-overlapping raw chunks async — transfers overlap
     def host_ext(k):
         s = k * C - hm
         e = min(n, (k + 1) * C)
@@ -615,12 +603,64 @@ def fused_analysis_streamed(x: np.ndarray, sample_rate: int,
         pads = [(0, 0)] * (x.ndim - 1) + [(left_pad, pad_tail)]
         return np.pad(body, pads)
 
-    devs = [_jax.device_put(jnp.asarray(host_ext(k))) for k in range(n_chunks)]
+    return _streamed_analysis_core(
+        (host_ext(k) for k in range(n_chunks)), n, sample_rate, C, hm, il, w)
+
+
+def fused_analysis_from_reader(reader, sample_rate: int,
+                               chunk_secs: float = 40.0):
+    """Pass-1 analysis straight off a bounded-memory stream reader
+    (io/flac.FlacStreamReader): the host never materialises the whole
+    file — each chunk decodes, uploads, and frees while the previous
+    chunk's partial program runs.  The decoded mono PCM accumulates ONLY
+    on device (the master consumes it there)."""
+    n = int(reader.total_samples)
+    sr = sample_rate
+    C, hm, il, w = _analysis_geometry(sr, chunk_secs)
+    n_chunks = max(1, -(-n // C))
+    raw = getattr(reader, "bit_depth", 0) == 16
+
+    def gen():
+        tail = None
+        for k in range(n_chunks):
+            chunk = reader.read(C, raw_int16=raw) if raw else reader.read(C)
+            lead_shape = chunk.shape[:-1]
+            if tail is None:
+                tail = np.zeros((*lead_shape, hm), chunk.dtype)
+            m = int(chunk.shape[-1])
+            if m < C:
+                pads = [(0, 0)] * (chunk.ndim - 1) + [(0, C - m)]
+                chunk = np.pad(chunk, pads)
+            ext = np.concatenate([tail, chunk], axis=-1)
+            tail = chunk[..., -hm:]
+            yield ext
+
+    return _streamed_analysis_core(gen(), n, sr, C, hm, il, w)
+
+
+def _analysis_geometry(sr: int, chunk_secs: float):
+    il = max(1, int(round(0.25 * sr)))
+    w = max(2, int(round(0.05 * sr)))
+    C = analysis_chunk_length(sr, chunk_secs)
+    hm = max(4096, w - 1, SPEC_HOP)
+    hm = -(-hm // SPEC_HOP) * SPEC_HOP
+    return C, hm, il, w
+
+
+def _streamed_analysis_core(ext_iter, n: int, sr: int, C: int, hm: int,
+                            il: int, w: int):
+    from .fused import _constants_for_rate
+
+    _, kw_ir, tp_bank, _ = _constants_for_rate(sr, 80.0, 20500.0)
+    n_chunks = max(1, -(-n // C))
+
+    import jax as _jax
 
     mono_chunks, packed = [], []
-    for k in range(n_chunks):
+    for k, ext in enumerate(ext_iter):
+        dev = _jax.device_put(jnp.asarray(ext))
         mc, p = _analysis_chunk_packed(
-            devs[k], jnp.int32(k * C), jnp.int32(n), kw_ir, tp_bank,
+            dev, jnp.int32(k * C), jnp.int32(n), kw_ir, tp_bank,
             sr=sr, C=C, hm=hm, w=w, il=il)
         mono_chunks.append(mc)
         packed.append(p)

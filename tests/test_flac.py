@@ -145,3 +145,68 @@ class TestLpcEncode:
         np.testing.assert_array_equal(ints, xi.astype(np.int64))
         assert os.path.getsize(path) < 0.62 * xi.size * 2
         os.remove(path)
+
+
+class TestStreamReader:
+    """The bounded-memory streaming decoder must reproduce the whole-file
+    decode byte for byte across arbitrary chunk sizes (frame-boundary
+    remainder carrying included)."""
+
+    def test_matches_whole_file_decode(self, tmp_path):
+        import numpy as np
+
+        from jivetalking_tpu.io.flac import (
+            FlacStreamReader,
+            read_flac,
+            write_flac,
+        )
+
+        rng = np.random.default_rng(7)
+        sr = 44100
+        n = 44100 * 3 + 1234
+        x = np.stack([
+            0.4 * np.sin(2 * np.pi * 440.0 * np.arange(n) / sr),
+            0.1 * rng.standard_normal(n),
+        ]).astype(np.float32)
+        p = str(tmp_path / "s.flac")
+        write_flac(p, x, sr)
+
+        want, rate, bits = read_flac(p)
+        with FlacStreamReader(p) as r:
+            assert r.sample_rate == rate
+            assert r.channels == 2
+            assert r.total_samples == n
+            # a chunk size that never aligns with the 4096 frame grid
+            chunks = []
+            while True:
+                c = r.read(10_007)
+                if c.shape[1] == 0:
+                    break
+                chunks.append(c)
+            got = np.concatenate(chunks, axis=1)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+    def test_raw_int16_chunks(self, tmp_path):
+        import numpy as np
+
+        from jivetalking_tpu.io.flac import (
+            FlacStreamReader,
+            read_flac,
+            write_flac,
+        )
+
+        sr = 8000
+        n = 20000
+        x = (0.3 * np.sin(2 * np.pi * 330.0 * np.arange(n) / sr)).astype(np.float32)
+        p = str(tmp_path / "m.flac")
+        write_flac(p, x, sr)
+        want, _, _ = read_flac(p, raw_int16=True)
+        with FlacStreamReader(p) as r:
+            a = r.read(6000, raw_int16=True)
+            b = r.read(50000, raw_int16=True)
+            tail = r.read(100, raw_int16=True)
+        assert a.dtype == np.int16
+        assert tail.shape[1] == 0
+        got = np.concatenate([a, b], axis=1)
+        np.testing.assert_array_equal(got, want)

@@ -192,3 +192,53 @@ class TestProcessAudioChunkedRouting:
         assert any(0.0 < f < 1.0 for f in proc_fracs)
         assert res.filtered.astats is not None
         assert res.final.astats is not None
+
+
+class TestReaderAnalysis:
+    def test_from_reader_matches_array_streamed(self, tmp_path):
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.io.flac import FlacStreamReader, write_flac
+        from jivetalking_tpu.pipeline.fused_chunked import (
+            fused_analysis_from_reader,
+            fused_analysis_streamed,
+        )
+
+        sr = 8000
+        n = 2 * 26624 + 513
+        x = _speechlike(n, sr, seed=44)
+        xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+        p = str(tmp_path / "long.flac")
+        write_flac(p, xi, sr)
+
+        with FlacStreamReader(p) as r:
+            mono_r, out_r = fused_analysis_from_reader(r, sr, chunk_secs=3.0)
+        mono_a, out_a = fused_analysis_streamed(xi, sr, chunk_secs=3.0)
+
+        np.testing.assert_allclose(np.asarray(mono_r), np.asarray(mono_a),
+                                   atol=1e-7)
+        assert float(out_r["loudness"]["integrated"]) == pytest.approx(
+            float(out_a["loudness"]["integrated"]), abs=1e-3)
+        assert float(out_r["astats"]["rms_lin"]) == pytest.approx(
+            float(out_a["astats"]["rms_lin"]), rel=1e-5)
+        np.testing.assert_allclose(out_r["iv_sumsq"], out_a["iv_sumsq"],
+                                   rtol=1e-6)
+
+    def test_process_audio_accepts_reader(self, tmp_path, monkeypatch):
+        from jivetalking_tpu.io.flac import FlacStreamReader, write_flac
+        from jivetalking_tpu.pipeline.process import process_audio
+        import jivetalking_tpu.pipeline.chunked as CH
+
+        monkeypatch.setattr(CH, "CHUNK_THRESHOLD_SECS", 10.0)
+        sr = 8000
+        n = 2 * 25600 + 800
+        x = _speechlike(n, sr, seed=45)
+        xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+        p = str(tmp_path / "ep.flac")
+        write_flac(p, xi, sr)
+
+        with FlacStreamReader(p) as r:
+            res = process_audio(r, sr)
+        assert res.output_audio.size == n * 441 // 80
+        assert res.final.loudness.integrated_lufs == pytest.approx(
+            res.normalisation.effective_target_i, abs=0.5)
