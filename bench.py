@@ -87,7 +87,7 @@ def main() -> None:
     out = {
         "metric": "process_audio_realtime_factor",
         "value": round(rt_factor, 2),
-        "unit": "x_realtime_5min_48k_mono",
+        "unit": f"x_realtime_{duration / 60:g}min_{sr // 1000}k_mono",
         "vs_baseline": round(rt_factor / baseline, 2),
     }
     # sanity: the run must actually have mastered the audio
