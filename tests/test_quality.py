@@ -113,3 +113,81 @@ class TestGainAdvice:
         assert "Clipping" in gain_advice(0.2).message()
         assert "Raise input gain" in gain_advice(-20.0).message()
         assert "No action required" in gain_advice(-6.0).message()
+
+
+class TestRecordingScoreCorpusAnchors:
+    """Corpus sanity anchors from the reference's grounding sweep
+    (ref: recording_test.go:29-126 — if these stars drift, the formula or
+    its thresholds changed)."""
+
+    def _m(self, input_tp, input_i, lra, floor, speech_mom):
+        m = AudioMeasurements()
+        m.loudness.input_tp = input_tp
+        m.loudness.input_i = input_i
+        m.loudness.input_lra = lra
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=floor)
+        if speech_mom is not None:
+            m.vad.speech_profile = SpeechCandidate(
+                region=Region(0, 60),
+                sample=RegionSample(momentary_lufs=speech_mom),
+            )
+        return m
+
+    @pytest.mark.parametrize("name,tp,i,lra,floor,mom,stars,label", [
+        ("83-popey hot input", -0.1, -29.8, 12.3, -72.93, -34.79, 2, "Fair"),
+        ("83-mark", -6.2, -35.2, 15.0, -78.05, -38.74, 4, "Great"),
+        ("83-martin", -4.5, -27.8, 14.7, -70.47, -30.92, 4, "Great"),
+        ("clean studio", -9.0, -21.0, 9.0, -80.0, -28.0, 5, "Excellent"),
+    ])
+    def test_anchors(self, name, tp, i, lra, floor, mom, stars, label):
+        got = compute_recording_score(self._m(tp, i, lra, floor, mom))
+        assert got.stars == stars, (name, got.score)
+        assert got.label == label, (name, got.score)
+
+    def test_popey_composite_pinned(self):
+        got = compute_recording_score(self._m(-0.1, -29.8, 12.3, -72.93, -34.79))
+        assert got.score == pytest.approx(59.89, abs=0.5)
+
+    def test_headroom_delta_is_full_weight(self):
+        from jivetalking_tpu.quality.scores import RECORDING_WEIGHT_HEADROOM
+
+        hot = compute_recording_score(self._m(-0.5, -21.0, 9.0, -78.0, -33.0))
+        healthy = compute_recording_score(self._m(-7.0, -21.0, 9.0, -78.0, -33.0))
+        assert healthy.score - hot.score == pytest.approx(
+            100 * RECORDING_WEIGHT_HEADROOM, abs=1e-9)
+
+    def test_no_speech_cleanliness_equals_floor_score(self):
+        from jivetalking_tpu.quality.scores import (
+            RECORDING_DEFICIT_FULL,
+            RECORDING_DEFICIT_WEIGHT,
+            RECORDING_DEFICIT_ZERO,
+            RECORDING_FLOOR_FULL,
+            RECORDING_FLOOR_ZERO,
+            RECORDING_HEADROOM_FULL,
+            RECORDING_HEADROOM_ZERO,
+            RECORDING_LRA_FULL,
+            RECORDING_LRA_WEIGHT,
+            RECORDING_LRA_ZERO,
+            RECORDING_WEIGHT_CLEANLINESS,
+            RECORDING_WEIGHT_HEADROOM,
+            RECORDING_WEIGHT_LEVEL,
+            linear_score,
+        )
+
+        floor = -60.0
+        no_speech = compute_recording_score(
+            self._m(-9.0, -21.0, 9.0, floor, None))
+        floor_score = linear_score(floor, RECORDING_FLOOR_FULL, RECORDING_FLOOR_ZERO)
+        headroom = linear_score(-9.0, RECORDING_HEADROOM_FULL, RECORDING_HEADROOM_ZERO)
+        deficit = linear_score(max(0.0, -23.0 - (-21.0)),
+                               RECORDING_DEFICIT_FULL, RECORDING_DEFICIT_ZERO)
+        lra = linear_score(9.0, RECORDING_LRA_FULL, RECORDING_LRA_ZERO)
+        level = RECORDING_DEFICIT_WEIGHT * deficit + RECORDING_LRA_WEIGHT * lra
+        want = 100 * (RECORDING_WEIGHT_CLEANLINESS * floor_score
+                      + RECORDING_WEIGHT_HEADROOM * headroom
+                      + RECORDING_WEIGHT_LEVEL * level)
+        assert no_speech.score == pytest.approx(want, abs=1e-9)
+        # electing a wide-SNR profile must change the cleanliness axis
+        with_speech = compute_recording_score(
+            self._m(-9.0, -21.0, 9.0, floor, -20.0))
+        assert with_speech.score != no_speech.score
