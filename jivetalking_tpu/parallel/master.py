@@ -433,18 +433,60 @@ def sharded_master_stage_a(
     return prefixed, offset_db, plan
 
 
+def sharded_resample(z: jnp.ndarray, src_rate: int, dst_rate: int,
+                     axis_name: str) -> jnp.ndarray:
+    """Exact shard of the global polyphase resample: requires
+    n_local % M == 0 so each shard's output span sits on the global phase
+    grid (the same alignment argument as fused_chunked._resample_chunk);
+    halos come from the neighbouring shards via ppermute, with the global
+    edges zero-padded exactly like the whole-file `resample`."""
+    import math as _math
+
+    from ..ops.resample import _banded_bank
+
+    if src_rate == dst_rate:
+        return z
+    g = _math.gcd(src_rate, dst_rate)
+    L, M = dst_rate // g, src_rate // g
+    n_local = int(z.shape[-1])
+    assert n_local % M == 0, "sp shard length must be a multiple of M"
+    B_np, taps = _banded_bank(L, M)
+    B = jnp.asarray(B_np)
+    half = taps // 2
+    slack = taps + 2 * M
+    left = _halo_left(z, half, axis_name)
+    right = _halo_right(z, slack, axis_name)
+    xp = jnp.concatenate([left, z, right], axis=-1)
+
+    n_out = n_local * L // M
+    r_rows = int(B.shape[0])
+    nq = -(-n_out // L)
+    need = (nq + r_rows) * M
+
+    def one_row(row):
+        x = row[:need] if int(row.shape[0]) >= need else jnp.concatenate(
+            [row, jnp.zeros(need - int(row.shape[0]), row.dtype)])
+        X = x.reshape(nq + r_rows, M)
+        out = jnp.zeros((nq, L), jnp.float32)
+        for r in range(r_rows):
+            out = out + jnp.matmul(X[r : r + nq], B[r],
+                                   precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(-1)[:n_out]
+
+    return jax.vmap(one_row)(xp)
+
+
 def sharded_master_stage_b(
     prefixed: jnp.ndarray,           # (b_local, n_local)
     offset_db,                       # (b_local,) replicated over sp
     target_tp_lin,
     kw_ir, tp_bank,
-    *, sr: int, axis_name: str = "sp", declick_enabled: bool = True,
+    *, sr: int, out_rate: int | None = None,
+    axis_name: str = "sp", declick_enabled: bool = True,
 ):
     """Sequence-parallel `_master_stage_b_tree` audio path: linear-mode
-    gain, adeclick, brickwall, final metering.  The delivery resample
-    stays per-shard-local only at identity rate (the dry-run/pin shape);
-    a sharded polyphase resample joins when the rational phase alignment
-    work lands."""
+    gain, adeclick, brickwall, final metering, and (when `out_rate`
+    differs from `sr`) the exact sharded delivery resample."""
     target_tp_db = 20.0 * jnp.log10(jnp.maximum(target_tp_lin, 1e-12))
     bshape = (-1,) + (1,) * (prefixed.ndim - 1)
     z = prefixed * 10.0 ** (jnp.reshape(offset_db, bshape) / 20.0)
@@ -455,6 +497,8 @@ def sharded_master_stage_b(
                         max(1, int(round(sr / 1000.0))),
                         max(1.0, 50.0 * sr / 1000.0), axis_name)
     loud_z = sharded_loudness(z, kw_ir, tp_bank, sr, axis_name)
+    if out_rate is not None and out_rate != sr:
+        z = sharded_resample(z, sr, out_rate, axis_name)
     return z, {
         "final_i": loud_z["integrated"],
         "final_tp": loud_z["true_peak"],

@@ -212,3 +212,47 @@ class TestShardedMaster:
             # sharded stage B returns float audio; the single-device ref is
             # s16-quantised — match within one LSB plus float slack
             np.testing.assert_allclose(z[i], ref["z"], atol=4e-5)
+
+
+class TestShardedResample:
+    def test_matches_whole_file_resample(self):
+        from jivetalking_tpu.ops.resample import resample
+        from jivetalking_tpu.parallel.master import sharded_resample
+
+        mesh = _mesh(2, 4)
+        sr, out = 8000, 4000          # M = 2
+        n_local = 4096
+        n = 4 * n_local
+        x = np.stack([_speechlike(n, sr, seed=i) for i in range(2)])
+
+        f = jax.jit(functools.partial(
+            shard_map, mesh=mesh, in_specs=P("dp", "sp"),
+            out_specs=P("dp", "sp"),
+        )(lambda b: sharded_resample(b, sr, out, "sp")))
+        got = np.asarray(f(jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P("dp", "sp")))))
+
+        for i in range(2):
+            want = np.asarray(resample(jnp.asarray(x[i]), sr, out))
+            np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
+
+    def test_rational_147_160(self):
+        from jivetalking_tpu.ops.resample import resample
+        from jivetalking_tpu.parallel.master import sharded_resample
+
+        mesh = _mesh(2, 4)
+        sr, out = 48000, 44100        # L/M = 147/160
+        n_local = 160 * 64
+        n = 4 * n_local
+        x = np.stack([_speechlike(n, sr, seed=3 + i) for i in range(2)])
+
+        f = jax.jit(functools.partial(
+            shard_map, mesh=mesh, in_specs=P("dp", "sp"),
+            out_specs=P("dp", "sp"),
+        )(lambda b: sharded_resample(b, sr, out, "sp")))
+        got = np.asarray(f(jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P("dp", "sp")))))
+        for i in range(2):
+            want = np.asarray(resample(jnp.asarray(x[i]), sr, out))
+            assert got[i].size == want.size
+            np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
