@@ -139,3 +139,77 @@ class TestBuildAfftdnBandNoiseVectors:
 
     def test_all_non_finite_none(self):
         assert build_afftdn_band_noise([math.nan, math.inf, -math.inf]) is None
+
+
+class TestSanitizeFloatVectors:
+    """ref: TestSanitizeFloat, adaptive_test.go:1164-1261."""
+
+    @pytest.mark.parametrize("val,want", [
+        (math.nan, 42.0),
+        (math.inf, 42.0),
+        (-math.inf, 42.0),
+        (0.0, 0.0),
+        (-25.5, -25.5),
+        (80.0, 80.0),
+        (1e-10, 1e-10),
+        (1e10, 1e10),
+        (-1e-10, -1e-10),
+        (-1e10, -1e10),
+    ])
+    def test_table(self, val, want):
+        from jivetalking_tpu.utils.units import sanitize_float
+
+        assert sanitize_float(val, 42.0) == want
+
+
+class TestSanitizeConfigVectors:
+    """ref: TestSanitizeConfig, adaptive_test.go:1262-1417."""
+
+    def test_valid_config_passes_through_unchanged(self):
+        import copy
+
+        from jivetalking_tpu.adaptive.adapt import sanitize_config
+
+        cfg = default_filter_config()
+        cfg.rumble_highpass.frequency = 100.0
+        cfg.speech_gate.threshold = 0.02
+        cfg.speech_gate.ratio = 2.0
+        cfg.levelling_compressor.threshold = -24.0
+        cfg.deesser.intensity = 0.3
+        want = copy.deepcopy(cfg)
+        sanitize_config(cfg)
+        assert cfg == want
+
+    def test_non_finite_values_reset_to_defaults(self):
+        from jivetalking_tpu.adaptive.adapt import sanitize_config
+        from jivetalking_tpu.adaptive.config import (
+            RUMBLE_HP_FREQ,
+            NoiseReductionConfig,
+            SpeechGateConfig,
+        )
+
+        cfg = default_filter_config()
+        cfg.rumble_highpass.frequency = math.nan
+        cfg.rumble_highpass.width = math.inf
+        cfg.noise_reduction.strength = math.nan
+        cfg.noise_reduction.afftdn_noise_floor = math.inf
+        cfg.speech_gate.threshold = math.nan
+        cfg.speech_gate.ratio = math.inf
+        sanitize_config(cfg)
+        assert cfg.rumble_highpass.frequency == RUMBLE_HP_FREQ
+        assert cfg.rumble_highpass.width == 0.707
+        assert cfg.noise_reduction.strength == NoiseReductionConfig().strength
+        assert cfg.noise_reduction.afftdn_noise_floor == \
+            NoiseReductionConfig().afftdn_noise_floor
+        assert cfg.speech_gate.threshold == SpeechGateConfig().threshold
+        assert cfg.speech_gate.ratio == SpeechGateConfig().ratio
+        assert math.isfinite(cfg.speech_gate.threshold)
+
+    def test_custom_type_without_bands_degrades_to_white(self):
+        from jivetalking_tpu.adaptive.adapt import sanitize_config
+
+        cfg = default_filter_config()
+        cfg.noise_reduction.afftdn_noise_type = "custom"
+        cfg.noise_reduction.afftdn_band_noise = []
+        sanitize_config(cfg)
+        assert cfg.noise_reduction.afftdn_noise_type == "w"

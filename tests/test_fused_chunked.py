@@ -242,3 +242,43 @@ class TestReaderAnalysis:
         assert res.output_audio.size == n * 441 // 80
         assert res.final.loudness.integrated_lufs == pytest.approx(
             res.normalisation.effective_target_i, abs=0.5)
+
+
+class TestChunkedRegionPartials:
+    def test_regions_spanning_chunk_boundaries(self):
+        """Force elected regions that straddle chunk boundaries and pin the
+        chunked region metering against the whole-file fused master."""
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.analysis.types import (
+            Region,
+            RegionSample,
+            SpeechCandidate,
+        )
+        from jivetalking_tpu.pipeline.fused import fused_master
+        from jivetalking_tpu.pipeline.fused_chunked import fused_master_chunked
+
+        sr = 8000
+        n = 4 * 25600          # C = 25600 at chunk_secs=3.0
+        x, m, cfg = _setup(sr, n, seed=77)
+        cfg.resample.enabled = False
+        # noise region straddles the chunk-0/1 boundary (25600 = 3.2 s);
+        # speech region straddles chunks 2/3
+        m.vad.noise_region = Region(start=2.0, end=5.0)
+        m.vad.speech_profile = SpeechCandidate(
+            region=Region(start=8.0, end=11.0), sample=RegionSample())
+
+        _, _, fm_c, _ = fused_master_chunked(jnp.asarray(x), sr, cfg, m,
+                                             chunk_secs=3.0)
+        _, _, fm_w, _ = fused_master(jnp.asarray(x), sr, cfg, m)
+
+        for rk in ("filtered_noise", "filtered_speech", "final_noise",
+                   "final_speech"):
+            for k in ("rms", "peak", "tp", "momentary"):
+                assert float(fm_c["regions"][rk][k]) == pytest.approx(
+                    float(fm_w["regions"][rk][k]), rel=5e-3, abs=1e-4), (rk, k)
+            # masked spectral means over the region frames
+            for k, v in fm_w["regions"][rk].items():
+                if k.startswith("spec_"):
+                    assert float(fm_c["regions"][rk][k]) == pytest.approx(
+                        float(v), rel=1e-2, abs=1e-3), (rk, k)
