@@ -155,3 +155,61 @@ class TestTuneSpeechGateProfileDepth:
         assert cfg.speech_gate.range == pytest.approx(10 ** (-8.0 / 20.0))
         assert _db(cfg.speech_gate.threshold) == pytest.approx(-48.0, abs=0.01)
         assert d.speech_gate_clamp_reason == "narrow_gap"
+
+
+class TestLevellingCompressorThresholdVectors:
+    """ref: adaptive_test.go:1418-1580 (anchor, clamps, peak fallback, the
+    full-file-RMS floor matrix with its NaN/Inf/zero fallbacks)."""
+
+    def _m(self, speech_rms=None, full_rms=0.0, peak=0.0):
+        m = AudioMeasurements()
+        m.dynamics.rms_level = full_rms
+        m.dynamics.peak_level = peak
+        if speech_rms is not None:
+            m.vad.speech_profile = SpeechCandidate(
+                region=Region(0, 60), sample=RegionSample(rms_level=speech_rms))
+        return m
+
+    def _tune(self, m):
+        from jivetalking_tpu.adaptive.adapt import tune_levelling_compressor
+
+        cfg = default_filter_config()
+        tune_levelling_compressor(cfg, m)
+        return cfg.levelling_compressor.threshold
+
+    def test_speech_rms_anchor(self):
+        assert self._tune(self._m(speech_rms=-24.0, full_rms=-32.0,
+                                  peak=-6.0)) == pytest.approx(-15.0)
+
+    def test_clamped_high(self):
+        assert self._tune(self._m(speech_rms=-10.0, full_rms=-20.0)) == \
+            pytest.approx(-6.0)
+
+    def test_clamped_low(self):
+        assert self._tune(self._m(speech_rms=-60.0, full_rms=math.nan)) == \
+            pytest.approx(-45.0)
+
+    def test_peak_fallback_no_profile(self):
+        assert self._tune(self._m(peak=-6.0)) == pytest.approx(-26.0)
+
+    def test_zero_db_peak_accepted(self):
+        assert self._tune(self._m(peak=0.0)) == pytest.approx(-20.0)
+
+    def test_invalid_peak_default(self):
+        from jivetalking_tpu.adaptive.adapt import COMP_DEFAULT_THRESHOLD
+
+        assert self._tune(self._m(peak=math.nan)) == pytest.approx(
+            COMP_DEFAULT_THRESHOLD)
+
+    @pytest.mark.parametrize("name,speech,full,want", [
+        ("speech above full-file (floor inert)", -24.0, -40.0, -15.0),
+        ("speech below full-file (floor engaged)", -50.0, -40.0, -31.0),
+        ("NaN full-file falls back to speech", -24.0, math.nan, -15.0),
+        ("Inf full-file falls back to speech", -24.0, math.inf, -15.0),
+        ("floor then clamp ceiling", -50.0, -8.0, -6.0),
+        ("zero full-file falls back to speech", -24.0, 0.0, -15.0),
+        ("neg-Inf full-file falls back to speech", -24.0, -math.inf, -15.0),
+    ])
+    def test_full_file_rms_floor_matrix(self, name, speech, full, want):
+        assert self._tune(self._m(speech_rms=speech, full_rms=full)) == \
+            pytest.approx(want, abs=1e-3), name
