@@ -51,7 +51,10 @@ def resolve_jobs(num_files: int, num_cpu: int) -> int:
     return max(1, min(num_files, num_cpu))
 
 
-STREAM_DECODE_THRESHOLD_SECS = 1200.0   # matches pipeline.chunked.should_chunk
+# stream-decode any FLAC the streamed analysis would chunk anyway (>=60 s):
+# the native decoder runs chunk-by-chunk BETWEEN uploads, so host decode
+# overlaps the wire instead of preceding it, and host memory stays O(chunk)
+STREAM_DECODE_THRESHOLD_SECS = 60.0
 
 
 def _open_for_processing(path: str):

@@ -855,11 +855,13 @@ def fused_master_chunked(
     )
 
     def report(frac):
+        # progress MUST propagate exceptions: the CLI pool cancels a file
+        # by raising InterruptedError from its progress callback
+        # (cli/pool.py progress(); ref: ctx-per-frame cancellation,
+        # frame_processor.go:116) — swallowing it here would leave a
+        # cancelled hour-scale master running to completion
         if progress is not None:
-            try:
-                progress(frac)
-            except Exception:
-                pass
+            progress(frac)
 
     # ---- PASS CHAIN ----
     cchunks = []

@@ -185,6 +185,11 @@ def process_audio(
     round trips.  `fused=False` keeps the per-op path (the unit-tested
     reference implementation)."""
     cfg_base = base_config or default_filter_config()
+    if not fused and hasattr(x, "read"):
+        raise ValueError(
+            "stream readers require the fused path (fused=False needs the "
+            "whole PCM in memory)"
+        )
 
     def report(stage, frac):
         if progress is not None:

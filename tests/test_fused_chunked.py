@@ -282,3 +282,27 @@ class TestChunkedRegionPartials:
                 if k.startswith("spec_"):
                     assert float(fm_c["regions"][rk][k]) == pytest.approx(
                         float(v), rel=1e-2, abs=1e-3), (rk, k)
+
+
+class TestChunkedCancellation:
+    def test_interrupted_error_propagates_from_progress(self, monkeypatch):
+        """The pool cancels by raising from its progress callback; the
+        chunked master must let it through (a swallowed InterruptedError
+        would run a cancelled hour-scale file to completion)."""
+        import jivetalking_tpu.pipeline.chunked as CH
+        from jivetalking_tpu.pipeline.process import process_audio
+
+        monkeypatch.setattr(CH, "CHUNK_THRESHOLD_SECS", 10.0)
+        sr = 8000
+        x = _speechlike(4 * 25600, sr, seed=9)
+
+        calls = []
+
+        def progress(stage, frac):
+            calls.append((stage, frac))
+            if stage == "processing" and frac > 0.1:
+                raise InterruptedError("cancelled")
+
+        with pytest.raises(InterruptedError):
+            process_audio(x, sr, progress=progress)
+        assert calls  # it got going before the cancel
