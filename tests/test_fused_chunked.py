@@ -306,3 +306,28 @@ class TestChunkedCancellation:
         with pytest.raises(InterruptedError):
             process_audio(x, sr, progress=progress)
         assert calls  # it got going before the cancel
+
+
+class TestSingleChunkDegenerate:
+    def test_one_chunk_matches_whole_file(self):
+        """n < C: every pass runs exactly one chunk with zero carries —
+        the degenerate case right at the chunking horizon."""
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.pipeline.fused import fused_master
+        from jivetalking_tpu.pipeline.fused_chunked import fused_master_chunked
+
+        sr = 8000
+        n = 25600 + 4096          # C = 25600*2 at chunk_secs=6.4 -> 1 chunk
+        x, m, cfg = _setup(sr, n, seed=88)
+        cfg.resample.enabled = False
+        zc, _, fm_c, _ = fused_master_chunked(
+            jnp.asarray(x), sr, cfg, m, chunk_secs=6.4)
+        zw, _, fm_w, _ = fused_master(jnp.asarray(x), sr, cfg, m)
+        a = np.concatenate([np.asarray(c) for c in zc]).astype(np.int32)
+        b = np.concatenate([np.asarray(c) for c in zw]).astype(np.int32)
+        assert a.shape == b.shape
+        d = np.abs(a[256:-256] - b[256:-256])
+        assert float(np.mean(d <= 1)) > 0.999
+        assert float(fm_c["final"]["integrated"]) == pytest.approx(
+            float(fm_w["final"]["integrated"]), abs=0.02)
