@@ -733,7 +733,10 @@ def _combine_astats(parts: list[dict], n: int, w: int) -> dict:
     sum_sq = float(sum(p["sum_sq"] for p in parts))
     total = float(sum(p["sum"] for p in parts))
     d_count = max(1.0, float(sum(p["d_count"] for p in parts)))
-    hist = np.sum([p["hist"] for p in parts], axis=0)
+    # float64: per-bin counts stay integer-exact past float32's 2^24 on
+    # hour-scale files
+    hist = np.sum(np.asarray([p["hist"] for p in parts], dtype=np.float64),
+                  axis=0)
     pdist = hist / max(1.0, hist.sum())
     ent = float(-np.sum(np.where(pdist > 0, pdist * np.log2(np.maximum(pdist, 1e-30)), 0.0))
                 / math.log2(_ENTROPY_BINS))

@@ -256,3 +256,75 @@ class TestShardedResample:
             want = np.asarray(resample(jnp.asarray(x[i]), sr, out))
             assert got[i].size == want.size
             np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
+
+
+class TestShardedMasterMultiRow:
+    """b_local > 1: two files PER dp shard (the dryrun shape that caught a
+    (b,) vs (b,n) broadcasting bug in stage B's brickwall)."""
+
+    def test_batch_rows_match_single_device(self):
+        import jivetalking_tpu.pipeline.fused as F
+        from jivetalking_tpu.parallel.master import (
+            sharded_master_stage_a,
+            sharded_master_stage_b,
+        )
+
+        mesh = _mesh(2, 2)
+        sr = 12800
+        n_local = 14080
+        n = 2 * n_local
+        batch = 4                     # 2 rows per dp shard
+        chain_ir, kw_ir, tp_bank, deess_k = F._constants_for_rate(sr, 80.0, 5000.0)
+
+        g_thr = np.asarray([1e-4, 3e-4, 2e-4, 1e-4], np.float32)
+        g_ratio = np.asarray([2.0, 1.5, 2.0, 1.5], np.float32)
+        g_range = np.asarray([0.2, 0.4, 0.3, 0.2], np.float32)
+        c_thr = np.asarray([0.1, 0.05, 0.08, 0.1], np.float32)
+        d_i = np.asarray([0.5, 0.0, 0.7, 0.3], np.float32)
+        nf = np.asarray([-50.0, -60.0, -55.0, -45.0], np.float32)
+        t_i = np.full(4, -16.0, np.float32)
+        t_tp = np.full(4, 10 ** (-1.0 / 20.0), np.float32)
+        shape = np.zeros((batch, 15), np.float32)
+        x = np.stack([_speechlike(n, sr, seed=50 + i) for i in range(batch)])
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("dp", "sp"),) + (P("dp"),) * 9 + (P(), P(), P(), P()),
+            out_specs=(P("dp", "sp"), P("dp")),
+            check_vma=False,
+        )
+        def run(pcm, gt, gr, grg, ct, di, nfv, shp, ti, ttp,
+                c_ir, k_ir, t_bank, d_k):
+            prefixed, offset_db, _plan = sharded_master_stage_a(
+                pcm, gt, gr, grg, ct, di, nfv, shp, ti, ttp,
+                c_ir, k_ir, t_bank, d_k,
+                sr=sr, axis_name="sp", nlm_enabled=False, afftdn_enabled=True)
+            z, _final = sharded_master_stage_b(
+                prefixed, offset_db, ttp, k_ir, t_bank,
+                sr=sr, axis_name="sp", declick_enabled=True)
+            return z, offset_db
+
+        args = [jnp.asarray(v) for v in
+                (x, g_thr, g_ratio, g_range, c_thr, d_i, nf, shape, t_i, t_tp)]
+        args[0] = jax.device_put(args[0], NamedSharding(mesh, P("dp", "sp")))
+        z, offset = run(*args, chain_ir, kw_ir, tp_bank, deess_k)
+
+        for i in range(batch):
+            p1, o1, _ = F._master_stage_a_tree(
+                jnp.asarray(x[i]), jnp.float32(g_thr[i]), jnp.float32(g_ratio[i]),
+                jnp.float32(g_range[i]), jnp.float32(c_thr[i]),
+                jnp.float32(d_i[i]), jnp.float32(nf[i]), jnp.asarray(shape[i]),
+                jnp.float32(t_i[i]), jnp.float32(t_tp[i]),
+                jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+                chain_ir, kw_ir, tp_bank, deess_k,
+                sr=sr, nlm_enabled=False, afftdn_enabled=True)
+            zc, _ = F._master_stage_b_tree(
+                p1, o1, jnp.float32(t_tp[i]),
+                jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+                kw_ir, tp_bank, sr=sr, out_rate=sr, declick_enabled=True)
+            want = np.concatenate([np.asarray(c) for c in zc]).astype(np.float32) / 32767.0
+            assert float(offset[i]) == pytest.approx(float(o1), abs=2e-3)
+            # ref is s16-quantised (+-1 LSB = 3.1e-5) plus cross-shard float
+            # association slack
+            np.testing.assert_allclose(np.asarray(z[i]), want, atol=8e-5)
