@@ -213,3 +213,74 @@ class TestLevellingCompressorThresholdVectors:
     def test_full_file_rms_floor_matrix(self, name, speech, full, want):
         assert self._tune(self._m(speech_rms=speech, full_rms=full)) == \
             pytest.approx(want, abs=1e-3), name
+
+
+class TestAdaptConfigOrderIndependence:
+    """ref: TestAdaptConfigOrderIndependence, adaptive_test.go:74-146 —
+    adapting file A before or after file B must not change A's derived
+    parameters (the Base/Effective split: per-file state never leaks
+    through the shared seed)."""
+
+    def _warm_no_profile(self):
+        m = AudioMeasurements()
+        m.loudness.input_i = -42.1
+        m.loudness.input_tp = -4.9
+        m.loudness.input_lra = 6.0
+        m.noise.floor = -58.0
+        m.dynamics.peak_level = -10.0
+        return m
+
+    def _bright_speech(self):
+        m = AudioMeasurements()
+        m.loudness.input_i = -20.0
+        m.loudness.input_tp = -2.5
+        m.loudness.input_lra = 12.0
+        m.noise.floor = -60.0
+        m.dynamics.peak_level = -6.0
+        m.dynamics.rms_level = -30.0
+        m.vad.noise_profile = NoiseProfile(
+            measured_noise_floor=-60.0, peak_level=-45.0,
+            crest_factor=15.0, entropy=0.8)
+        m.vad.gate_stats.voiced_low_percentile = -34.0
+        m.vad.gate_stats.noise_high_percentile = -55.0
+        m.vad.gate_stats.separation_db = 21.0
+        m.vad.speech_profile = SpeechCandidate(
+            region=Region(0, 60),
+            sample=RegionSample(rms_level=-24.0, crest_factor=12.0))
+        return m
+
+    def test_order_does_not_change_results(self):
+        from jivetalking_tpu.adaptive.adapt import adapt_config
+
+        base = default_filter_config()
+        a_first, _ = adapt_config(base, self._warm_no_profile())
+        b_after, _ = adapt_config(base, self._bright_speech())
+
+        base2 = default_filter_config()
+        b_first, _ = adapt_config(base2, self._bright_speech())
+        a_after, _ = adapt_config(base2, self._warm_no_profile())
+
+        for got, want in ((a_first, a_after), (b_first, b_after)):
+            assert got.speech_gate.threshold == want.speech_gate.threshold
+            assert got.speech_gate.ratio == want.speech_gate.ratio
+            assert got.speech_gate.range == want.speech_gate.range
+            assert got.levelling_compressor.threshold == \
+                want.levelling_compressor.threshold
+            assert got.deesser.intensity == want.deesser.intensity
+            assert got.noise_reduction.afftdn_noise_floor == \
+                want.noise_reduction.afftdn_noise_floor
+            assert got.noise_reduction.afftdn_noise_type == \
+                want.noise_reduction.afftdn_noise_type
+            assert got.rumble_highpass.frequency == want.rumble_highpass.frequency
+            assert got.bandlimit_lowpass.frequency == want.bandlimit_lowpass.frequency
+
+    def test_base_seed_untouched_after_both(self):
+        import copy
+
+        from jivetalking_tpu.adaptive.adapt import adapt_config
+
+        base = default_filter_config()
+        want = copy.deepcopy(base)
+        adapt_config(base, self._bright_speech())
+        adapt_config(base, self._warm_no_profile())
+        assert base == want
