@@ -289,3 +289,61 @@ class TestSpectrogramConventions:
         # empty list -> no heading
         rec["spectrograms"] = []
         assert "## Spectrograms" not in render_markdown(rec)
+
+
+class TestDefinitionsCatalogue:
+    """ref: report/definitions_test.go — the catalogue is complete, labelled,
+    glossed, and unit-tagged wherever the key is dimensioned."""
+
+    def test_spectral_thirteen_covered(self):
+        from jivetalking_tpu.report.definitions import DEFINITIONS
+
+        for key in ("mean", "variance", "centroid_hz", "spread_hz",
+                    "skewness", "kurtosis", "entropy", "flatness", "crest",
+                    "flux", "slope", "decrease", "rolloff_hz"):
+            assert key in DEFINITIONS, key
+
+    def test_non_empty_label_and_gloss(self):
+        from jivetalking_tpu.report.definitions import DEFINITIONS
+
+        for key, (label, gloss, _unit) in DEFINITIONS.items():
+            assert label.strip(), key
+            assert gloss.strip(), key
+            assert gloss.strip().endswith("."), key
+
+    def test_dimensioned_keys_carry_units(self):
+        from jivetalking_tpu.report.definitions import DEFINITIONS
+
+        suffix_unit = {
+            "_dbfs": "dBFS", "_dbtp": "dBTP", "_lufs": "LUFS",
+            "_lu": "LU", "_hz": "Hz", "_db": "dB", "_s": "s",
+        }
+        # the reference keeps loudnorm's key name but the semantically
+        # correct unit: a loudness offset is LU (definitions.go:72-76)
+        exceptions = {"target_offset_db": "LU"}
+        for key, (_label, _gloss, unit) in DEFINITIONS.items():
+            if key in exceptions:
+                assert unit == exceptions[key], key
+                continue
+            for sfx, want in suffix_unit.items():
+                if key.endswith(sfx):
+                    assert unit == want, (key, unit, want)
+                    break
+
+    def test_core_record_keys_have_definitions(self):
+        from jivetalking_tpu.report.definitions import DEFINITIONS
+
+        required = [
+            "integrated_lufs", "true_peak_dbtp", "lra_lu", "thresh_lufs",
+            "momentary_lufs", "short_term_lufs", "sample_peak_dbfs",
+            "rms_level_dbfs", "peak_level_dbfs", "crest_factor_astats_db",
+            "dynamic_range_db", "rms_peak_dbfs", "rms_trough_dbfs",
+            "flat_factor", "dc_offset", "zero_crossings_rate", "bit_depth",
+            "floor_dbfs", "floor_source", "voice_activated",
+            "floored_fraction", "reduction_headroom_db",
+            "centroid_hz", "spread_hz", "rolloff_hz",
+            "start_s", "duration_s", "crest_factor_db",
+            "speech_band_body_rms_dbfs", "speech_band_sib_rms_dbfs",
+        ]
+        missing = [k for k in required if k not in DEFINITIONS]
+        assert not missing, missing
