@@ -22,6 +22,7 @@ The TPU-native equivalents here:
 from __future__ import annotations
 
 import functools
+import math
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -272,3 +273,76 @@ def batched_master(
         ops["noise_bounds"], ops["speech_bounds"],
         chain_ir, kw_ir, tp_bank, deess_k, sample_rate, out_rate,
     )
+
+
+# ---------------------------------------------------------------------------
+# the back-catalogue sweep end to end (BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+def process_back_catalogue(
+    paths: list[str],
+    out_dir: str | None = None,
+    mesh: Mesh | None = None,
+    base_config=None,
+) -> list[dict]:
+    """Master a catalogue of episode files through ONE batched device
+    program: per-file Pass-1 analysis + adaptation (host-paced), then the
+    fused pass-2/3/4 stages vmapped over the dp-sharded padded batch
+    (`batched_master`), per-file trim + FLAC publish.  The TPU-idiomatic
+    form of BASELINE config 5 (64 episodes across a v5e-8 slice): one
+    compile masters every episode, chips split the batch.
+
+    Pad-loudness note: files pad with digital silence to the bucket
+    length; the R128 absolute gate excludes those blocks, so per-file
+    loudness/plan are unaffected.  Returns one summary dict per file."""
+    import os
+
+    from ..adaptive.adapt import adapt_config
+    from ..adaptive.config import default_filter_config
+    from ..analysis.analyser import analyse_audio
+    from ..io.audio import open_audio_file, save_flac
+    from ..report.paths import output_audio_path
+
+    base = base_config or default_filter_config()
+    pcms, metas, cfgs, measures = [], [], [], []
+    for p in paths:
+        samples, meta = open_audio_file(p, raw_int16=True)
+        m = analyse_audio(samples, meta.sample_rate,
+                          target_i=base.loudnorm.target_i)
+        eff, _diag = adapt_config(base, m)
+        eff.resample.enabled = True
+        pcms.append(np.asarray(m.device_pcm))
+        metas.append(meta)
+        cfgs.append(eff)
+        measures.append(m)
+    rates = {meta.sample_rate for meta in metas}
+    if len(rates) != 1:
+        raise ValueError(f"back-catalogue batch needs one sample rate, got {rates}")
+    sr = rates.pop()
+    out_rate = cfgs[0].resample.sample_rate or 44100
+
+    batch, lengths = pad_to_batch(pcms)
+    z, metrics = batched_master(batch, sr, cfgs, measures,
+                                out_rate=out_rate, mesh=mesh)
+
+    g = math.gcd(sr, out_rate)
+    L, M = out_rate // g, sr // g
+    results = []
+    for i, p in enumerate(paths):
+        n_out = int(lengths[i]) * L // M
+        pcm_i = np.asarray(z[i])[:n_out]          # s16 delivery from stage B
+        out_lufs = float(metrics["final_i"][i])
+        out_path = output_audio_path(p, out_lufs)
+        if out_dir is not None:
+            out_path = os.path.join(out_dir, os.path.basename(out_path))
+        save_flac(out_path, pcm_i, out_rate)
+        results.append({
+            "path": p,
+            "output_path": out_path,
+            "output_lufs": out_lufs,
+            "output_tp_db": 20.0 * float(np.log10(max(
+                float(metrics["final_tp"][i]), 1e-12))),
+            "effective_target_i": float(metrics["effective_i"][i]),
+            "offset_db": float(metrics["offset_db"][i]),
+        })
+    return results

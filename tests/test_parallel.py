@@ -154,3 +154,43 @@ class TestBatchedMaster:
                 np.asarray(z[i]), zi, rtol=1e-4, atol=2e-4)
             assert float(metrics["final_i"][i]) == pytest.approx(
                 float(fm["final"]["integrated"]), abs=0.01)
+
+
+class TestBackCatalogue:
+    """BASELINE config 5 end to end: unequal-length episodes -> one padded
+    batched master -> per-file trimmed FLAC publishes within target."""
+
+    def test_catalogue_masters_within_target(self, tmp_path):
+        import jax
+        from jax.sharding import Mesh
+
+        from jivetalking_tpu.io.flac import read_flac, write_flac
+        from jivetalking_tpu.metering.ebur128 import measure_loudness
+        from jivetalking_tpu.parallel.batch import process_back_catalogue
+        from tests.test_parallel_master import _speechlike
+
+        sr = 8000
+        paths = []
+        for i, secs in enumerate((6.0, 5.0, 4.5)):
+            n = int(secs * sr)
+            x = _speechlike(n, sr, seed=60 + i)
+            xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+            p = str(tmp_path / f"ep{i}.flac")
+            write_flac(p, xi, sr)
+            paths.append(p)
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("dp",))
+        # 3 files over a 4-chip dp mesh won't shard evenly; use host batch
+        results = process_back_catalogue(paths, out_dir=str(tmp_path))
+
+        assert len(results) == 3
+        for r, secs in zip(results, (6.0, 5.0, 4.5)):
+            assert r["output_path"].endswith("-processed.flac")
+            samples, rate, _ = read_flac(r["output_path"])
+            assert rate == 44100
+            loud = measure_loudness(samples[0], rate)
+            assert loud.integrated_lufs == pytest.approx(
+                r["effective_target_i"], abs=0.6)
+            assert loud.true_peak_db <= -0.9
+            # file lengths trimmed per episode (no shared pad tail)
+            assert abs(samples.shape[1] - int(round(44100 * secs))) < 200
