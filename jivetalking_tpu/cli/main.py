@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu-devices", type=int, default=1, metavar="N",
                    help="with --platform cpu: number of virtual CPU devices "
                         "(N>1 exercises the mesh/sharded paths)")
+    p.add_argument("--batch-master", action="store_true",
+                   help="master ALL files through one batched device program "
+                        "(the back-catalogue sweep: pass 2-4 vmapped over a "
+                        "dp-sharded episode batch; same rate required)")
     p.add_argument("--resume", action="store_true",
                    help="skip files whose processed output already exists "
                         "(pass-boundary resume for batch runs)")
@@ -142,6 +146,24 @@ def main(argv: list[str] | None = None) -> int:
         profile_ctx.__enter__()
 
     try:
+        if args.batch_master and not args.analyse:
+            # back-catalogue sweep: one batched device program masters every
+            # episode (parallel/batch.process_back_catalogue; dp-sharded
+            # over whatever mesh the platform offers)
+            import jax
+
+            from ..parallel.batch import make_mesh, process_back_catalogue
+
+            mesh = make_mesh() if len(jax.devices()) > 1 else None
+            try:
+                results = process_back_catalogue(args.files, mesh=mesh)
+            except Exception as e:
+                print_error(f"batch master failed: {e}")
+                return 1
+            for r in results:
+                print(f"✓ {r['path']} -> {os.path.basename(r['output_path'])}  "
+                      f"{r['output_lufs']:.1f} LUFS / {r['output_tp_db']:.1f} dBTP")
+            return 0
         if use_tty:
             # live ANSI view (the reference's Bubble Tea models; TTY only —
             # the -a mode gets the AnalysisModel equivalent)

@@ -322,6 +322,12 @@ def process_back_catalogue(
     out_rate = cfgs[0].resample.sample_rate or 44100
 
     batch, lengths = pad_to_batch(pcms)
+    if mesh is not None and len(paths) % mesh.devices.size != 0:
+        # dp sharding needs the batch divisible by the mesh; shrink to the
+        # largest divisor (1 -> single-device)
+        d = max(k for k in range(1, mesh.devices.size + 1)
+                if len(paths) % k == 0)
+        mesh = make_mesh(d) if d > 1 else None
     z, metrics = batched_master(batch, sr, cfgs, measures,
                                 out_rate=out_rate, mesh=mesh)
 

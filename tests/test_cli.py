@@ -221,3 +221,26 @@ class TestStereoFlacEndToEnd:
         res = measure_loudness(samples[0], meta.sample_rate)
         assert abs(res.integrated_lufs - (-16.0)) <= 1.0
         assert res.true_peak_db <= -1.0 + 0.1
+
+
+class TestBatchMasterCLI:
+    def test_batch_master_flag(self, tmp_path, capsys):
+        from jivetalking_tpu.cli.main import main
+        from jivetalking_tpu.io.flac import write_flac
+        from tests.test_parallel_master import _speechlike
+
+        sr = 8000
+        paths = []
+        for i in range(2):
+            x = _speechlike(int(4.0 * sr), sr, seed=70 + i)
+            xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+            p = str(tmp_path / f"b{i}.flac")
+            write_flac(p, xi, sr)
+            paths.append(p)
+
+        rc = main(["--batch-master", *paths])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert out.count("\u2713") == 2
+        assert (tmp_path / "b0-LUFS-16-processed.flac").exists()
+        assert (tmp_path / "b1-LUFS-16-processed.flac").exists()
