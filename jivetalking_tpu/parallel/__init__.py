@@ -7,7 +7,13 @@ from .batch import (
     batched_master,
     make_mesh,
     pad_to_batch,
+    process_back_catalogue,
     process_files_data_parallel,
+)
+from .master import (
+    sharded_master_stage_a,
+    sharded_master_stage_b,
+    sharded_resample,
 )
 from .sequence import (
     sharded_fir,
@@ -21,7 +27,11 @@ __all__ = [
     "batched_master",
     "make_mesh",
     "pad_to_batch",
+    "process_back_catalogue",
     "process_files_data_parallel",
+    "sharded_master_stage_a",
+    "sharded_master_stage_b",
+    "sharded_resample",
     "sharded_fir",
     "sharded_gated_loudness",
     "sharded_linear_recurrence",
