@@ -161,9 +161,14 @@ def main(argv: list[str] | None = None) -> int:
                 print_error(f"batch master failed: {e}")
                 return 1
             for r in results:
-                print(f"✓ {r['path']} -> {os.path.basename(r['output_path'])}  "
-                      f"{r['output_lufs']:.1f} LUFS / {r['output_tp_db']:.1f} dBTP")
-            return 0
+                if "error" in r:
+                    print_error(f"✗ {r['path']}: {r['error']}")
+                else:
+                    print(f"✓ {r['path']} -> "
+                          f"{os.path.basename(r['output_path'])}  "
+                          f"{r['output_lufs']:.1f} LUFS / "
+                          f"{r['output_tp_db']:.1f} dBTP")
+            return 1 if any("error" in r for r in results) else 0
         if use_tty:
             # live ANSI view (the reference's Bubble Tea models; TTY only —
             # the -a mode gets the AnalysisModel equivalent)

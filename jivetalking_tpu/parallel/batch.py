@@ -304,17 +304,25 @@ def process_back_catalogue(
     from ..report.paths import output_audio_path
 
     base = base_config or default_filter_config()
-    pcms, metas, cfgs, measures = [], [], [], []
+    pcms, metas, cfgs, measures, ok_paths, failures = [], [], [], [], [], []
     for p in paths:
-        samples, meta = open_audio_file(p, raw_int16=True)
-        m = analyse_audio(samples, meta.sample_rate,
-                          target_i=base.loudnorm.target_i)
-        eff, _diag = adapt_config(base, m)
-        eff.resample.enabled = True
+        try:
+            samples, meta = open_audio_file(p, raw_int16=True)
+            m = analyse_audio(samples, meta.sample_rate,
+                              target_i=base.loudnorm.target_i)
+            eff, _diag = adapt_config(base, m)
+            eff.resample.enabled = True
+        except Exception as e:  # per-file isolation (ref: pool.go:210-216)
+            failures.append({"path": p, "error": str(e)})
+            continue
         pcms.append(np.asarray(m.device_pcm))
         metas.append(meta)
         cfgs.append(eff)
         measures.append(m)
+        ok_paths.append(p)
+    paths = ok_paths
+    if not paths:
+        return failures
     rates = {meta.sample_rate for meta in metas}
     if len(rates) != 1:
         raise ValueError(f"back-catalogue batch needs one sample rate, got {rates}")
@@ -351,4 +359,4 @@ def process_back_catalogue(
             "effective_target_i": float(metrics["effective_i"][i]),
             "offset_db": float(metrics["offset_db"][i]),
         })
-    return results
+    return results + failures

@@ -244,3 +244,22 @@ class TestBatchMasterCLI:
         assert out.count("\u2713") == 2
         assert (tmp_path / "b0-LUFS-16-processed.flac").exists()
         assert (tmp_path / "b1-LUFS-16-processed.flac").exists()
+
+    def test_batch_master_isolates_bad_file(self, tmp_path, capsys):
+        from jivetalking_tpu.cli.main import main
+        from jivetalking_tpu.io.flac import write_flac
+        from tests.test_parallel_master import _speechlike
+
+        sr = 8000
+        x = _speechlike(int(4.0 * sr), sr, seed=72)
+        xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+        good = str(tmp_path / "good.flac")
+        write_flac(good, xi, sr)
+        bad = str(tmp_path / "bad.flac")
+        with open(bad, "wb") as f:
+            f.write(b"not a flac stream at all")
+
+        rc = main(["--batch-master", good, bad])
+        assert rc == 1                       # a failure is reported...
+        assert (tmp_path / "good-LUFS-16-processed.flac").exists()  # ...but the good file masters
+        err = capsys.readouterr().err + capsys.readouterr().out
