@@ -246,3 +246,50 @@ class TestGoldenRefinementBounds:
             Region(start=0.0, end=30.0), iv, 10.0, 8.0,
             score_interval_window_rms, lambda a, b: a < b)
         assert not refined
+
+
+class TestIsSpeechIntervalVectors:
+    """ref: TestIsSpeechInterval, analyser_vad_test.go:518-545 — speech =
+    above the split AND inside the voice band AND low entropy."""
+
+    SPLIT = -30.0
+
+    @pytest.mark.parametrize("name,level,centroid,entropy,want", [
+        ("above split, in band, low entropy", -20.0, 2000.0, 0.4, True),
+        ("above split, out-of-band centroid", -20.0, 8000.0, 0.4, False),
+        ("above split, high entropy", -20.0, 2000.0, 0.9, False),
+        ("below split, otherwise speech-like", -40.0, 2000.0, 0.4, False),
+    ])
+    def test_table(self, name, level, centroid, entropy, want):
+        from jivetalking_tpu.analysis.vad import (
+            interval_levels,
+            is_floored,
+            passes_spectral_veto,
+        )
+
+        iv = build_intervals(np.asarray([level]), centroid=centroid,
+                             entropy=entropy)
+        lv = interval_levels(iv, "momentary")
+        speech = bool(
+            (~is_floored(lv))[0] and lv[0] >= self.SPLIT
+            and passes_spectral_veto(iv)[0]
+        )
+        assert speech is want, name
+
+
+class TestHysteresisMarginScaling:
+    """ref: TestHysteresisMargin, analyser_vad_test.go:733-749 — the margin
+    is positive and grows with the mode separation."""
+
+    def test_scales_with_separation(self):
+        from jivetalking_tpu.analysis.vad import hysteresis_margin
+
+        near = build_intervals(np.concatenate(
+            [np.full(40, -40.0), np.full(40, -30.0)]))
+        far = build_intervals(np.concatenate(
+            [np.full(40, -50.0), np.full(40, -10.0)]))
+        split = -30.0
+        m_near = hysteresis_margin(near.momentary_lufs, split)
+        m_far = hysteresis_margin(far.momentary_lufs, split)
+        assert m_near > 0 and m_far > 0
+        assert m_far > m_near
