@@ -331,3 +331,33 @@ class TestSingleChunkDegenerate:
         assert float(np.mean(d <= 1)) > 0.999
         assert float(fm_c["final"]["integrated"]) == pytest.approx(
             float(fm_w["final"]["integrated"]), abs=0.02)
+
+
+class TestReaderAnalysisStereo:
+    def test_stereo_reader_matches_stereo_array(self, tmp_path):
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.io.flac import FlacStreamReader, write_flac
+        from jivetalking_tpu.pipeline.fused_chunked import (
+            fused_analysis_from_reader,
+            fused_analysis_streamed,
+        )
+
+        sr = 8000
+        n = 2 * 26624 + 777
+        left = _speechlike(n, sr, seed=91)
+        right = 0.7 * _speechlike(n, sr, seed=92)
+        x = np.stack([left, right])
+        xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+        p = str(tmp_path / "st.flac")
+        write_flac(p, xi, sr)
+
+        with FlacStreamReader(p) as r:
+            assert r.channels == 2
+            mono_r, out_r = fused_analysis_from_reader(r, sr, chunk_secs=3.0)
+        mono_a, out_a = fused_analysis_streamed(xi, sr, chunk_secs=3.0)
+
+        np.testing.assert_allclose(np.asarray(mono_r), np.asarray(mono_a),
+                                   atol=1e-7)
+        assert float(out_r["loudness"]["integrated"]) == pytest.approx(
+            float(out_a["loudness"]["integrated"]), abs=1e-3)
