@@ -30,7 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
             "Master raw podcast voice recordings to -16 LUFS / -1 dBTP with "
             "per-file adaptive filter tuning, on TPU."
         ),
+        add_help=False,  # the styled renderer owns -h (ref: StyledHelpPrinter)
     )
+    p.add_argument("-h", "--help", action="store_true",
+                   help="show context-sensitive help")
     p.add_argument("-v", "--version", action="store_true", help="print version and exit")
     p.add_argument("-d", "--debug", action="store_true",
                    help="write a serialised jivetalking-debug.log")
@@ -60,15 +63,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
 
+    if args.help:
+        from .styles import print_help
+
+        print_help(parser)
+        return 0
     if args.version:
         from .styles import print_version
 
         print_version(__version__)
         return 0
     if not args.files:
-        build_parser().print_help()
+        from .styles import print_help
+
+        print_help(parser)
         return 2
 
     from .styles import print_error, print_warning

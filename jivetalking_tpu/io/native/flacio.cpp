@@ -878,6 +878,7 @@ struct FlacStream {
   size_t pending_pos = 0;        // in int32 units
   long decoded = 0;              // per-channel samples handed out
   bool done = false;
+  bool error = false;            // mid-stream frame decode failure
 };
 
 // Open for streaming; fills the stream parameters.  NULL on failure.
@@ -906,6 +907,11 @@ void* flac_open_stream(const char* path, int* channels, int* sample_rate,
 long flac_read_stream(void* handle, int32_t* out, long max_samples) {
   FlacStream* s = (FlacStream*)handle;
   if (!s || max_samples <= 0) return -1;
+  // a mid-stream frame error is NOT a clean EOF: earlier reads may have
+  // returned the frames before the damage (a short read), but every read
+  // after the error must fail so the caller reports the file instead of
+  // silently mastering the claimed duration with the remainder as silence
+  if (s->error) return -1;
   const int nch = s->info.channels;
   long written = 0;  // per-channel samples
 
@@ -937,6 +943,7 @@ long flac_read_stream(void* handle, int32_t* out, long max_samples) {
     if (blocksize == 0) { s->done = true; break; }
     if (blocksize < 0) {
       s->done = true;
+      s->error = true;           // the NEXT read returns -1 (see above)
       if (written == 0) return -1;
       break;
     }

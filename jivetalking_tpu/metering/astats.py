@@ -23,6 +23,29 @@ import numpy as np
 
 WINDOW_SECS = 0.05  # astats `length` default
 _ENTROPY_BINS = 8192
+_ENT_HI = 128
+_ENT_LO = _ENTROPY_BINS // _ENT_HI  # 64
+
+
+def histogram_8192(idx: jnp.ndarray) -> jnp.ndarray:
+    """8192-bin histogram of int32 bin indices in [0, 8192] (index == 8192
+    counts nowhere — the chunked paths use it as a padding sentinel).
+
+    Scatter-free AND sort-free: factor idx = hi*64 + lo and contract two
+    one-hot int8 operands on the MXU — counts[h, l] = sum_t 1[hi_t = h] *
+    1[lo_t = l].  The previous full-signal `lax.sort` + searchsorted was
+    ~90 ms of stage-A device time on a 300 s file (profiled 2026-08-17);
+    the one-hot contraction is ~n*(128+64) bytes of int8 operand traffic
+    plus a trivial integer matmul, and the counts are exact in int32."""
+    hi = (idx >> 6).astype(jnp.int32)
+    lo = (idx & 63).astype(jnp.int32)
+    oh_hi = (hi[:, None] == jnp.arange(_ENT_HI, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+    oh_lo = (lo[:, None] == jnp.arange(_ENT_LO, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+    counts = jax.lax.dot_general(
+        oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return counts.reshape(-1)
 
 
 @dataclass
@@ -129,15 +152,11 @@ def _astats_core(x: jnp.ndarray, w: int):
     min_runs = jnp.sum(at_min[1:] & ~at_min[:-1]) + at_min[0]
     max_runs = jnp.sum(at_max[1:] & ~at_max[:-1]) + at_max[0]
 
-    # entropy over an 8192-bin sample-value histogram, log2-normalised.
-    # The histogram is built scatter-free (TPU scatters serialise): sort the
-    # bin indices once, then per-bin counts are adjacent differences of
-    # searchsorted edge positions.
+    # entropy over an 8192-bin sample-value histogram, log2-normalised
+    # (scatter-free AND sort-free: one-hot int8 MXU contraction)
     bins = _ENTROPY_BINS
     idx = jnp.clip(((x + 1.0) * (bins / 2.0)).astype(jnp.int32), 0, bins - 1)
-    sorted_idx = jax.lax.sort(idx)
-    edges = jnp.searchsorted(sorted_idx, jnp.arange(bins + 1, dtype=jnp.int32))
-    p = jnp.diff(edges).astype(jnp.float32) / nf
+    p = histogram_8192(idx).astype(jnp.float32) / nf
     ent = -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0)) / math.log2(bins)
 
     # windowed stats

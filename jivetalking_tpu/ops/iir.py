@@ -122,6 +122,21 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def chain_ir_len(hp_hz: float, sample_rate: float) -> int:
+    """Truncation length for the HP+LP cleanup-chain impulse response.
+
+    The slow pole is the rumble high-pass (Q = 0.707): its envelope decays
+    one e-fold every Q*sr/(pi*f0) samples, so 13.8 e-folds (amplitude 1e-6,
+    ~-120 dB — below the conv's own f32 round-off) needs
+    13.8*0.707*sr/(pi*f0) ≈ 3.105*sr/f0 samples.  At the default 80 Hz /
+    48 kHz that is 1863 -> 2048 taps; the previous fixed 8192 made the
+    HIGHEST-precision banded conv 3x more expensive than needed (the
+    dominant stage-A conv, profiled 2026-08-17).  Clamped to [1024, 8192]
+    so halo geometry and program metas stay bounded."""
+    need = int(math.ceil(3.105 * sample_rate / max(hp_hz, 1.0)))
+    return min(8192, max(1024, _next_pow2(need)))
+
+
 @functools.partial(jax.jit, static_argnames=("block", "ir_len", "out_len"))
 def _overlap_save(x_padded: jnp.ndarray, ir_fft: jnp.ndarray, block: int, ir_len: int, out_len: int) -> jnp.ndarray:
     """Overlap-save convolution.  x_padded: (n_blocks*hop + ir_len - 1,) with

@@ -64,23 +64,26 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
     sums = jax.lax.dot_general(
         frames, band,
         dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # DEFAULT (single-pass bf16): this sum only feeds the similarity
-        # weights exp(-dist/h^2), not the delivery audio — the weighted
-        # average over `mid` below stays exact f32 vector work.  The NLM
-        # block scan was HALF of stage A's device time at HIGH (3-pass);
-        # bf16's ~0.4% distance error moves near-transparent NLM weights
-        # imperceptibly (profiled 2026-08-17, while.36 350 ms -> MXU 1-pass).
+        # bf16 in AND out: this sum only feeds the similarity weights
+        # exp(-dist/h^2), not the delivery audio — the weighted average
+        # over `mid` below stays exact f32 vector work.  The NLM block
+        # scan was HALF of stage A's device time at HIGH (3-pass); bf16's
+        # ~0.4% distance error moves near-transparent NLM weights
+        # imperceptibly (profiled 2026-08-17, while.36 350 ms -> MXU
+        # 1-pass).  The bf16 OUTPUT halves the (n_offsets, block) reshape
+        # traffic that followed the conv (1.15 ms/block of pure data
+        # formatting in the trace); the distances re-enter f32 at the exp.
+        preferred_element_type=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
     )
-    return sums.reshape(*lead, n_frames * w)[..., :n_out]
+    return sums.reshape(*lead, n_frames * w)[..., :n_out].astype(jnp.float32)
 
 
-# 512k blocks: the body's work per block (~n_offsets * block vector ops) is
+# 2M blocks: the body's work per block (~n_offsets * block vector ops) is
 # large enough to amortise the ~1 ms/iteration TPU while-loop dispatch
-# overhead (28 iterations for an hour-scale file instead of 220+), while the
-# (n_offsets, block + 2P) intermediates stay ~200 MB — comfortably in HBM.
-_NLM_BLOCK = 524288
+# overhead (7 iterations for a 5-min file, 28 for 45 min), while the
+# (n_offsets, block + 2P) intermediates stay ~800 MB — comfortably in HBM.
+_NLM_BLOCK = 2097152
 
 
 def _nlm_core(
@@ -89,7 +92,7 @@ def _nlm_core(
     patch_radius: int,
     research_radius: int,
 ) -> jnp.ndarray:
-    """`lax.scan` over 64k time blocks; within a block ALL research offsets
+    """`lax.scan` over 2M time blocks; within a block ALL research offsets
     are static slices of one halo'd window, so each block is one pass of
     batched (n_offsets, block) vector work.
 

@@ -72,6 +72,61 @@ def noise_magnitude_model(
     return mag.astype(np.float32)
 
 
+def noise_profile_ingraph(nf_db, band_shape_db, sr: int, win: int) -> jnp.ndarray:
+    """Per-bin noise magnitude from a (possibly TRACED) floor + 15-band
+    shape — the in-graph twin of `noise_magnitude_model` (the fused
+    programs carry nf/shape as per-file traced params so electing a new
+    noise profile never recompiles).  Same calibration maths."""
+    n_bins = win // 2 + 1
+    rms = 10.0 ** (nf_db / 20.0)
+    w2 = float(np.sum(_hann(win) ** 2))
+    bin_mag = rms * jnp.sqrt(w2) / win
+    freqs = jnp.arange(n_bins) * (sr / win)
+    logf = jnp.log(jnp.maximum(freqs, 1.0))
+    centres = jnp.log(jnp.asarray(AFFTDN_BAND_CENTRES_HZ))
+    shape_db = jnp.interp(logf, centres, band_shape_db)
+    return bin_mag * 10.0 ** (shape_db / 20.0)
+
+
+def wiener_gain(mag: jnp.ndarray, noise: jnp.ndarray, nr_db=12.0) -> jnp.ndarray:
+    """THE afftdn gain law: Wiener-style gain floored at -nr dB, then
+    2-frame temporal + 3-bin spectral smoothing against musical noise.
+    Single definition shared by this op, the fused master, the chunked
+    master, and the sequence-parallel master — a constant tweaked here
+    changes all four together (they restated it before; VERDICT r2 #3).
+    `mag` is (n_frames, n_bins) frame magnitudes; `noise` is (n_bins,)
+    model magnitudes; `nr_db` may be a python float or a traced scalar."""
+    floor_gain = 10.0 ** (-nr_db / 20.0)
+    snr2 = (mag / jnp.maximum(noise[None, :], 1e-12)) ** 2
+    gain = jnp.maximum(floor_gain, 1.0 - 1.0 / jnp.maximum(snr2, 1e-6))
+    prev = jnp.concatenate([gain[:1], gain[:-1]], axis=0)
+    gain = 0.5 * (gain + prev)
+    left = jnp.concatenate([gain[:, :1], gain[:, :-1]], axis=1)
+    right = jnp.concatenate([gain[:, 1:], gain[:, -1:]], axis=1)
+    return 0.25 * left + 0.5 * gain + 0.25 * right
+
+
+def afftdn_ext(y_ext: jnp.ndarray, n_frames: int, noise: jnp.ndarray,
+               win: int, hop: int, nr_db=12.0) -> jnp.ndarray:
+    """STFT -> `wiener_gain` -> normalised overlap-add over an extended /
+    padded 1-D signal; returns the full ext-length result (callers slice
+    their region of interest).  The single framing+gain+OLA body behind
+    every afftdn call site."""
+    n_ext = int(y_ext.shape[0])
+    window = jnp.asarray(_hann(win), dtype=jnp.float32)
+    frames = frame_signal(y_ext, n_frames, win, hop) * window[None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)
+    mag = jnp.abs(spec) / win
+    gain = wiener_gain(mag, noise, nr_db)
+    out_frames = jnp.fft.irfft(spec * gain, n=win, axis=-1) * window[None, :]
+    ola = overlap_add(out_frames, n_frames, win, hop, n_ext)
+    norm = overlap_add(
+        jnp.broadcast_to(window * window, (n_frames, win)), n_frames, win,
+        hop, n_ext,
+    )
+    return ola / jnp.maximum(norm, 1e-6)
+
+
 @functools.partial(jax.jit, static_argnames=("n_frames", "win", "hop", "nr_db", "track_noise", "out_len"))
 def _spectral_gate_impl(
     x_padded: jnp.ndarray,
@@ -83,41 +138,17 @@ def _spectral_gate_impl(
     track_noise: bool,
     out_len: int,
 ) -> jnp.ndarray:
-    window = jnp.asarray(_hann(win), dtype=jnp.float32)
-    frames = frame_signal(x_padded, n_frames, win, hop) * window[None, :]
-    spec = jnp.fft.rfft(frames, axis=-1)
-    mag = jnp.abs(spec) / win
-
     if track_noise:
         # minimum-statistics estimate: per-bin median magnitude scaled to sit
         # at the Rayleigh mean (median of |X| for white noise = 1.18 sigma;
         # x1.5 places the model just above the bulk of noise-only bins)
+        window = jnp.asarray(_hann(win), dtype=jnp.float32)
+        frames = frame_signal(x_padded, n_frames, win, hop) * window[None, :]
+        mag = jnp.abs(jnp.fft.rfft(frames, axis=-1)) / win
         noise = jnp.percentile(mag, 50.0, axis=0) * 1.5
     else:
         noise = noise_mag
-
-    floor_gain = 10.0 ** (-nr_db / 20.0)
-    snr2 = (mag / jnp.maximum(noise[None, :], 1e-12)) ** 2
-    gain = jnp.maximum(floor_gain, 1.0 - 1.0 / jnp.maximum(snr2, 1e-6))
-
-    # temporal smoothing (2-frame) then spectral smoothing (3-bin) against
-    # musical noise
-    prev = jnp.concatenate([gain[:1], gain[:-1]], axis=0)
-    gain = 0.5 * (gain + prev)
-    left = jnp.concatenate([gain[:, :1], gain[:, :-1]], axis=1)
-    right = jnp.concatenate([gain[:, 1:], gain[:, -1:]], axis=1)
-    gain = 0.25 * left + 0.5 * gain + 0.25 * right
-
-    out_spec = spec * gain
-    out_frames = jnp.fft.irfft(out_spec, n=win, axis=-1) * window[None, :]
-
-    # overlap-add with window-power normalisation (scatter-free phase OLA)
-    total = x_padded.shape[0]
-    out = overlap_add(out_frames, n_frames, win, hop, total)
-    norm = overlap_add(
-        jnp.broadcast_to(window * window, (n_frames, win)), n_frames, win, hop, total
-    )
-    out = out / jnp.maximum(norm, 1e-6)
+    out = afftdn_ext(x_padded, n_frames, noise, win, hop, nr_db)
     return out[win : win + out_len]
 
 

@@ -178,7 +178,8 @@ def _batched_master_impl(
 
     def one_file(xi, gt, gr, grange, ct, di, nf, shape, nb, sb):
         prefixed, offset_db, ma = _master_stage_a_tree(
-            xi, gt, gr, grange, ct, di, nf, shape, target_i, ttp_lin,
+            xi, gt, gr, grange, ct, di, nf, jnp.float32(12.0), shape,
+            target_i, ttp_lin,
             nb, sb, chain_ir, kw_ir, tp_bank, deess_k,
             sr=sr, nlm_enabled=True, afftdn_enabled=True,
         )

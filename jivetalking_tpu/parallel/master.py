@@ -44,9 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.dynamics import compressor_gain, envelope_coeff, gate_gain
-from ..ops.framing import frame_signal, overlap_add
 from ..ops.limiter import _EPS, _LOG_FLOOR, _sliding_min_lookahead
-from ..ops.spectral_gate import _hann
+from ..ops.spectral_gate import afftdn_ext, noise_profile_ingraph
 from ..pipeline.fused import (
     _fft_convolve_full,
     _loudness_from_bp,
@@ -54,9 +53,8 @@ from ..pipeline.fused import (
 )
 from ..pipeline.normalise import (
     BRICKWALL_TRUE_PEAK_HEADROOM_DB,
-    LINEAR_SAFETY_MARGIN,
-    MEASUREMENT_CUSHION_DB,
-    MIN_LIMITER_CEILING_DB,
+    limiter_plan_scalars,
+    linear_mode_scalars,
 )
 from ..utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ
 from .sequence import sharded_linear_recurrence, sharded_maxplus_prefix
@@ -210,16 +208,16 @@ def sharded_nlm(x: jnp.ndarray, h2, patch_radius: int, research_radius: int,
 
 
 def sharded_afftdn(y: jnp.ndarray, nf_db, band_shape_db, sr: int,
-                   axis_name: str) -> jnp.ndarray:
+                   axis_name: str, nr_db=12.0) -> jnp.ndarray:
     """Sequence-parallel afftdn spectral gate, frame-grid aligned with the
     whole-file program: a `win` halo on each side covers every frame that
     overlaps the local span plus the previous frame of the temporal gain
     smoothing.  Exact (not approximate) vs the single-device kernel when
-    n_local % hop == 0."""
+    n_local % hop == 0.  Noise model + gain law are the shared
+    ops/spectral_gate definitions (one law, four call sites)."""
     win, hop = 1024, 256
     n_local = int(y.shape[-1])
     assert n_local % hop == 0, "sp shard length must be a multiple of the hop"
-    window = jnp.asarray(_hann(win), dtype=jnp.float32)
 
     ext = jnp.concatenate(
         [_halo_left(y, win, axis_name), y, _halo_right(y, win, axis_name)], axis=-1
@@ -228,44 +226,18 @@ def sharded_afftdn(y: jnp.ndarray, nf_db, band_shape_db, sr: int,
     n_frames = (n_ext - win) // hop + 1
 
     nf_rows = jnp.broadcast_to(jnp.asarray(nf_db, jnp.float32), (ext.shape[0],))
+    nr_rows = jnp.broadcast_to(jnp.asarray(nr_db, jnp.float32), (ext.shape[0],))
     shape_rows = jnp.broadcast_to(
         jnp.asarray(band_shape_db, jnp.float32),
         (ext.shape[0], len(AFFTDN_BAND_CENTRES_HZ)),
     )
 
-    def one_row(row, nf_db, band_shape_db):
-        frames = frame_signal(row, n_frames, win, hop) * window[None, :]
-        spec = jnp.fft.rfft(frames, axis=-1)
-        mag = jnp.abs(spec) / win
+    def one_row(row, nf_db, nr_db, band_shape_db):
+        noise = noise_profile_ingraph(nf_db, band_shape_db, sr, win)
+        out = afftdn_ext(row, n_frames, noise, win, hop, nr_db)
+        return out[win : win + n_local]
 
-        n_bins = win // 2 + 1
-        rms = 10.0 ** (nf_db / 20.0)
-        w2 = float(np.sum(_hann(win) ** 2))
-        bin_mag = rms * jnp.sqrt(w2) / win
-        freqs = jnp.arange(n_bins) * (sr / win)
-        logf = jnp.log(jnp.maximum(freqs, 1.0))
-        centres = jnp.log(jnp.asarray(AFFTDN_BAND_CENTRES_HZ))
-        shape_db = jnp.interp(logf, centres, band_shape_db)
-        noise = bin_mag * 10.0 ** (shape_db / 20.0)
-
-        floor_gain = 10.0 ** (-12.0 / 20.0)
-        snr2 = (mag / jnp.maximum(noise[None, :], 1e-12)) ** 2
-        gain = jnp.maximum(floor_gain, 1.0 - 1.0 / jnp.maximum(snr2, 1e-6))
-        prev = jnp.concatenate([gain[:1], gain[:-1]], axis=0)
-        gain = 0.5 * (gain + prev)
-        left = jnp.concatenate([gain[:, :1], gain[:, :-1]], axis=1)
-        right = jnp.concatenate([gain[:, 1:], gain[:, -1:]], axis=1)
-        gain = 0.25 * left + 0.5 * gain + 0.25 * right
-
-        out_frames = jnp.fft.irfft(spec * gain, n=win, axis=-1) * window[None, :]
-        ola = overlap_add(out_frames, n_frames, win, hop, n_ext)
-        norm = overlap_add(
-            jnp.broadcast_to(window * window, (n_frames, win)), n_frames, win,
-            hop, n_ext,
-        )
-        return (ola / jnp.maximum(norm, 1e-6))[win : win + n_local]
-
-    return jax.vmap(one_row)(ext, nf_rows, shape_rows)
+    return jax.vmap(one_row)(ext, nf_rows, nr_rows, shape_rows)
 
 
 def sharded_declick(z: jnp.ndarray, sr: int, axis_name: str) -> jnp.ndarray:
@@ -391,16 +363,12 @@ def sharded_master_stage_a(
     measured_tp_db = 20.0 * jnp.log10(jnp.maximum(loud_f["true_peak"], 1e-12))
     target_tp_db = 20.0 * jnp.log10(jnp.maximum(target_tp_lin, 1e-12))
 
-    gain_required = target_i - measured_i
-    projected_tp = measured_tp_db + gain_required
-    needed = projected_tp > target_tp_db
-    ceiling_raw = target_tp_db - gain_required
-    clamped = ceiling_raw < MIN_LIMITER_CEILING_DB
-    pre_gain_db = jnp.where(clamped, MIN_LIMITER_CEILING_DB - ceiling_raw, 0.0)
-    post_i = measured_i + pre_gain_db
-    re_derived = target_tp_db - (target_i - post_i)
-    ceiling_db = jnp.where(clamped, re_derived,
-                           jnp.maximum(ceiling_raw, MIN_LIMITER_CEILING_DB))
+    # the shared scalar law from pipeline.normalise (traced, per-file rows)
+    splan = limiter_plan_scalars(measured_i, measured_tp_db, target_i,
+                                 target_tp_db, xp=jnp)
+    needed, clamped = splan["needed"], splan["clamped"]
+    pre_gain_db, ceiling_db = splan["pre_gain_db"], splan["ceiling_db"]
+    gain_required = splan["gain_db"]
 
     bshape = (-1,) + (1,) * (y.ndim - 1)
     pre = y * jnp.reshape(jnp.where(needed, 10.0 ** (pre_gain_db / 20.0), 1.0), bshape)
@@ -412,10 +380,7 @@ def sharded_master_stage_a(
     loud_m = sharded_loudness(prefixed, kw_ir, tp_bank, sr, axis_name)
     m_i = loud_m["integrated"]
     m_tp_db = 20.0 * jnp.log10(jnp.maximum(loud_m["true_peak"], 1e-12))
-    internal_tp = m_tp_db + (target_i - m_i) + LINEAR_SAFETY_MARGIN + MEASUREMENT_CUSHION_DB
-    max_linear_i = internal_tp - m_tp_db + m_i - LINEAR_SAFETY_MARGIN
-    effective_i = jnp.minimum(target_i, max_linear_i)
-    offset_db = effective_i - m_i
+    _, effective_i, offset_db = linear_mode_scalars(m_i, m_tp_db, target_i, xp=jnp)
 
     plan = {
         "needed": needed,

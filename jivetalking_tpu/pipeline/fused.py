@@ -53,17 +53,21 @@ from ..ops.dynamics import (
     envelope_coeff,
     gate_gain,
 )
-from ..ops.framing import frame_signal, overlap_add
-from ..ops.iir import cascade, design_highpass, design_lowpass, sos_impulse_response
+from ..ops.iir import (
+    cascade,
+    chain_ir_len,
+    design_highpass,
+    design_lowpass,
+    sos_impulse_response,
+)
 from ..ops.limiter import limiter_core
 from ..ops.nlm import _nlm_core
-from ..ops.spectral_gate import _hann
+from ..ops.spectral_gate import afftdn_ext, noise_profile_ingraph
 from ..utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ, afftdn_band_edges_hz
 from .normalise import (
     BRICKWALL_TRUE_PEAK_HEADROOM_DB,
-    LINEAR_SAFETY_MARGIN,
-    MEASUREMENT_CUSHION_DB,
-    MIN_LIMITER_CEILING_DB,
+    limiter_plan_scalars,
+    linear_mode_scalars,
 )
 
 _LOG_FLOOR = 1e-15
@@ -93,8 +97,9 @@ def _fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray, n: int,
     matrix on the MXU: a single ~16M-point f32 FFT lowers poorly on the TPU
     (multi-stage transposed 2D FFTs; measured ~2x slower than the banded
     matmul and with ~1e-4 spectral round-off the exact direct sums avoid).
-    The band is gathered from `ir` inside the graph, so no multi-MB kernel
-    constant is baked into the executable.
+    The band is built from `ir` inside the graph gather-free (`_conv_band`
+    tile trick), so no multi-MB kernel constant is baked into the
+    executable and no slow TPU gather runs per call.
 
     `precision`: HIGH (3-pass bf16, ~1.3e-5) for metering-only convs;
     audio-path applications (the cleanup-chain IR, the de-esser split)
@@ -114,14 +119,40 @@ def _fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray, n: int,
     f = jnp.concatenate([blocks[j : j + m] for j in range(nb + 1)], axis=1)
     W = S + K - 1
     frames = f[:, (nb + 1) * S - W :]      # frame b = x[b*S - (K-1), b*S + S)
-    # band[j, i] = ir[i + K - 1 - j] where defined: y[b*S+i] = frames[b] @ band[:, i]
-    idx = jnp.arange(S)[None, :] + (K - 1) - jnp.arange(W)[:, None]
-    band = jnp.where((idx >= 0) & (idx < K),
-                     ir[jnp.clip(idx, 0, K - 1)], 0.0).astype(jnp.float32)
+    band = _conv_band(ir, K, S)
     y = jax.lax.dot_general(frames, band, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=precision)
     return y.reshape(-1)[:n]
+
+
+def _conv_band(ir: jnp.ndarray, K: int, S: int) -> jnp.ndarray:
+    """(S+K-1, S) banded kernel matrix band[j, i] = ir[i + K - 1 - j]
+    (zero outside [0, K)), built WITHOUT a gather.
+
+    The rows of the band are stride-1 windows of the zero-padded IR, so
+    the whole matrix falls out of the classic Toeplitz tile-and-reshape
+    trick: tiling a length-(N+1) vector W times and reshaping to (W, N)
+    shifts each row right by one.  The previous `ir[jnp.clip(idx, ...)]`
+    formulation lowered to an s32[W*S] gather running at ~1.7 GB/s on the
+    TPU backend — 37 ms PER kw-conv CALL (band size is independent of the
+    signal), the single largest device term across the fused programs
+    (299 ms of the 346 ms analysis-chunk device time, profiled
+    2026-08-17).  The tile form is pure data movement, ~0.3 ms.
+
+    Derivation: with v = [zeros(S-1), ir, zeros(S-1)] (length N = W+S-1)
+    and r = [v, 0] (length N+1), element (j, m) of
+    tile(r, W)[:W*N].reshape(W, N) equals r[(m - j) mod (N+1)]; over the
+    column slice m = W-1+i (i in [0, S)) the offset m - j stays in
+    [0, N-1], so it reads v[W-1+i-j] = ir[(i + K - 1 - j) clipped to the
+    zero pads] with no wraparound ever reaching real IR values."""
+    W = S + K - 1
+    N = W + S - 1
+    v = jnp.concatenate(
+        [jnp.zeros(S - 1, ir.dtype), ir, jnp.zeros(S - 1, ir.dtype)])  # len N
+    r = jnp.concatenate([v, jnp.zeros(1, ir.dtype)])                   # len N+1
+    mat = jnp.tile(r, W)[: W * N].reshape(W, N)
+    return mat[:, W - 1 : W - 1 + S].astype(jnp.float32)
 
 
 def _tp_oversampled_max(x: jnp.ndarray, tp_bank: jnp.ndarray) -> jnp.ndarray:
@@ -308,6 +339,7 @@ def _master_stage_a_tree(
     comp_threshold_lin: jnp.ndarray,
     deess_intensity: jnp.ndarray,
     nf_db: jnp.ndarray,
+    nr_db: jnp.ndarray,              # afftdn noise-reduction depth (dB)
     band_shape_db: jnp.ndarray,      # (15,) dB offsets, zeros = white
     target_i: jnp.ndarray,
     target_tp_lin: jnp.ndarray,      # linear
@@ -337,44 +369,15 @@ def _master_stage_a_tree(
         h2 = jnp.float32(h * h / 3.0)
         y = _nlm_core(y, h2, patch_radius, research_radius)
 
-    # --- afftdn spectral gate (traced nf + band shape) ---
+    # --- afftdn spectral gate (traced nf/nr + band shape; the gain law and
+    # noise model live in ops/spectral_gate — one definition, four users) ---
     if afftdn_enabled:
         win, hop = 1024, 256
-        window = jnp.asarray(_hann(win), dtype=jnp.float32)
         n_frames = 1 + -(-(n + 2 * win - win) // hop)
         pad_total = win + n + 2 * win
         xp = jnp.zeros(pad_total, jnp.float32).at[win : win + n].set(y)
-        frames = frame_signal(xp, n_frames, win, hop) * window[None, :]
-        spec = jnp.fft.rfft(frames, axis=-1)
-        mag = jnp.abs(spec) / win
-
-        # in-graph noise model: white level from nf + log-f interpolated shape
-        n_bins = win // 2 + 1
-        rms = 10.0 ** (nf_db / 20.0)
-        w2 = float(np.sum(_hann(win) ** 2))
-        bin_mag = rms * jnp.sqrt(w2) / win
-        freqs = jnp.arange(n_bins) * (sr / win)
-        logf = jnp.log(jnp.maximum(freqs, 1.0))
-        centres = jnp.log(jnp.asarray(AFFTDN_BAND_CENTRES_HZ))
-        shape_db = jnp.interp(logf, centres, band_shape_db)
-        noise = bin_mag * 10.0 ** (shape_db / 20.0)
-
-        floor_gain = 10.0 ** (-12.0 / 20.0)
-        snr2 = (mag / jnp.maximum(noise[None, :], 1e-12)) ** 2
-        gain = jnp.maximum(floor_gain, 1.0 - 1.0 / jnp.maximum(snr2, 1e-6))
-        prev = jnp.concatenate([gain[:1], gain[:-1]], axis=0)
-        gain = 0.5 * (gain + prev)
-        left = jnp.concatenate([gain[:, :1], gain[:, :-1]], axis=1)
-        right = jnp.concatenate([gain[:, 1:], gain[:, -1:]], axis=1)
-        gain = 0.25 * left + 0.5 * gain + 0.25 * right
-
-        out_frames = jnp.fft.irfft(spec * gain, n=win, axis=-1) * window[None, :]
-        ola = overlap_add(out_frames, n_frames, win, hop, pad_total)
-        norm = overlap_add(
-            jnp.broadcast_to(window * window, (n_frames, win)),
-            n_frames, win, hop, pad_total,
-        )
-        y = (ola / jnp.maximum(norm, 1e-6))[win : win + n]
+        noise = noise_profile_ingraph(nf_db, band_shape_db, sr, win)
+        y = afftdn_ext(xp, n_frames, noise, win, hop, nr_db)[win : win + n]
 
     # --- speech gate (traced threshold/ratio/range) ---
     d = y * y
@@ -415,22 +418,16 @@ def _master_stage_a_tree(
                                              speech_bounds[0], speech_bounds[1],
                                              tp_bank)
 
-    # --- normalisation plan (in-graph scalar arithmetic, jnp.where) ---
+    # --- normalisation plan (the shared scalar law from pipeline.normalise;
+    # jnp.where in place of host branches) ---
     measured_i = loud_f["integrated"]
     measured_tp_db = 20.0 * jnp.log10(jnp.maximum(loud_f["true_peak"], 1e-12))
     target_tp_db = 20.0 * jnp.log10(jnp.maximum(target_tp_lin, 1e-12))
-
-    gain_required = target_i - measured_i
-    projected_tp = measured_tp_db + gain_required
-    needed = projected_tp > target_tp_db
-    ceiling_raw = target_tp_db - gain_required
-    ideal = ceiling_raw
-    clamped = ideal < MIN_LIMITER_CEILING_DB
-    pre_gain_db = jnp.where(clamped, MIN_LIMITER_CEILING_DB - ideal, 0.0)
-    post_i = measured_i + pre_gain_db
-    re_derived = target_tp_db - (target_i - post_i)
-    ceiling_db = jnp.where(clamped, re_derived,
-                           jnp.maximum(ceiling_raw, MIN_LIMITER_CEILING_DB))
+    plan = limiter_plan_scalars(measured_i, measured_tp_db, target_i,
+                                target_tp_db, xp=jnp)
+    needed, clamped = plan["needed"], plan["clamped"]
+    pre_gain_db, ceiling_db = plan["pre_gain_db"], plan["ceiling_db"]
+    gain_required = plan["gain_db"]
 
     # prefix: pre-gain + levelling limiter (5/100 ms); inert when not needed
     pre = y * jnp.where(needed, 10.0 ** (pre_gain_db / 20.0), 1.0)
@@ -443,10 +440,7 @@ def _master_stage_a_tree(
     loud_m = _loudness_ingraph(prefixed, kw_ir, tp_bank, sr)
     m_i = loud_m["integrated"]
     m_tp_db = 20.0 * jnp.log10(jnp.maximum(loud_m["true_peak"], 1e-12))
-    internal_tp = m_tp_db + (target_i - m_i) + LINEAR_SAFETY_MARGIN + MEASUREMENT_CUSHION_DB
-    max_linear_i = internal_tp - m_tp_db + m_i - LINEAR_SAFETY_MARGIN
-    effective_i = jnp.minimum(target_i, max_linear_i)
-    offset_db = effective_i - m_i
+    _, effective_i, offset_db = linear_mode_scalars(m_i, m_tp_db, target_i, xp=jnp)
 
     metrics = {
         "filtered": loud_f,
@@ -599,7 +593,7 @@ def _fused_master_a_packed(x, params, bounds, chain_ir, kw_ir, tp_bank,
     prefixed, offset_db, tree = _master_stage_a_tree(
         x,
         params[0], params[1], params[2], params[3], params[4], params[5],
-        params[8:23], params[6], params[7],
+        params[23], params[8:23], params[6], params[7],
         bounds[0:2], bounds[2:4],
         chain_ir, kw_ir, tp_bank, deess_k,
         sr=sr, nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled,
@@ -635,7 +629,7 @@ def _master_a_meta(n: int, sr: int, nlm_enabled: bool, afftdn_enabled: bool):
     i32 = jax.ShapeDtypeStruct((2,), jnp.int32)
     xs = jax.ShapeDtypeStruct((n,), jnp.float32)
     shape15 = jax.ShapeDtypeStruct((15,), jnp.float32)
-    chain_ir = jax.ShapeDtypeStruct((8192,), jnp.float32)
+    chain_ir = jax.ShapeDtypeStruct((chain_ir_len(80.0, sr),), jnp.float32)
     kw_ir = jax.ShapeDtypeStruct((4096,), jnp.float32)
     tp_bank = jax.ShapeDtypeStruct((4, 12), jnp.float32)
     deess = jax.ShapeDtypeStruct((255,), jnp.float32)
@@ -643,7 +637,7 @@ def _master_a_meta(n: int, sr: int, nlm_enabled: bool, afftdn_enabled: bool):
         functools.partial(_master_stage_a_tree, sr=sr,
                           nlm_enabled=nlm_enabled,
                           afftdn_enabled=afftdn_enabled),
-        xs, f32, f32, f32, f32, f32, f32, shape15, f32, f32, i32, i32,
+        xs, f32, f32, f32, f32, f32, f32, f32, shape15, f32, f32, i32, i32,
         chain_ir, kw_ir, tp_bank, deess,
     )
     return _meta_from(tree)
@@ -669,9 +663,12 @@ def _master_b_meta(n: int, sr: int, out_rate: int, declick_enabled: bool):
 
 @functools.lru_cache(maxsize=8)
 def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
-    """Per-sample-rate baked filter constants (host-designed)."""
+    """Per-sample-rate baked filter constants (host-designed).  The chain
+    IR truncates at `chain_ir_len` (decay-derived; 2048 taps at the
+    default 80 Hz / 48 kHz) — this conv runs at HIGHEST precision, so its
+    tap count is the single largest stage-A matmul term."""
     chain_sos = cascade(design_highpass(hp_hz, sr), design_lowpass(lp_hz, sr))
-    chain_ir = sos_impulse_response(chain_sos, 8192).astype(np.float32)
+    chain_ir = sos_impulse_response(chain_sos, chain_ir_len(hp_hz, sr)).astype(np.float32)
     kw_ir = sos_impulse_response(k_weighting_sos(sr), 4096).astype(np.float32)
     tp_bank = _polyphase_bank().astype(np.float32)
 
@@ -761,6 +758,7 @@ def fused_master(
         cfg.loudnorm.target_i,
         float(target_tp_lin),
         *np.asarray(shape, dtype=np.float32).tolist(),
+        nr.afftdn_noise_reduction,
     ])
     bounds = jnp.asarray(np.concatenate([noise_b, speech_b]).astype(np.int32))
 

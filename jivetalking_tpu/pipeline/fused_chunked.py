@@ -39,9 +39,11 @@ Chunk passes and their carried state (all exact unless noted):
   (sync)  pass-3 measurement -> linear-mode offset.
   B       offset gain + adeclick (halo'd; the p90 window grid restarts
           per chunk — approximate at window-grid seams, clicks are
-          local) + brickwall (carried release; the lookahead halo uses
-          the un-declicked neighbour head — a click there can only
-          LOWER the gain, never breach the ceiling) + final metering
+          local) + brickwall (carried release; the lookahead halo is
+          declicked on the CHUNK-LOCAL window grid, so it differs from
+          the neighbour chunk's own declick only at grid seams — each
+          chunk enforces `needed` over its own samples, so the ceiling
+          holds regardless) + final metering
           partials + exact chunk-aligned polyphase resample (C % M == 0
           keeps the output phase grid global) -> s16 delivery chunks.
   FLAT    tiny per-chunk pass counting flat-factor runs at the GLOBAL
@@ -62,7 +64,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..adaptive.config import FilterConfig
-from ..metering.astats import _sliding_max, _sliding_sumsq
+from ..metering.astats import _sliding_max, _sliding_sumsq, histogram_8192
 from ..metering.spectral import _spectral_core
 from ..ops.declick import _declick_impl
 from ..ops.dynamics import (
@@ -71,12 +73,10 @@ from ..ops.dynamics import (
     envelope_coeff,
     gate_gain,
 )
-from ..ops.framing import frame_signal, overlap_add
 from ..ops.limiter import _EPS, _LOG_FLOOR, _mp_prefix, _sliding_min_lookahead
 from ..ops.nlm import _nlm_core
 from ..ops.resample import _banded_bank
-from ..ops.spectral_gate import _hann
-from ..utils.afftdn_bands import AFFTDN_BAND_CENTRES_HZ
+from ..ops.spectral_gate import afftdn_ext, noise_profile_ingraph
 from .fused import (
     _constants_for_rate,
     _fft_convolve_full,
@@ -87,9 +87,8 @@ from .fused import (
 )
 from .normalise import (
     BRICKWALL_TRUE_PEAK_HEADROOM_DB,
-    LINEAR_SAFETY_MARGIN,
-    MEASUREMENT_CUSHION_DB,
-    MIN_LIMITER_CEILING_DB,
+    limiter_plan_scalars,
+    linear_mode_scalars,
 )
 
 _ENTROPY_BINS = 8192
@@ -137,13 +136,15 @@ def _slice_ext(padded: jnp.ndarray, start: jnp.ndarray, hl: int, C: int, hr: int
 )
 def _chain_chunk(
     ext, envg_in, envc_in,
-    gate_thr, gate_ratio, gate_range, comp_thr_lin, nf_db, band_shape_db,
-    chain_ir,
+    gate_thr, gate_ratio, gate_range, comp_thr_lin, nf_db, nr_db,
+    band_shape_db, chain_ir,
     sr: int, C: int, hl: int, hr: int, nlm_enabled: bool, afftdn_enabled: bool,
 ):
     """Cleanup chain on one halo'd chunk: HP/LP FIR, NLM, afftdn (overlap-
-    discard via the halos), then gate + compressor with carried follower
-    state.  Mirrors fused._master_stage_a_tree's chain section."""
+    discard via the halos; noise model + gain law shared with every other
+    afftdn call site via ops/spectral_gate), then gate + compressor with
+    carried follower state.  Mirrors fused._master_stage_a_tree's chain
+    section."""
     n_ext = hl + C + hr
     y = _fft_convolve_full(ext, chain_ir, n_ext,
                            precision=jax.lax.Precision.HIGHEST)
@@ -157,38 +158,9 @@ def _chain_chunk(
 
     if afftdn_enabled:
         win, hop = AFFTDN_WIN, AFFTDN_HOP
-        window = jnp.asarray(_hann(win), dtype=jnp.float32)
         n_frames = (n_ext - win) // hop + 1
-        frames = frame_signal(y, n_frames, win, hop) * window[None, :]
-        spec = jnp.fft.rfft(frames, axis=-1)
-        mag = jnp.abs(spec) / win
-
-        n_bins = win // 2 + 1
-        rms = 10.0 ** (nf_db / 20.0)
-        w2 = float(np.sum(_hann(win) ** 2))
-        bin_mag = rms * jnp.sqrt(w2) / win
-        freqs = jnp.arange(n_bins) * (sr / win)
-        logf = jnp.log(jnp.maximum(freqs, 1.0))
-        centres = jnp.log(jnp.asarray(AFFTDN_BAND_CENTRES_HZ))
-        shape_db = jnp.interp(logf, centres, band_shape_db)
-        noise = bin_mag * 10.0 ** (shape_db / 20.0)
-
-        floor_gain = 10.0 ** (-12.0 / 20.0)
-        snr2 = (mag / jnp.maximum(noise[None, :], 1e-12)) ** 2
-        gain = jnp.maximum(floor_gain, 1.0 - 1.0 / jnp.maximum(snr2, 1e-6))
-        prev = jnp.concatenate([gain[:1], gain[:-1]], axis=0)
-        gain = 0.5 * (gain + prev)
-        left = jnp.concatenate([gain[:, :1], gain[:, :-1]], axis=1)
-        right = jnp.concatenate([gain[:, 1:], gain[:, -1:]], axis=1)
-        gain = 0.25 * left + 0.5 * gain + 0.25 * right
-
-        out_frames = jnp.fft.irfft(spec * gain, n=win, axis=-1) * window[None, :]
-        ola = overlap_add(out_frames, n_frames, win, hop, n_ext)
-        norm = overlap_add(
-            jnp.broadcast_to(window * window, (n_frames, win)),
-            n_frames, win, hop, n_ext,
-        )
-        y = ola / jnp.maximum(norm, 1e-6)
+        noise = noise_profile_ingraph(nf_db, band_shape_db, sr, win)
+        y = afftdn_ext(y, n_frames, noise, win, hop, nr_db)
 
     yc = y[hl : hl + C]
 
@@ -300,14 +272,12 @@ def _stage_partials_tree(
     zc = (x < 0) != (prev < 0)
     out["zc"] = jnp.sum(zc & pair_valid).astype(jnp.float32)
 
-    # entropy histogram (sort-free-scatter); padded samples pushed past the
-    # last edge so they count nowhere
+    # entropy histogram (scatter- and sort-free one-hot int8 contraction);
+    # padded samples get the == bins sentinel so they count nowhere
     bins = _ENTROPY_BINS
     idx = jnp.clip(((x + 1.0) * (bins / 2.0)).astype(jnp.int32), 0, bins - 1)
     idx = jnp.where(valid, idx, bins)
-    sorted_idx = jax.lax.sort(idx)
-    edges = jnp.searchsorted(sorted_idx, jnp.arange(bins + 1, dtype=jnp.int32))
-    out["hist"] = jnp.diff(edges).astype(jnp.float32)
+    out["hist"] = histogram_8192(idx).astype(jnp.float32)
 
     # bit depth mask
     q = jnp.clip(jnp.abs(xv) * (2.0**31), 0, 2.0**31 - 1).astype(jnp.uint32)
@@ -440,8 +410,13 @@ def _limit_chunk(y_k, y_next_head, pre_gain_lin, limit_lin, w_in,
 def _b_chunk(p_left, p_k, p_right, offset_lin, brick_lin, w_in,
              sr: int, C: int, declick_enabled: bool, brick_lookahead: int):
     """Stage-B audio on one chunk: offset gain, halo'd declick, brickwall
-    with carried release; the brickwall lookahead reads the un-declicked
-    neighbour head (can only lower the gain — ceiling-safe)."""
+    with carried release.  The brickwall lookahead (`tailh`) is sliced
+    from z_ext AFTER `_declick_impl` ran over the whole ext, i.e. it is
+    declicked on the chunk-LOCAL p90 window grid — differing from the
+    neighbour chunk's own declick only at grid seams.  Ceiling safety
+    does not rest on that halo: each chunk enforces `needed` over its own
+    samples, so the output never exceeds the limit regardless of what the
+    lookahead saw."""
     release = max(1.0, 50.0 * sr / 1000.0)
     h = int(p_left.shape[0])
     z_ext = jnp.concatenate([p_left, p_k, p_right]) * offset_lin
@@ -537,9 +512,7 @@ def _analysis_chunk_packed(ext_raw, k0, n_total, kw_ir, tp_bank,
 
 @functools.lru_cache(maxsize=16)
 def _analysis_chunk_meta(sr: int, C: int, hm: int, w: int, il: int):
-    base = _stage_partials_meta(sr, C, hm, w, with_regions=False,
-                                spec_series=True)
-    # re-derive with the interval rows appended (eval_shape on the packer)
+    # derive with the interval rows appended (eval_shape on the packer)
     ext = jax.ShapeDtypeStruct((hm + C,), jnp.float32)
     i32 = jax.ShapeDtypeStruct((), jnp.int32)
     kw = jax.ShapeDtypeStruct((4096,), jnp.float32)
@@ -877,7 +850,8 @@ def fused_master_chunked(
     for k in range(n_chunks):
         ext = _slice_ext(padded, jnp.int32(k * C), hl, C, hr)
         c_k, envg, envc = _chain_chunk(
-            ext, envg, envc, *gp, jnp.float32(nf), jnp.asarray(shape),
+            ext, envg, envc, *gp, jnp.float32(nf),
+            jnp.float32(nr.afftdn_noise_reduction), jnp.asarray(shape),
             chain_ir, sr=sr, C=C, hl=hl, hr=hr,
             nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled,
         )
@@ -921,14 +895,15 @@ def fused_master_chunked(
     measured_tp_db = 20.0 * math.log10(max(float(loud_f["true_peak"]), 1e-12))
     target_tp_db = target_tp
 
-    gain_required = target_i - measured_i
-    needed = (measured_tp_db + gain_required) > target_tp_db
-    ceiling_raw = target_tp_db - gain_required
-    clamped = ceiling_raw < MIN_LIMITER_CEILING_DB
-    pre_gain_db = (MIN_LIMITER_CEILING_DB - ceiling_raw) if clamped else 0.0
-    post_i = measured_i + pre_gain_db
-    ceiling_db = (target_tp_db - (target_i - post_i)) if clamped \
-        else max(ceiling_raw, MIN_LIMITER_CEILING_DB)
+    # the shared scalar law from pipeline.normalise (xp=np: host floats,
+    # no device round trips between chunk passes)
+    hp = limiter_plan_scalars(measured_i, measured_tp_db, target_i,
+                              target_tp_db, xp=np)
+    needed = bool(hp["needed"])
+    clamped = bool(hp["clamped"])
+    pre_gain_db = float(hp["pre_gain_db"])
+    ceiling_db = float(hp["ceiling_db"])
+    gain_required = float(hp["gain_db"])
 
     # ---- filtered astats (+ flat pass over the live y stream) ----
     ast_f = _run_flat_over(ychunks, _combine_astats(parts_f, n, w), n, C)
@@ -960,10 +935,9 @@ def fused_master_chunked(
                                [float(np.asarray(s)) for _, _, s in p3])
     m_i = float(loud_m["integrated"])
     m_tp_db = 20.0 * math.log10(max(float(loud_m["true_peak"]), 1e-12))
-    internal_tp = m_tp_db + (target_i - m_i) + LINEAR_SAFETY_MARGIN + MEASUREMENT_CUSHION_DB
-    max_linear_i = internal_tp - m_tp_db + m_i - LINEAR_SAFETY_MARGIN
-    effective_i = min(target_i, max_linear_i)
-    offset_db = effective_i - m_i
+    _, effective_i, offset_db = linear_mode_scalars(m_i, m_tp_db, target_i, xp=np)
+    effective_i = float(effective_i)
+    offset_db = float(offset_db)
 
     # ---- PASS B + final metering + delivery ----
     g = math.gcd(sr, out_rate)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..adaptive.config import FilterConfig
 from ..ops.deesser import apply_deesser
 from ..ops.dynamics import apply_compressor, apply_gate
-from ..ops.iir import cascade, design_highpass, design_lowpass, sosfilt_fir
+from ..ops.iir import cascade, chain_ir_len, design_highpass, design_lowpass, sosfilt_fir
 from ..ops.nlm import apply_nlm
 from ..ops.resample import resample
 from ..ops.spectral_gate import apply_spectral_gate
@@ -58,7 +58,9 @@ def apply_filter_chain(x, sample_rate: int, cfg: FilterConfig) -> jnp.ndarray:
             design_lowpass(cfg.bandlimit_lowpass.frequency, sample_rate, q=cfg.bandlimit_lowpass.width)
         )
     if sos_list:
-        y = sosfilt_fir(cascade(*sos_list), y)
+        ir_len = (chain_ir_len(cfg.rumble_highpass.frequency, sample_rate)
+                  if cfg.rumble_highpass.enabled else 1024)
+        y = sosfilt_fir(cascade(*sos_list), y, ir_len=ir_len)
 
     nr = cfg.noise_reduction
     if nr.enabled:

@@ -1,6 +1,7 @@
 """CLI / pool / console tests (mirrors the reference's pool_test.go DI-fake
 tier and ui string-rendering tests)."""
 
+import io
 import json
 import os
 import threading
@@ -263,3 +264,52 @@ class TestBatchMasterCLI:
         assert rc == 1                       # a failure is reported...
         assert (tmp_path / "good-LUFS-16-processed.flac").exists()  # ...but the good file masters
         err = capsys.readouterr().err + capsys.readouterr().out
+
+
+class TestStyledHelp:
+    """The styled help surface (ref: internal/cli/help.go StyledHelpPrinter:
+    gradient title, italic description, sectioned Arguments/Flags with
+    styled labels; colour only on a TTY)."""
+
+    class _FakeTTY(io.StringIO):
+        def isatty(self):
+            return True
+
+    def test_plain_when_piped(self):
+        from jivetalking_tpu.cli.main import build_parser
+        from jivetalking_tpu.cli.styles import render_help
+
+        out = render_help(build_parser(), io.StringIO())
+        assert "\x1b[" not in out
+        for section in ("Usage:", "Arguments:", "Flags:"):
+            assert section in out
+        # every flag surfaced, value-taking flags show =PLACEHOLDER
+        for token in ("-h, --help", "-a, --analyse", "--jobs=JOBS",
+                      "--profile=DIR", "--cpu-devices=N", "--batch-master"):
+            assert token in out, token
+        assert "files" in out
+
+    def test_styled_on_tty(self):
+        from jivetalking_tpu.cli.main import build_parser
+        from jivetalking_tpu.cli.styles import render_help
+
+        out = render_help(build_parser(), self._FakeTTY())
+        assert "\x1b[38;2;255;165;0m" in out     # orange sections
+        assert "\x1b[38;2;0;170;0m" in out       # green flag labels
+        assert "\x1b[38;2;0;170;170m" in out     # cyan argument labels
+        assert "\x1b[38;2;0;212;255m" in out     # title gradient start
+        assert "\x1b[3m" in out                  # italic description
+
+    def test_no_color_env_wins(self, monkeypatch):
+        from jivetalking_tpu.cli.main import build_parser
+        from jivetalking_tpu.cli.styles import render_help
+
+        monkeypatch.setenv("NO_COLOR", "1")
+        out = render_help(build_parser(), self._FakeTTY())
+        assert "\x1b[" not in out
+
+    def test_dash_h_exits_zero(self, capsys):
+        from jivetalking_tpu.cli.main import main
+
+        assert main(["-h"]) == 0
+        assert "Usage:" in capsys.readouterr().out

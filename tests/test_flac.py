@@ -210,3 +210,43 @@ class TestStreamReader:
         assert tail.shape[1] == 0
         got = np.concatenate([a, b], axis=1)
         np.testing.assert_array_equal(got, want)
+
+    def test_midstream_corruption_raises_not_eof(self, tmp_path):
+        """A frame decode error after >=1 good frame must surface as an
+        error on the NEXT read, not read as a clean short EOF: the
+        streamed analysis sizes by STREAMINFO total_samples, so a silent
+        short read would master the claimed duration with the damaged
+        remainder as silence (ADVICE r2: flac_read_stream error flag)."""
+        import numpy as np
+        import pytest
+
+        from jivetalking_tpu.io.flac import FlacStreamReader, write_flac
+
+        rng = np.random.default_rng(11)
+        sr = 44100
+        n = sr * 4
+        x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+        p = str(tmp_path / "corrupt.flac")
+        write_flac(p, x, sr)
+
+        raw = bytearray(open(p, "rb").read())
+        # stomp a span well past the midpoint of the compressed stream so
+        # the first frames decode fine and a later frame is garbage
+        lo = len(raw) // 2
+        raw[lo : lo + 4096] = bytes([0xFF] * 4096)
+        open(p, "wb").write(bytes(raw))
+
+        with FlacStreamReader(p) as r:
+            got = 0
+            with pytest.raises(ValueError):
+                while True:
+                    c = r.read(8192)
+                    if c.shape[1] == 0:
+                        # clean EOF before total_samples => the bug this
+                        # test pins (must raise instead)
+                        assert got >= r.total_samples, (
+                            "mid-stream corruption read as clean EOF")
+                        break
+                    got += c.shape[1]
+            # some good frames decoded before the damage
+            assert 0 < got < n

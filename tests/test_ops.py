@@ -271,16 +271,73 @@ class TestMatmulPrecision:
         want = out.reshape(-1)[:n_out]
         assert np.max(np.abs(y - want)) < 1e-5
 
-    def test_nlm_sliding_sum_is_f32_exact(self):
-        from jivetalking_tpu.ops.nlm import _sliding_sum_matmul
+    def test_nlm_output_tolerates_bf16_distances(self):
+        """The NLM distance sliding-sum is the CODIFIED exception to the
+        audio-path HIGHEST rule (CLAUDE.md): it runs DEFAULT/bf16 because
+        it feeds only the similarity weights exp(-dist/h^2), never
+        delivery samples.  On the CPU test mesh precision flags are
+        no-ops, so instead of pinning sum exactness (which device bf16
+        would violate) this pins the contract that actually matters: the
+        END-TO-END NLM output must stay within -40 dB of a float64
+        reference even when the distances carry bf16-scale (~0.4%)
+        perturbation — the bound a bf16 distance field cannot break."""
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.ops.nlm import apply_nlm
 
         rng = np.random.default_rng(2)
-        x = (rng.standard_normal((3, 4000)) * 0.1).astype(np.float32) ** 2
-        w = 289
-        import jax.numpy as jnp
-        got = np.asarray(_sliding_sum_matmul(jnp.asarray(x), w))
-        want = np.stack([
-            np.convolve(row.astype(np.float64), np.ones(w))[w - 1 : 4000]
-            for row in x
-        ])
-        assert np.max(np.abs(got - want)) < 1e-5
+        sr = 44100
+        n = 4000
+        x = (sine(440, -20.0, n / sr) + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+        # float64 reference of _nlm_core's exact formulation (single block)
+        P = max(1, int(round(0.0060 * sr / 2.0)))
+        R = max(1, int(round(0.0020 * sr / 2.0)))
+        h = 0.00001 * 10000.0
+        h2 = h * h / 3.0
+        halo = P + R
+        xp = np.zeros(n + 2 * halo)
+        xp[halo : halo + n] = x.astype(np.float64)
+        w_box = 2 * P + 1
+        t = np.arange(n)
+        y_ref_num = np.zeros(n)
+        y_ref_den = np.zeros(n)
+        centre = xp[R : R + n + 2 * P]
+        for d in range(-R, R + 1):
+            shifted = xp[R + d : R + d + n + 2 * P]
+            diff2 = (centre - shifted) ** 2
+            dist = np.convolve(diff2, np.ones(w_box))[w_box - 1 : w_box - 1 + n]
+            valid = ((t + d) >= 0) & ((t + d) < n)
+            w = np.exp(-dist / h2) * valid
+            mid = shifted[P : P + n]
+            y_ref_num += w * mid
+            y_ref_den += w
+        y_ref = y_ref_num / np.maximum(y_ref_den, 1e-12)
+
+        got = np.asarray(apply_nlm(jnp.asarray(x), sr))
+        err_db = 20 * np.log10(
+            max(float(np.sqrt(np.mean((got - y_ref) ** 2))), 1e-12)
+            / float(np.sqrt(np.mean(y_ref**2)))
+        )
+        assert err_db < -40.0, err_db
+
+        # and a bf16-scale perturbation of the distances cannot push the
+        # weights past that bound either: amplifying every distance by the
+        # worst-case bf16 relative step barely moves the output
+        y_pert_num = np.zeros(n)
+        y_pert_den = np.zeros(n)
+        for d in range(-R, R + 1):
+            shifted = xp[R + d : R + d + n + 2 * P]
+            diff2 = (centre - shifted) ** 2
+            dist = np.convolve(diff2, np.ones(w_box))[w_box - 1 : w_box - 1 + n]
+            dist = dist * (1.0 + 2.0 ** -8)     # bf16 mantissa step
+            valid = ((t + d) >= 0) & ((t + d) < n)
+            w = np.exp(-dist / h2) * valid
+            y_pert_num += w * shifted[P : P + n]
+            y_pert_den += w
+        y_pert = y_pert_num / np.maximum(y_pert_den, 1e-12)
+        drift_db = 20 * np.log10(
+            max(float(np.sqrt(np.mean((y_pert - y_ref) ** 2))), 1e-12)
+            / float(np.sqrt(np.mean(y_ref**2)))
+        )
+        assert drift_db < -40.0, drift_db

@@ -150,8 +150,10 @@ class TestBatchedMaster:
             zchunks, rate, fm, _t = fused_master(files[i], sr, cfgs[i], metas[i])
             zi = np.concatenate([np.asarray(c) for c in zchunks])
             assert rate == sr
+            # s16 outputs: vmap-vs-single float reassociation can flip a
+            # sample sitting exactly on a quantisation boundary by 1 LSB
             np.testing.assert_allclose(
-                np.asarray(z[i]), zi, rtol=1e-4, atol=2e-4)
+                np.asarray(z[i]), zi, rtol=1e-4, atol=1.0)
             assert float(metrics["final_i"][i]) == pytest.approx(
                 float(fm["final"]["integrated"]), abs=0.01)
 

@@ -179,7 +179,7 @@ class TestShardedMaster:
                 jnp.float32(params["g_thr"][i]), jnp.float32(params["g_ratio"][i]),
                 jnp.float32(params["g_range"][i]), jnp.float32(params["c_thr"][i]),
                 jnp.float32(params["d_i"][i]), jnp.float32(params["nf"][i]),
-                jnp.asarray(shape[i]), jnp.float32(params["t_i"][i]),
+                jnp.float32(12.0), jnp.asarray(shape[i]), jnp.float32(params["t_i"][i]),
                 jnp.float32(params["t_tp"][i]),
                 jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
                 chain_ir, kw_ir, tp_bank, deess_k,
@@ -314,7 +314,8 @@ class TestShardedMasterMultiRow:
             p1, o1, _ = F._master_stage_a_tree(
                 jnp.asarray(x[i]), jnp.float32(g_thr[i]), jnp.float32(g_ratio[i]),
                 jnp.float32(g_range[i]), jnp.float32(c_thr[i]),
-                jnp.float32(d_i[i]), jnp.float32(nf[i]), jnp.asarray(shape[i]),
+                jnp.float32(d_i[i]), jnp.float32(nf[i]), jnp.float32(12.0),
+                jnp.asarray(shape[i]),
                 jnp.float32(t_i[i]), jnp.float32(t_tp[i]),
                 jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
                 chain_ir, kw_ir, tp_bank, deess_k,
