@@ -51,6 +51,12 @@ LOUD_TIER_THRESHOLD_LUFS = -20.0
 MID_TIER_THRESHOLD_LUFS = -30.0
 
 
+def _streaming_ok(sample_rate: int) -> bool:
+    from ..pipeline.fused_chunked import analysis_streaming_ok
+
+    return analysis_streaming_ok(sample_rate)
+
+
 @dataclass
 class InputLoudness:
     """Pass-1 loudness block (ref: InputLoudnessMetrics, analyser.go:149-158)."""
@@ -212,14 +218,28 @@ def analyse_audio(
         from ..pipeline.fused import fused_analysis
 
         if hasattr(x, "read") and hasattr(x, "total_samples"):
-            # bounded-memory stream reader (io/flac.FlacStreamReader):
-            # decode -> upload -> free, chunk by chunk; the host never
-            # holds the whole file (ref: reader.go's O(frame) loop)
-            from ..pipeline.fused_chunked import fused_analysis_from_reader
+            if not _streaming_ok(sample_rate):
+                # degenerate grid alignment at this rate (see
+                # fused_chunked.analysis_streaming_ok): materialise and
+                # run the whole-file program instead
+                chunks = []
+                while True:
+                    c = x.read(1 << 20)
+                    if c.shape[-1] == 0:
+                        break
+                    chunks.append(c)
+                x = np.concatenate(chunks, axis=-1)
+                mono, out = fused_analysis(x, sample_rate)
+            else:
+                # bounded-memory stream reader (io/flac.FlacStreamReader):
+                # decode -> upload -> free, chunk by chunk; the host never
+                # holds the whole file (ref: reader.go's O(frame) loop)
+                from ..pipeline.fused_chunked import fused_analysis_from_reader
 
-            mono, out = fused_analysis_from_reader(x, sample_rate)
+                mono, out = fused_analysis_from_reader(x, sample_rate)
         elif (isinstance(x, np.ndarray)
-                and int(np.shape(x)[-1]) >= 60 * sample_rate):
+                and int(np.shape(x)[-1]) >= 60 * sample_rate
+                and _streaming_ok(sample_rate)):
             # long host-side input: stream halo-overlapping chunks so the
             # uploads overlap each other AND the per-chunk metering
             # (pipeline/fused_chunked.fused_analysis_streamed)
@@ -228,9 +248,37 @@ def analyse_audio(
             mono, out = fused_analysis_streamed(x, sample_rate)
         else:
             mono, out = fused_analysis(x, sample_rate)
-        x = mono
-    else:
-        x = jnp.asarray(x, dtype=jnp.float32)
+        return assemble_measurements(mono, out, sample_rate, target_i,
+                                     measure_bands)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    return _finish_measurements(x, None, sample_rate, target_i,
+                                measure_bands, fused=False)
+
+
+def assemble_measurements(
+    mono,
+    out: dict,
+    sample_rate: int,
+    target_i: float = -16.0,
+    measure_bands: bool = True,
+) -> AudioMeasurements:
+    """Host-side Pass-1 assembly from a fused-analysis output tree
+    (`{"loudness", "astats", "spectral", "iv_sumsq", "iv_peak"}` + the
+    device-resident mono PCM).  Shared by the single-file paths above and
+    the batched back-catalogue analysis (parallel/batch_chunked), which
+    produces one such tree per file from ONE vmapped device program."""
+    return _finish_measurements(mono, out, sample_rate, target_i,
+                                measure_bands, fused=True)
+
+
+def _finish_measurements(
+    x,
+    out: dict | None,
+    sample_rate: int,
+    target_i: float,
+    measure_bands: bool,
+    fused: bool,
+) -> AudioMeasurements:
     n = int(x.shape[-1])
     duration = n / sample_rate
 

@@ -158,28 +158,37 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.batch_master and not args.analyse:
-            # back-catalogue sweep: one batched device program masters every
-            # episode (parallel/batch.process_back_catalogue; dp-sharded
-            # over whatever mesh the platform offers)
+            # back-catalogue sweep: batched Pass-1 + the chunked fused
+            # passes vmapped over length-bucketed file batches
+            # (parallel/batch.process_back_catalogue; dp-sharded over
+            # whatever mesh the platform offers), routed through the SAME
+            # artefact spine as the per-file pool
             import jax
 
             from ..parallel.batch import make_mesh, process_back_catalogue
+            from .pool import emit_batch_outcomes
 
             mesh = make_mesh() if len(jax.devices()) > 1 else None
             try:
-                results = process_back_catalogue(args.files, mesh=mesh)
+                results = process_back_catalogue(
+                    args.files, mesh=mesh, base_config=default_filter_config())
             except Exception as e:
                 print_error(f"batch master failed: {e}")
                 return 1
-            for r in results:
-                if "error" in r:
-                    print_error(f"✗ {r['path']}: {r['error']}")
-                else:
-                    print(f"✓ {r['path']} -> "
-                          f"{os.path.basename(r['output_path'])}  "
-                          f"{r['output_lufs']:.1f} LUFS / "
-                          f"{r['output_tp_db']:.1f} dBTP")
-            return 1 if any("error" in r for r in results) else 0
+            events = PoolEvents(
+                on_file_complete=on_complete,
+                on_warning=lambda w: warnings.append(w),
+                on_debug=lambda p, msg: sink.for_file(p)(msg),
+            )
+            outcomes = emit_batch_outcomes(results, events, args.diagnostics)
+            failed = [o for o in outcomes if o.error]
+            for o in failed:
+                print_error(f"✗ {o.path}: {o.error}")
+            print()
+            print(render_final_summary(outcomes))
+            for w in warnings:
+                print_warning(w)
+            return 1 if failed else 0
         if use_tty:
             # live ANSI view (the reference's Bubble Tea models; TTY only —
             # the -a mode gets the AnalysisModel equivalent)

@@ -282,9 +282,18 @@ def process_one_file(
                       np.asarray(m.intervals.rms_level, dtype=np.float64),
                       float(m.intervals.hop))
 
+        def on_filtered_levels(levels_db, hop_secs):
+            # truthful meter for the processing/normalising tail: the
+            # PROCESSED signal's momentary series (+ the linear-mode
+            # offset), not the Pass-1 input levels (ref: the encoder's
+            # frame-level VU stream, encoder.go:235-257)
+            _emit(events.on_levels, path,
+                  np.asarray(levels_db, dtype=np.float64), float(hop_secs))
+
         res = process_audio(
             samples, meta.sample_rate, base_config=base,
             progress=progress, on_adapted=on_adapted,
+            on_filtered_levels=on_filtered_levels,
         )
 
         # name the file after the MEASURED output loudness (ref:
@@ -459,6 +468,59 @@ def analyse_one_file(
     outcome.wall_secs = time.perf_counter() - start
     _emit(events.on_file_complete, outcome)
     return outcome
+
+
+def emit_batch_outcomes(
+    results: list[dict],
+    events: PoolEvents | None = None,
+    diagnostics: bool = False,
+) -> list[FileOutcome]:
+    """Route `process_back_catalogue` results through the SAME artefact
+    spine as the per-file pool: run record + report (+ sidecars under
+    --diagnostics), quality/recording scores, debug lines, and a
+    FileOutcome per file for the done boxes (VERDICT r2: the batch path
+    must not bypass the spine, ref: emitReportArtefacts pool.go:288-340)."""
+    events = events or PoolEvents()
+    outcomes = []
+    for r in results:
+        outcome = FileOutcome(path=r["path"])
+        if "error" in r:
+            outcome.error = r["error"]
+            _emit(events.on_file_complete, outcome)
+            outcomes.append(outcome)
+            continue
+        res: ProcessResult = r["result"]
+        outcome.output_path = r["output_path"]
+        outcome.input_lufs = res.measurements.loudness.input_i
+        outcome.output_lufs = res.normalisation.output_lufs
+        outcome.input_tp = res.measurements.loudness.input_tp
+        outcome.output_tp = res.normalisation.output_tp
+        outcome.input_lra = res.measurements.loudness.input_lra
+        if res.final.loudness is not None:
+            outcome.output_lra = res.final.loudness.lra_lu
+        from ..quality import input_display_noise_floor_db
+
+        floor, ok = input_display_noise_floor_db(res.measurements)
+        outcome.input_noise_floor = floor if ok else None
+        if res.final.room_tone_sample is not None:
+            outcome.output_noise_floor = res.final.room_tone_sample.rms_level
+        q = compute_quality_score(res)
+        rs = compute_recording_score(res.measurements)
+        outcome.quality_stars, outcome.quality_label = q.stars, q.label
+        outcome.recording_stars, outcome.recording_label = rs.stars, rs.label
+        outcome.wall_secs = r.get("wall_secs", 0.0)
+        if outcome.wall_secs > 0:
+            outcome.realtime_factor = res.measurements.duration / outcome.wall_secs
+        outcome.result = res
+        outcome.measurements = res.measurements
+
+        _debug_analysis(events, r["path"], res.measurements)
+        _debug_result(events, r["path"], res)
+        _emit_report_artefacts(r["path"], outcome, res, diagnostics,
+                               events.on_warning)
+        _emit(events.on_file_complete, outcome)
+        outcomes.append(outcome)
+    return outcomes
 
 
 def run_pool(

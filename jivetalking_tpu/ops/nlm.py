@@ -64,26 +64,26 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
     sums = jax.lax.dot_general(
         frames, band,
         dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
-        # bf16 in AND out: this sum only feeds the similarity weights
-        # exp(-dist/h^2), not the delivery audio — the weighted average
-        # over `mid` below stays exact f32 vector work.  The NLM block
-        # scan was HALF of stage A's device time at HIGH (3-pass); bf16's
-        # ~0.4% distance error moves near-transparent NLM weights
-        # imperceptibly (profiled 2026-08-17, while.36 350 ms -> MXU
-        # 1-pass).  The bf16 OUTPUT halves the (n_offsets, block) reshape
-        # traffic that followed the conv (1.15 ms/block of pure data
-        # formatting in the trace); the distances re-enter f32 at the exp.
-        preferred_element_type=jnp.bfloat16,
+        preferred_element_type=jnp.float32,
+        # DEFAULT (single-pass bf16): this sum only feeds the similarity
+        # weights exp(-dist/h^2), not the delivery audio — the weighted
+        # average over `mid` below stays exact f32 vector work.  The NLM
+        # block scan was HALF of stage A's device time at HIGH (3-pass);
+        # bf16's ~0.4% distance error moves near-transparent NLM weights
+        # imperceptibly (profiled 2026-08-17, while.36 350 ms -> MXU 1-pass).
         precision=jax.lax.Precision.DEFAULT,
     )
-    return sums.reshape(*lead, n_frames * w)[..., :n_out].astype(jnp.float32)
+    return sums.reshape(*lead, n_frames * w)[..., :n_out]
 
 
-# 2M blocks: the body's work per block (~n_offsets * block vector ops) is
+# 512k blocks: the body's work per block (~n_offsets * block vector ops) is
 # large enough to amortise the ~1 ms/iteration TPU while-loop dispatch
-# overhead (7 iterations for a 5-min file, 28 for 45 min), while the
-# (n_offsets, block + 2P) intermediates stay ~800 MB — comfortably in HBM.
-_NLM_BLOCK = 2097152
+# overhead (28 iterations for a 5-min file), while the (n_offsets,
+# block + 2P) intermediates stay ~200 MB — comfortably in HBM.  Raising to
+# 2M pushed them to ~800 MB and XLA broke the block body into serialized
+# windowed while-loops with dynamic-update-slice staging (stage A 612 ms
+# -> 1862 ms, traced 2026-08-17) — do NOT enlarge without a trace.
+_NLM_BLOCK = 524288
 
 
 def _nlm_core(
@@ -91,8 +91,9 @@ def _nlm_core(
     h2: jnp.ndarray,
     patch_radius: int,
     research_radius: int,
+    block: int | None = None,
 ) -> jnp.ndarray:
-    """`lax.scan` over 2M time blocks; within a block ALL research offsets
+    """`lax.scan` over 512k time blocks; within a block ALL research offsets
     are static slices of one halo'd window, so each block is one pass of
     batched (n_offsets, block) vector work.
 
@@ -105,7 +106,9 @@ def _nlm_core(
     n = int(x.shape[0])
     P, R = patch_radius, research_radius
     halo = P + R
-    block = _NLM_BLOCK
+    # callers that vmap this over a file batch pass a smaller block so the
+    # (batch, n_offsets, block) intermediates stay within HBM
+    block = block or _NLM_BLOCK
     m = -(-n // block)
     total = m * block
     xp = jnp.zeros(total + 2 * halo, x.dtype).at[halo : halo + n].set(x)

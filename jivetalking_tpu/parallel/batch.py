@@ -280,84 +280,170 @@ def batched_master(
 # the back-catalogue sweep end to end (BASELINE config 5)
 # ---------------------------------------------------------------------------
 
+def _shrink_mesh_for(mesh: Mesh | None, batch_size: int) -> Mesh | None:
+    """dp sharding needs the batch divisible by the mesh; shrink to the
+    largest divisor (1 -> single-device)."""
+    if mesh is None or batch_size % mesh.devices.size == 0:
+        return mesh
+    d = max(k for k in range(1, mesh.devices.size + 1) if batch_size % k == 0)
+    return make_mesh(d) if d > 1 else None
+
+
 def process_back_catalogue(
     paths: list[str],
     out_dir: str | None = None,
     mesh: Mesh | None = None,
     base_config=None,
+    progress=None,
 ) -> list[dict]:
-    """Master a catalogue of episode files through ONE batched device
-    program: per-file Pass-1 analysis + adaptation (host-paced), then the
-    fused pass-2/3/4 stages vmapped over the dp-sharded padded batch
-    (`batched_master`), per-file trim + FLAC publish.  The TPU-idiomatic
-    form of BASELINE config 5 (64 episodes across a v5e-8 slice): one
-    compile masters every episode, chips split the batch.
+    """Master a catalogue of episode files through batched device programs
+    — the TPU-idiomatic form of BASELINE config 5 (64 x ~45-min episodes
+    across a v5e-8 slice):
 
-    Pad-loudness note: files pad with digital silence to the bucket
-    length; the R128 absolute gate excludes those blocks, so per-file
-    loudness/plan are unaffected.  Returns one summary dict per file."""
+      1. files group by sample rate; each group's Pass-1 analysis runs as
+         ONE vmapped device program per chunk slab (`batched_analysis`) —
+         not N serial `analyse_audio` calls;
+      2. adaptation runs per file on host (pure function);
+      3. files bucket by (rate, ceil(n / C)) so padding never exceeds one
+         ~2-min chunk (`bucket_files` — no pad-to-longest);
+      4. each bucket masters through the CHUNKED fused passes vmapped over
+         the file axis (`batched_master_chunked`): hour-scale episodes
+         never materialise whole-file intermediates, mixed-length and
+         mixed-rate catalogues just land in different buckets.
+
+    Per-file isolation: a failing file reports its error and the rest
+    continue (ref: pool.go:210-216) — at open/analysis granularity per
+    file, at bucket granularity for the device passes.
+
+    Returns one dict per file: {"path", "output_path", "output_lufs",
+    "output_tp_db", "effective_target_i", "offset_db", "result":
+    ProcessResult, "wall_secs"} or {"path", "error"}.  The CLI routes
+    `result` through the same artefact spine as the per-file pool."""
     import os
+    import time as _time
 
     from ..adaptive.adapt import adapt_config
     from ..adaptive.config import default_filter_config
-    from ..analysis.analyser import analyse_audio
     from ..io.audio import open_audio_file, save_flac
+    from ..pipeline.process import ProcessResult, assemble_fused_stage_results
     from ..report.paths import output_audio_path
+    from .batch_chunked import (
+        BATCH_CHUNK_SECS,
+        batched_analysis,
+        batched_master_chunked,
+        bucket_files,
+    )
+    from ..pipeline.fused_chunked import chunk_length
 
     base = base_config or default_filter_config()
-    pcms, metas, cfgs, measures, ok_paths, failures = [], [], [], [], [], []
+    t_all = _time.perf_counter()
+
+    # ---- open (per-file isolation) ----
+    opened, failures = [], []
     for p in paths:
         try:
             samples, meta = open_audio_file(p, raw_int16=True)
-            m = analyse_audio(samples, meta.sample_rate,
-                              target_i=base.loudnorm.target_i)
-            eff, _diag = adapt_config(base, m)
-            eff.resample.enabled = True
-        except Exception as e:  # per-file isolation (ref: pool.go:210-216)
+            opened.append({"path": p, "samples": samples, "meta": meta,
+                           "sample_rate": meta.sample_rate,
+                           "n_samples": int(np.shape(samples)[-1])})
+        except Exception as e:  # ref: pool.go:210-216
             failures.append({"path": p, "error": str(e)})
-            continue
-        pcms.append(np.asarray(m.device_pcm))
-        metas.append(meta)
-        cfgs.append(eff)
-        measures.append(m)
-        ok_paths.append(p)
-    paths = ok_paths
-    if not paths:
+    if not opened:
         return failures
-    rates = {meta.sample_rate for meta in metas}
-    if len(rates) != 1:
-        raise ValueError(f"back-catalogue batch needs one sample rate, got {rates}")
-    sr = rates.pop()
-    out_rate = cfgs[0].resample.sample_rate or 44100
 
-    batch, lengths = pad_to_batch(pcms)
-    if mesh is not None and len(paths) % mesh.devices.size != 0:
-        # dp sharding needs the batch divisible by the mesh; shrink to the
-        # largest divisor (1 -> single-device)
-        d = max(k for k in range(1, mesh.devices.size + 1)
-                if len(paths) % k == 0)
-        mesh = make_mesh(d) if d > 1 else None
-    z, metrics = batched_master(batch, sr, cfgs, measures,
-                                out_rate=out_rate, mesh=mesh)
+    # ---- batched Pass-1 per rate group + per-file adaptation ----
+    t_an = _time.perf_counter()
+    by_rate: dict[int, list[int]] = {}
+    for i, e in enumerate(opened):
+        by_rate.setdefault(e["sample_rate"], []).append(i)
+    entries = []
+    for sr, idxs in sorted(by_rate.items()):
+        try:
+            ms = batched_analysis([opened[i]["samples"] for i in idxs], sr,
+                                  target_i=base.loudnorm.target_i, mesh=None)
+        except Exception as e:
+            for i in idxs:
+                failures.append({"path": opened[i]["path"], "error": str(e)})
+            continue
+        for i, m in zip(idxs, ms):
+            try:
+                eff, diag = adapt_config(base, m)
+                eff.resample.enabled = True
+            except Exception as e:
+                failures.append({"path": opened[i]["path"], "error": str(e)})
+                continue
+            opened[i]["samples"] = None          # mono lives on device now
+            entries.append({**opened[i], "m": m, "eff": eff, "diag": diag,
+                            "samples": None})
+    analysis_wall = _time.perf_counter() - t_an
+    if not entries:
+        return failures
 
-    g = math.gcd(sr, out_rate)
-    L, M = out_rate // g, sr // g
+    # ---- bucket by (rate, n_chunks) and master each bucket ----
+    chunk_len_for = {
+        e["sample_rate"]: chunk_length(
+            e["sample_rate"],
+            e["eff"].resample.sample_rate or 44100,
+            BATCH_CHUNK_SECS,
+        )
+        for e in entries
+    }
     results = []
-    for i, p in enumerate(paths):
-        n_out = int(lengths[i]) * L // M
-        pcm_i = np.asarray(z[i])[:n_out]          # s16 delivery from stage B
-        out_lufs = float(metrics["final_i"][i])
-        out_path = output_audio_path(p, out_lufs)
-        if out_dir is not None:
-            out_path = os.path.join(out_dir, os.path.basename(out_path))
-        save_flac(out_path, pcm_i, out_rate)
-        results.append({
-            "path": p,
-            "output_path": out_path,
-            "output_lufs": out_lufs,
-            "output_tp_db": 20.0 * float(np.log10(max(
-                float(metrics["final_tp"][i]), 1e-12))),
-            "effective_target_i": float(metrics["effective_i"][i]),
-            "offset_db": float(metrics["offset_db"][i]),
-        })
+    buckets = bucket_files(entries, chunk_len_for)
+    for bi, idxs in enumerate(buckets):
+        group = [entries[i] for i in idxs]
+        sr = group[0]["sample_rate"]
+        out_rate = group[0]["eff"].resample.sample_rate or 44100
+        t_b = _time.perf_counter()
+        try:
+            outs, rate, metrics_list, timings = batched_master_chunked(
+                [g["m"] for g in group], [g["eff"] for g in group], sr,
+                out_rate=out_rate, mesh=_shrink_mesh_for(mesh, len(group)),
+                progress=(lambda f, _bi=bi: progress((_bi + f) / len(buckets)))
+                if progress else None,
+            )
+        except Exception as e:   # bucket-level isolation
+            for g in group:
+                failures.append({"path": g["path"], "error": str(e)})
+            continue
+        bucket_wall = _time.perf_counter() - t_b
+        share = bucket_wall / max(1, len(group))
+        an_share = analysis_wall / max(1, len(entries))
+        for g, pcm_i, fm in zip(group, outs, metrics_list):
+            p = g["path"]
+            try:
+                filtered, final, norm = assemble_fused_stage_results(
+                    fm, g["m"], g["eff"], sr, int(g["m"].device_pcm.shape[-1]))
+                res = ProcessResult(
+                    measurements=g["m"], effective_config=g["eff"],
+                    diagnostics=g["diag"], filtered=filtered, final=final,
+                    normalisation=norm, output_audio=pcm_i, output_rate=rate,
+                    pass_timings={
+                        "analysis": an_share,
+                        "processing": timings["stage_a"] / max(1, len(group)),
+                        "normalising": timings["stage_b"] / max(1, len(group)),
+                    },
+                )
+                name_lufs = norm.output_lufs
+                if not (name_lufs < 0.0):
+                    name_lufs = norm.effective_target_i or norm.requested_target_i
+                out_path = output_audio_path(p, name_lufs)
+                if out_dir is not None:
+                    out_path = os.path.join(out_dir, os.path.basename(out_path))
+                save_flac(out_path, pcm_i, rate)
+                results.append({
+                    "path": p,
+                    "output_path": out_path,
+                    "output_lufs": norm.output_lufs,
+                    "output_tp_db": norm.output_tp,
+                    "effective_target_i": norm.effective_target_i,
+                    "offset_db": norm.gain_applied_db,
+                    "result": res,
+                    "wall_secs": an_share + share,
+                })
+            except Exception as e:
+                failures.append({"path": p, "error": str(e)})
+    total_wall = _time.perf_counter() - t_all
+    for r in results:
+        r["batch_wall_secs"] = total_wall
     return results + failures

@@ -691,7 +691,7 @@ def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
 
 def fused_master(
     x, sample_rate: int, cfg: FilterConfig, measurements,
-    on_stage_a_done=None,
+    on_stage_a_done=None, on_filtered_levels=None,
 ) -> tuple[tuple, int, dict, dict]:
     """Run the fused pass-2/3/4 master (two chained device programs, no
     host sync between them) with per-file parameters drawn from the
@@ -785,8 +785,6 @@ def fused_master(
             on_stage_a_done()
         except Exception:
             pass
-    packed_b.block_until_ready()
-    t_b = _time.perf_counter() - t0 - t_a
 
     treedef_a, shapes_a, dtypes_a = _master_a_meta(
         n, sample_rate, nlm_enabled, afftdn_enabled
@@ -794,14 +792,29 @@ def fused_master(
     treedef_b, shapes_b, dtypes_b = _master_b_meta(
         n, sample_rate, out_rate, declick_enabled
     )
-    # pull the SMALL packed metrics first, THEN start the multi-MB delivery
-    # chunk pulls: queued the other way round, the ~100 KB metrics wait
-    # ~1 s behind the 26 MB of PCM (profiled 2026-08-17 as "master_post"),
-    # while this way the PCM transfer overlaps all downstream host work
-    t_b_done = _time.perf_counter()
+    # pull stage A's packed metrics WHILE stage B runs: the ~100 KB
+    # transfer overlaps the B compute, and the filtered momentary series
+    # can feed a truthful VU meter for the remaining normalising stage
+    # (ref: the per-frame level the encoder streams, encoder.go:235-257)
     packed_a.copy_to_host_async()
-    packed_b.copy_to_host_async()
     ma = _unpack_all(np.asarray(packed_a), shapes_a, dtypes_a, treedef_a)
+    if on_filtered_levels is not None:
+        try:
+            on_filtered_levels(
+                np.asarray(ma["filtered"]["momentary"], dtype=np.float64)
+                + float(ma["plan"]["offset_db"]),
+                0.1,
+            )
+        except Exception:
+            pass
+    packed_b.block_until_ready()
+    t_b = _time.perf_counter() - t0 - t_a
+
+    # the small B metrics still pull BEFORE the multi-MB delivery chunks:
+    # queued the other way round they wait ~1 s behind the PCM (profiled
+    # 2026-08-17 as "master_post")
+    t_b_done = _time.perf_counter()
+    packed_b.copy_to_host_async()
     mb = _unpack_all(np.asarray(packed_b), shapes_b, dtypes_b, treedef_b)
     for c in out_chunks:
         c.copy_to_host_async()

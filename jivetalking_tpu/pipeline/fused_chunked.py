@@ -132,13 +132,15 @@ def _slice_ext(padded: jnp.ndarray, start: jnp.ndarray, hl: int, C: int, hr: int
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "C", "hl", "hr", "nlm_enabled", "afftdn_enabled"),
+    static_argnames=("sr", "C", "hl", "hr", "nlm_enabled", "afftdn_enabled",
+                     "nlm_block"),
 )
 def _chain_chunk(
     ext, envg_in, envc_in,
     gate_thr, gate_ratio, gate_range, comp_thr_lin, nf_db, nr_db,
     band_shape_db, chain_ir,
     sr: int, C: int, hl: int, hr: int, nlm_enabled: bool, afftdn_enabled: bool,
+    nlm_block: int | None = None,
 ):
     """Cleanup chain on one halo'd chunk: HP/LP FIR, NLM, afftdn (overlap-
     discard via the halos; noise model + gain law shared with every other
@@ -154,7 +156,7 @@ def _chain_chunk(
         research_radius = max(1, int(round(0.0020 * sr / 2.0)))
         h = 0.00001 * 10000.0
         h2 = jnp.float32(h * h / 3.0)
-        y = _nlm_core(y, h2, patch_radius, research_radius)
+        y = _nlm_core(y, h2, patch_radius, research_radius, block=nlm_block)
 
     if afftdn_enabled:
         win, hop = AFFTDN_WIN, AFFTDN_HOP
@@ -553,6 +555,16 @@ def analysis_chunk_length(sample_rate: int, target_secs: float = 40.0) -> int:
     return base * k
 
 
+def analysis_streaming_ok(sample_rate: int) -> bool:
+    """The chunked analysis needs one chunk to align the 100 ms block, the
+    STFT hop AND the 250 ms interval grid — at rates where those rounds
+    share no small lcm (e.g. 11025: block 1102, interval 2756) the aligned
+    chunk would be hours long and the partial program unbuildable (a
+    337 GB allocation, found 2026-08-17).  Callers fall back to the
+    whole-file fused analysis at such rates."""
+    return analysis_chunk_length(sample_rate) <= 300 * sample_rate
+
+
 def fused_analysis_streamed(x: np.ndarray, sample_rate: int,
                             chunk_secs: float = 40.0):
     """Pass-1 analysis with OVERLAPPED chunk uploads: the host input is
@@ -645,7 +657,17 @@ def _streamed_analysis_core(ext_iter, n: int, sr: int, C: int, hm: int,
     treedef, shapes, dtypes = _analysis_chunk_meta(sr, C, hm, w, il)
     parts = [_unpack_all(gathered[k * L : (k + 1) * L], shapes, dtypes, treedef)
              for k in range(n_chunks)]
+    return _combine_analysis_parts(parts, mono_chunks, n, sr, C, il, w)
 
+
+def _combine_analysis_parts(parts: list[dict], mono_chunks: list, n: int,
+                            sr: int, C: int, il: int, w: int):
+    """Combine per-chunk Pass-1 partials (unpacked `_analysis_chunk_packed`
+    trees, chunk order) + device mono chunks into the
+    `fused.fused_analysis` output contract: (mono_device, metrics_tree).
+    Shared by the streamed single-file core above and the batched
+    back-catalogue analysis (one vmapped program, per-file rows)."""
+    n_chunks = len(parts)
     block_len = max(1, int(round(sr * 0.1)))
     n_blocks = max(1, n // block_len)
     loud = _combine_loudness([p["bp"] for p in parts], n_blocks,
@@ -778,7 +800,7 @@ def _combine_region(parts, tag, loud, bounds, sr):
 
 def fused_master_chunked(
     x, sample_rate: int, cfg: FilterConfig, measurements,
-    progress=None, chunk_secs: float = 240.0,
+    progress=None, chunk_secs: float = 240.0, on_filtered_levels=None,
 ) -> tuple[tuple, int, dict, dict]:
     """Chunked fused pass-2/3/4 master.  Same signature/contract as
     `fused.fused_master`; use for files past the `should_chunk` horizon."""
@@ -904,6 +926,21 @@ def fused_master_chunked(
     pre_gain_db = float(hp["pre_gain_db"])
     ceiling_db = float(hp["ceiling_db"])
     gain_required = float(hp["gain_db"])
+
+    # truthful VU meter: the filtered momentary series + the coming linear
+    # offset is what the LIMIT/B passes will encode (the plan offset lands
+    # below; feed the pre-offset series now and let the caller re-anchor,
+    # or simply ship it after the pass-3 sync — the remaining ~45% of the
+    # wall is the LIMIT/B chunk stream this series narrates)
+    if on_filtered_levels is not None:
+        try:
+            on_filtered_levels(
+                np.asarray(loud_f["momentary"], dtype=np.float64)
+                + (pre_gain_db if needed else 0.0),
+                0.1,
+            )
+        except Exception:
+            pass
 
     # ---- filtered astats (+ flat pass over the live y stream) ----
     ast_f = _run_flat_over(ychunks, _combine_astats(parts_f, n, w), n, C)

@@ -165,6 +165,63 @@ def _region_from_fused(d: dict, present: bool) -> RegionSample | None:
     )
 
 
+def assemble_fused_stage_results(
+    fm: dict,
+    m: AudioMeasurements,
+    eff: FilterConfig,
+    sample_rate: int,
+    n_mono: int,
+) -> tuple[OutputMeasurements, OutputMeasurements, NormalisationResult]:
+    """Host assembly of the filtered/final stage measurements and the
+    NormalisationResult from a fused master's metrics tree (`fused_master`
+    / `fused_master_chunked` / the batched back-catalogue master all emit
+    the same tree shape).  Raises SilentAudioError on un-normalisable
+    input (ref: normalise.go:840-842)."""
+    from ..metering.astats import assemble_astats
+
+    has_noise = m.vad.noise_region is not None
+    has_speech = m.vad.speech_profile is not None
+    w = max(2, int(round(0.05 * sample_rate)))
+    filtered = OutputMeasurements(
+        loudness=_loudness_from_fused(fm["filtered"], sample_rate),
+        astats=assemble_astats(fm["filtered_astats"], n_mono, w),
+        spectral=_spectral_from_means(fm["filtered_spectral"]),
+        room_tone_sample=_region_from_fused(fm["regions"]["filtered_noise"], has_noise),
+        speech_sample=_region_from_fused(fm["regions"]["filtered_speech"], has_speech),
+    )
+    final = OutputMeasurements(
+        loudness=_loudness_from_fused(fm["final"], sample_rate),
+        astats=assemble_astats(fm["final_astats"], n_mono, w),
+        spectral=_spectral_from_means(fm["final_spectral"]),
+        room_tone_sample=_region_from_fused(fm["regions"]["final_noise"], has_noise),
+        speech_sample=_region_from_fused(fm["regions"]["final_speech"], has_speech),
+    )
+
+    plan = fm["plan"]
+    measured_i = float(plan["measured_i"])
+    if not np.isfinite(measured_i) or measured_i < -70.0:
+        raise SilentAudioError("cannot normalise silent audio")
+    norm = NormalisationResult(
+        input_lufs=measured_i,
+        input_tp=float(plan["measured_tp_db"]),
+        output_lufs=final.loudness.integrated_lufs,
+        output_tp=final.loudness.true_peak_db,
+        gain_applied_db=float(plan["offset_db"]),
+        within_target=abs(final.loudness.integrated_lufs - float(plan["effective_i"])) <= 0.5,
+        requested_target_i=eff.loudnorm.target_i,
+        effective_target_i=float(plan["effective_i"]),
+        linear_mode_forced=bool(float(plan["effective_i"]) < eff.loudnorm.target_i - 1e-6),
+        limiter_enabled=bool(plan["needed"]),
+        limiter_ceiling_dbtp=float(plan["ceiling_db"]) if bool(plan["needed"]) else 0.0,
+        limiter_gain_db=float(plan["gain_db"]),
+        limiter_filtered_tp=filtered.loudness.true_peak_db,
+        pre_gain_db=float(plan["pre_gain_db"]),
+        limiter_clamped=bool(plan["clamped"]),
+        final_loudness=final.loudness,
+    )
+    return filtered, final, norm
+
+
 def process_audio(
     x,
     sample_rate: int,
@@ -172,6 +229,7 @@ def process_audio(
     progress=None,
     on_adapted=None,
     fused: bool = True,
+    on_filtered_levels=None,
 ) -> ProcessResult:
     """Full 4-pass master of (channels, n) or (n,) PCM at `sample_rate`.
 
@@ -239,7 +297,8 @@ def process_audio(
                     report("normalising", min(1.0, (frac - 0.55) / 0.45))
 
             out_chunks, out_rate, fm, fused_t = fused_master_chunked(
-                mono, sample_rate, eff, m, progress=chunk_progress
+                mono, sample_rate, eff, m, progress=chunk_progress,
+                on_filtered_levels=on_filtered_levels,
             )
         else:
             from .fused import fused_master
@@ -249,52 +308,12 @@ def process_audio(
                 report("normalising", 0.0)
 
             out_chunks, out_rate, fm, fused_t = fused_master(
-                mono, sample_rate, eff, m, on_stage_a_done=_stage_a_done
+                mono, sample_rate, eff, m, on_stage_a_done=_stage_a_done,
+                on_filtered_levels=on_filtered_levels,
             )
 
-        has_noise = m.vad.noise_region is not None
-        has_speech = m.vad.speech_profile is not None
-        filtered = OutputMeasurements(
-            loudness=_loudness_from_fused(fm["filtered"], sample_rate),
-            astats=None,
-            spectral=_spectral_from_means(fm["filtered_spectral"]),
-            room_tone_sample=_region_from_fused(fm["regions"]["filtered_noise"], has_noise),
-            speech_sample=_region_from_fused(fm["regions"]["filtered_speech"], has_speech),
-        )
-        from ..metering.astats import assemble_astats
-
-        w = max(2, int(round(0.05 * sample_rate)))
-        n_mono = int(mono.shape[0])
-        filtered.astats = assemble_astats(fm["filtered_astats"], n_mono, w)
-        final = OutputMeasurements(
-            loudness=_loudness_from_fused(fm["final"], sample_rate),
-            astats=assemble_astats(fm["final_astats"], n_mono, w),
-            spectral=_spectral_from_means(fm["final_spectral"]),
-            room_tone_sample=_region_from_fused(fm["regions"]["final_noise"], has_noise),
-            speech_sample=_region_from_fused(fm["regions"]["final_speech"], has_speech),
-        )
-
-        plan = fm["plan"]
-        measured_i = float(plan["measured_i"])
-        if not np.isfinite(measured_i) or measured_i < -70.0:
-            raise SilentAudioError("cannot normalise silent audio")
-        norm = NormalisationResult(
-            input_lufs=measured_i,
-            input_tp=float(plan["measured_tp_db"]),
-            output_lufs=final.loudness.integrated_lufs,
-            output_tp=final.loudness.true_peak_db,
-            gain_applied_db=float(plan["offset_db"]),
-            within_target=abs(final.loudness.integrated_lufs - float(plan["effective_i"])) <= 0.5,
-            requested_target_i=eff.loudnorm.target_i,
-            effective_target_i=float(plan["effective_i"]),
-            linear_mode_forced=bool(float(plan["effective_i"]) < eff.loudnorm.target_i - 1e-6),
-            limiter_enabled=bool(plan["needed"]),
-            limiter_ceiling_dbtp=float(plan["ceiling_db"]) if bool(plan["needed"]) else 0.0,
-            limiter_gain_db=float(plan["gain_db"]),
-            limiter_filtered_tp=filtered.loudness.true_peak_db,
-            pre_gain_db=float(plan["pre_gain_db"]),
-            limiter_clamped=bool(plan["clamped"]),
-            final_loudness=final.loudness,
+        filtered, final, norm = assemble_fused_stage_results(
+            fm, m, eff, sample_rate, int(mono.shape[0])
         )
         # MEASURED stage walls (fused_master blocks per stage): stage A is
         # the pass-2 chain + filtered metering + limiter plan + pass-3

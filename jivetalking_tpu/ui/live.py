@@ -10,10 +10,15 @@ in place with ANSI cursor movement on a ticker thread, independent of
 message arrival (the reference's 60 fps meter tick).
 
 The meter's level signal: the device passes are monolithic kernels rather
-than a frame stream, so the pool feeds the 250 ms interval RMS series
-measured in Pass 1 (PoolEvents.on_levels) and the ticker plays it back at
-the row's current progress position — spring-eased level, 1 s peak hold
-with decay, exactly the reference's meter dynamics.
+than a frame stream, so the pool feeds a level series
+(PoolEvents.on_levels) and the ticker plays it back at the row's current
+progress position — spring-eased level, 1 s peak hold with decay, exactly
+the reference's meter dynamics.  The series starts as the Pass-1 250 ms
+interval RMS (all that exists while the cleanup chain runs) and is
+REPLACED by the PROCESSED signal's 100 ms momentary series + linear-mode
+offset the moment the master's filtered metering lands (stage-A
+completion / the chunked plan sync), so the normalising tail meters what
+is actually being encoded (ref: encoder.go:235-257).
 
 Thread-safe: pool workers post typed updates (the reference's message
 types, messages.go:10-84) under a lock; only the ticker thread writes to

