@@ -41,55 +41,24 @@ def envelope_coeff(ms: float, sample_rate: float) -> float:
 _LR_BLOCK = 65536
 
 
-_PREFIX_RADIX = 8
-
-
 def _ab_prefix(A: jnp.ndarray, B: jnp.ndarray, length: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Inclusive prefix of the first-order-recurrence monoid
+    """Inclusive Hillis-Steele prefix of the first-order-recurrence monoid
     (A1,B1)∘(A2,B2) = (A1·A2, A2·B1+B2) along the last axis.
 
-    Work-efficient recursive form: Hillis-Steele within radix-R groups,
-    recurse on the group aggregates (1/R the data), then compose each
-    group's local prefix after the carried prefix of everything before it.
-    HBM traffic is ~(log2 R + 1)·R/(R-1) ≈ 4.6 full passes instead of the
-    flat Hillis-Steele's log2(n) (16 at the 64k block) — these prefixes
-    are pure bandwidth, so the flat form spent ~3x longer on reads/writes
-    (profiled 2026-08-17: the four stage-A envelope followers were the
-    largest unattributed block of device time)."""
-    pad0 = [(0, 0)] * (A.ndim - 1)
-    R = _PREFIX_RADIX
-    if length <= 2 * R:
-        s = 1
-        while s < length:
-            Ash = jnp.pad(A, pad0 + [(s, 0)], constant_values=1.0)[..., :length]
-            Bsh = jnp.pad(B, pad0 + [(s, 0)])[..., :length]
-            A, B = Ash * A, A * Bsh + B
-            s *= 2
-        return A, B
-
-    lead = A.shape[:-1]
-    m = -(-length // R)
-    pad = m * R - length
-    if pad:
-        A = jnp.concatenate([A, jnp.ones((*lead, pad), A.dtype)], axis=-1)
-        B = jnp.concatenate([B, jnp.zeros((*lead, pad), B.dtype)], axis=-1)
-    Ag = A.reshape(*lead, m, R)
-    Bg = B.reshape(*lead, m, R)
-    padg = [(0, 0)] * (Ag.ndim - 1)
+    Deliberately the FLAT form: a work-efficient radix-R recursion (prefix
+    within (…, m, R) groups, recurse on aggregates) reads as ~4.6 HBM
+    passes on paper but a last axis of R=8 wastes 15/16 of every (8, 128)
+    TPU memory tile — measured 2026-08-17 it made the four stage-A
+    followers 1.14 s of device time (~10x the flat form).  Don't
+    "optimise" this without a trace."""
     s = 1
-    while s < R:
-        Ash = jnp.pad(Ag, padg + [(s, 0)], constant_values=1.0)[..., :R]
-        Bsh = jnp.pad(Bg, padg + [(s, 0)])[..., :R]
-        Ag, Bg = Ash * Ag, Ag * Bsh + Bg
+    pad0 = [(0, 0)] * (A.ndim - 1)
+    while s < length:
+        Ash = jnp.pad(A, pad0 + [(s, 0)], constant_values=1.0)[..., :length]
+        Bsh = jnp.pad(B, pad0 + [(s, 0)])[..., :length]
+        A, B = Ash * A, A * Bsh + B
         s *= 2
-    # prefix over the group aggregates, shifted to "everything before group i"
-    Aa, Ba = _ab_prefix(Ag[..., -1], Bg[..., -1], m)
-    Ac = jnp.concatenate([jnp.ones((*lead, 1), A.dtype), Aa[..., :-1]], axis=-1)
-    Bc = jnp.concatenate([jnp.zeros((*lead, 1), B.dtype), Ba[..., :-1]], axis=-1)
-    Ao = Ag * Ac[..., None]
-    Bo = Bg + Ag * Bc[..., None]
-    return (Ao.reshape(*lead, m * R)[..., :length],
-            Bo.reshape(*lead, m * R)[..., :length])
+    return A, B
 
 
 def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, y0: float | jnp.ndarray = 0.0) -> jnp.ndarray:

@@ -56,47 +56,18 @@ _MP_BLOCK = 65536
 _MP_NEG = -3.0e38
 
 
-_MP_RADIX = 8
-
-
 def _mp_prefix(P: jnp.ndarray, c, length: int) -> jnp.ndarray:
     """Inclusive max-plus prefix w[t] = max(P[t], w[t-1] + c) along the last
-    axis (prefix combine over distance s adds s*c).
-
-    Work-efficient recursive form (same shape as dynamics._ab_prefix):
-    Hillis-Steele within radix-R groups, recurse on the group aggregates
-    with c' = R*c, then apply each group's carry with per-position step
-    offsets.  ~4.6 full HBM passes instead of log2(n) — the flat form was
-    pure-bandwidth-bound (profiled 2026-08-17)."""
-    pad0 = [(0, 0)] * (P.ndim - 1)
-    R = _MP_RADIX
-    if length <= 2 * R:
-        s = 1
-        while s < length:
-            Psh = jnp.pad(P, pad0 + [(s, 0)], constant_values=_MP_NEG)[..., :length]
-            P = jnp.maximum(P, Psh + s * c)
-            s *= 2
-        return P
-
-    lead = P.shape[:-1]
-    m = -(-length // R)
-    pad = m * R - length
-    if pad:
-        P = jnp.concatenate(
-            [P, jnp.full((*lead, pad), _MP_NEG, P.dtype)], axis=-1)
-    Pg = P.reshape(*lead, m, R)
-    padg = [(0, 0)] * (Pg.ndim - 1)
+    axis (Hillis-Steele; step s adds s*c).  Deliberately the FLAT form —
+    see dynamics._ab_prefix for why a radix-R recursion is a TPU layout
+    trap (measured 2026-08-17)."""
     s = 1
-    while s < R:
-        Psh = jnp.pad(Pg, padg + [(s, 0)], constant_values=_MP_NEG)[..., :R]
-        Pg = jnp.maximum(Pg, Psh + s * c)
+    pad0 = [(0, 0)] * (P.ndim - 1)
+    while s < length:
+        Psh = jnp.pad(P, pad0 + [(s, 0)], constant_values=_MP_NEG)[..., :length]
+        P = jnp.maximum(P, Psh + s * c)
         s *= 2
-    Pa = _mp_prefix(Pg[..., -1], R * c, m)
-    carry = jnp.concatenate(
-        [jnp.full((*lead, 1), _MP_NEG, P.dtype), Pa[..., :-1]], axis=-1)
-    steps = jnp.arange(1, R + 1, dtype=jnp.float32) * c
-    Po = jnp.maximum(Pg, carry[..., None] + steps)
-    return Po.reshape(*lead, m * R)[..., :length]
+    return P
 
 
 def _maxplus_prefix(v: jnp.ndarray, c) -> jnp.ndarray:

@@ -210,6 +210,31 @@ def _deess_chunk(
     return y, envs[0][-1], envs[1][-1]
 
 
+def _tp_window_end_max(tp_ext_tail, tp_bank, C: int, k0, n_total):
+    """max |4x-oversampled interpolation| over the 12-tap windows ENDING in
+    this chunk's span [k0, k0+C), plus the file-end zero-pad ring when the
+    span reaches n_total.
+
+    `_tp_oversampled_max` zero-pads BOTH edges of whatever it is given, so
+    calling it per chunk manufactured interpolation values that do not
+    exist in the whole-file oversampling — a truncated window of a real
+    oscillation at a chunk seam overshot the true peak by up to +0.175 dB
+    (measured 2026-08-17), past the +-0.1 dBTP metering contract.  This
+    valid-window form reproduces the whole-file `_tp_oversampled_max`
+    EXACTLY: chunk 0's left zeros are the file-start pad, interior seams
+    use real halo samples, and the final ring windows are admitted only
+    once the span covers the signal end."""
+    taps = int(tp_bank.shape[1])
+    xe = jnp.concatenate(
+        [tp_ext_tail, jnp.zeros(taps - 1, tp_ext_tail.dtype)])
+    n_out = C + taps - 1
+    acc = jnp.zeros((int(tp_bank.shape[0]), n_out), jnp.float32)
+    for k in range(taps):
+        acc = acc + tp_bank[:, k][:, None] * xe[k : k + n_out][None, :]
+    ok = (jnp.arange(n_out) < C) | (k0 + C >= n_total)
+    return jnp.max(jnp.abs(acc) * ok[None, :])
+
+
 def _stage_partials_tree(
     ext,                     # (hm + C,) stage signal with LEFT halo
     k0,                      # traced: global sample index of ext[hm]
@@ -246,10 +271,11 @@ def _stage_partials_tree(
         axis=1,
     )
 
-    # ---- peaks (tp windows by end; overlap double-count harmless) ----
+    # ---- peaks (tp windows assigned by END, valid-window only) ----
     tp_ext = jnp.where(k0 + jnp.arange(-hm, C) < n_total, ext, 0.0)
     taps = int(tp_bank.shape[1])
-    out["tp_max"] = _tp_oversampled_max(tp_ext[hm - (taps - 1):], tp_bank)
+    out["tp_max"] = _tp_window_end_max(
+        tp_ext[hm - (taps - 1):], tp_bank, C, k0, n_total)
     out["speak_max"] = jnp.max(jnp.abs(xv))
 
     # ---- astats partials ----
@@ -381,7 +407,7 @@ def _loudness_partials(ext, k0, n_total, kw_ir, tp_bank, sr: int, C: int, hm: in
     gpos = k0 + jnp.arange(-hm, C)
     xv = jnp.where(gpos < n_total, ext, 0.0)
     taps = int(tp_bank.shape[1])
-    tp = _tp_oversampled_max(xv[hm - (taps - 1):], tp_bank)
+    tp = _tp_window_end_max(xv[hm - (taps - 1):], tp_bank, C, k0, n_total)
     speak = jnp.max(jnp.abs(xv[hm:]))
     return bp, tp, speak
 
