@@ -88,8 +88,9 @@ def main() -> None:
                 * 32768.0), -32768, 32767).astype(np.int16)
             for _ in range(n_files)
         ]
+        workers = int(os.environ.get("BENCH_WORKERS", "3"))
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=min(3, n_files)) as ex:
+        with ThreadPoolExecutor(max_workers=min(workers, n_files)) as ex:
             results = list(ex.map(lambda f: process_audio(f, sr), files))
         wall = time.perf_counter() - t0
         res = results[-1]

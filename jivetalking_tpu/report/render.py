@@ -45,8 +45,9 @@ def _fmt_duration(secs: float) -> str:
     return f"{secs:.1f}s"
 
 
-def _fmt(value, unit: str = "") -> str:
-    """(ref: mdtable.go:80-131 formatting rules)."""
+def _fmt(value, unit: str = "", signed: bool = False) -> str:
+    """(ref: mdtable.go:80-131 formatting rules; `signed` renders an
+    explicit + for positives — the target-offset row, formatMetricSigned)."""
     if value is None:
         return "-"
     if isinstance(value, bool):
@@ -63,22 +64,36 @@ def _fmt(value, unit: str = "") -> str:
         return "< -70"
     if not math.isfinite(v):
         return "-"
-    if unit in ("LUFS", "dBTP", "dBFS", "dB", "s"):
-        return f"{v:.2f}"
-    if unit == "LU":
-        return f"{v:+.2f}" if "offset" in unit else f"{v:.2f}"
-    if unit == "Hz":
+    if signed:
+        return f"{v:+.2f}"
+    if unit in ("LUFS", "dBTP", "dBFS", "dB", "LU", "s", "Hz"):
         return f"{v:.2f}"
     if abs(v) != 0 and (abs(v) < 1e-3 or abs(v) >= 1e6):
         return f"{v:.2e}"
     return f"{v:.4f}"
 
 
+def _escape_cell(cell: str) -> str:
+    """Backslash-escape literal pipes and collapse newlines/carriage
+    returns to a space so neither can break the row or column structure —
+    the metric-definition glosses carry `|min|,|max|`
+    (ref: escapeCell, mdtable.go; TestMdTableEscapesCellContent)."""
+    if "|" not in cell and "\n" not in cell and "\r" not in cell:
+        return cell
+    return (cell.replace("|", "\\|")
+                .replace("\r\n", " ").replace("\n", " ").replace("\r", " "))
+
+
 def _table(headers: list[str], rows: list[list[str]]) -> str:
-    out = ["| " + " | ".join(headers) + " |",
+    """Markdown table; short rows pad with the placeholder, over-long rows
+    truncate to the header width, cells escape (ref: mdTable, mdtable.go)."""
+    width = len(headers)
+    out = ["| " + " | ".join(_escape_cell(h) for h in headers) + " |",
            "| " + " | ".join("---" for _ in headers) + " |"]
     for r in rows:
-        out.append("| " + " | ".join(r) + " |")
+        cells = [_escape_cell(c) for c in r[:width]]
+        cells += ["-"] * (width - len(cells))
+        out.append("| " + " | ".join(cells) + " |")
     return "\n".join(out)
 
 
@@ -88,7 +103,11 @@ def _metric_rows(keys: list[str], stages: dict) -> list[list[str]]:
     rows = []
     for key in keys:
         label, definition, unit = define(key)
-        cells = [_fmt(stages[s].get(key), unit) for s in present]
+        # the target-offset row renders with an explicit sign
+        # (ref: formatMetricSigned, mdtable.go:129-131; "+19.22" in
+        # sections_test.go TestRenderLoudnessFullStages)
+        signed = key.startswith("target_offset")
+        cells = [_fmt(stages[s].get(key), unit, signed=signed) for s in present]
         rows.append([label, f"{definition} ({unit})" if unit else definition, *cells])
     return rows
 

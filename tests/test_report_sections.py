@@ -1,0 +1,285 @@
+"""Report renderer behavioural vectors ported from the reference's report
+suite (ref: internal/report/mdtable_test.go, render_test.go,
+sections_test.go, sections_filters_test.go).  The renderer consumes only
+the record dict — never re-measures (render.go:1-10)."""
+
+import math
+
+import pytest
+
+from jivetalking_tpu.report.render import (
+    Timings,
+    _escape_cell,
+    _fmt,
+    _table,
+    render_markdown,
+)
+
+
+def full_record() -> dict:
+    """A full processing record covering every section (the shape
+    new_run_record emits; values chosen to match the reference's
+    fullLoudnessRecord spot values where cited)."""
+    stages = {
+        "input": {"integrated_lufs": -35.22, "true_peak_dbtp": -19.95,
+                  "lra_lu": 7.2, "thresh_lufs": -45.2, "momentary_lufs": -20.1,
+                  "short_term_lufs": -25.3, "sample_peak_dbfs": -20.2,
+                  "target_offset_db": 19.22},
+        "filtered": {"integrated_lufs": -25.10, "true_peak_dbtp": -18.2,
+                     "lra_lu": 6.8, "thresh_lufs": -35.1,
+                     "momentary_lufs": -18.0, "short_term_lufs": -21.0,
+                     "sample_peak_dbfs": -18.5, "target_offset_db": 9.10},
+        "final": {"integrated_lufs": -16.05, "true_peak_dbtp": -2.51,
+                  "lra_lu": 6.5, "thresh_lufs": -26.1, "momentary_lufs": -9.8,
+                  "short_term_lufs": -12.2, "sample_peak_dbfs": -3.1,
+                  "target_offset_db": 0.05},
+    }
+    return {
+        "schema_version": 1,
+        "run": {"input_file": "EP83-mark.flac", "version": "test",
+                "executable": "jivetalking-tpu",
+                "processed_at": "2026-06-11T17:20:55+01:00",
+                "duration_s": 2856.9, "sample_rate_hz": 44100, "channels": 1},
+        "loudness": {"stages": stages},
+        "dynamics": {"stages": {
+            "input": {"rms_level_dbfs": -40.1, "peak_level_dbfs": -20.2,
+                      "crest_factor_astats_db": 19.9, "entropy": 0.55},
+        }},
+        "spectral": {"stages": {
+            "input": {"centroid_hz": 3348.05, "flatness": 0.255,
+                      "kurtosis": 12.80, "flux": 0.004},
+        }},
+        "noise": {"floor_dbfs": -84.58, "floor_source": "vad_percentile",
+                  "floor_prescan_dbfs": -83.60, "voice_activated": False,
+                  "floored_fraction": 0.1234, "reduction_headroom_db": 40.12},
+        "regions": {
+            "room_tone": {"elected": {"start_s": 7.0, "duration_s": 10.0,
+                                      "measured_floor_dbfs": -84.58,
+                                      "peak_level_dbfs": -71.22,
+                                      "crest_factor_db": 13.36,
+                                      "entropy": 0.0011}},
+            "speech": {"elected": {
+                "region": {"start_s": 1467.0, "duration_s": 60.0},
+                "rms_level_dbfs": -45.37, "peak_level_dbfs": -15.46,
+                "crest_factor_db": 29.91, "momentary_lufs": -40.93,
+                "true_peak_dbtp": -13.15,
+                "speech_band_body_rms_dbfs": -48.05,
+                "speech_band_sib_rms_dbfs": -55.87,
+                "voicing_density": 0.856, "score": 0.65,
+            }, "candidates_summary": {"evaluated_count": 2,
+                                      "elected_score": 0.65}},
+            "gate_statistics": {"voiced_low_percentile_dbfs": -34.20,
+                                "noise_high_percentile_dbfs": -78.50,
+                                "gate_separation_db": 44.30},
+        },
+        "interval_summary": {"count": 20, "rms_distribution": {
+            "min_dbfs": -86.0, "p10_dbfs": -80.0, "p50_dbfs": -60.0,
+            "p90_dbfs": -35.0, "max_dbfs": -29.0}, "largest_gap_db": 6.0},
+        "filters": {
+            "rumble_highpass": {"frequency": 80.0, "poles": 2,
+                                "width": 0.707, "enabled": True},
+            "speech_gate": {"threshold_dbfs": -47.2, "ratio": 2.0,
+                            "attack": 5.0, "release": 200.0,
+                            "range_db": -14.0, "knee": 3.0,
+                            "detection": "rms"},
+        },
+        "normalisation": {"input_lufs": -25.10, "input_dbtp": -19.95,
+                          "output_lufs": -16.05, "output_dbtp": -2.51,
+                          "gain_applied_db": 9.05, "within_target": True,
+                          "requested_target_lufs": -16.0,
+                          "effective_target_lufs": -16.0,
+                          "linear_mode_forced": False, "ceiling_dbtp": 0.0,
+                          "pre_gain_db": 0.0},
+    }
+
+
+def analysis_record() -> dict:
+    rec = full_record()
+    rec.pop("filters")
+    rec.pop("normalisation")
+    for domain in ("loudness", "dynamics", "spectral"):
+        stages = rec[domain]["stages"]
+        rec[domain]["stages"] = {"input": stages["input"]}
+    return rec
+
+
+class TestMdTable:
+    """(ref: TestMdTableStructure / ShortRowPadding / EscapesCellContent /
+    EscapeCellPassThrough, mdtable_test.go:11-84)."""
+
+    def test_structure(self):
+        got = _table(["Metric", "Value"],
+                     [["Integrated", "-16.0"], ["True Peak", "-1.5"],
+                      ["LRA", "7.2"]])
+        assert got == ("| Metric | Value |\n"
+                       "| --- | --- |\n"
+                       "| Integrated | -16.0 |\n"
+                       "| True Peak | -1.5 |\n"
+                       "| LRA | 7.2 |")
+
+    def test_short_row_pads_long_row_truncates(self):
+        got = _table(["A", "B"], [["only-a"], ["x", "y", "z"]])
+        assert got == ("| A | B |\n"
+                       "| --- | --- |\n"
+                       "| only-a | - |\n"
+                       "| x | y |")
+
+    def test_escapes_pipes_and_newlines(self):
+        got = _table(["Metric", "Definition"],
+                     [["Peak", "20*log10(max(|min|,|max|))"],
+                      ["Multi\nline", "carriage\rreturn"]])
+        assert got == ("| Metric | Definition |\n"
+                       "| --- | --- |\n"
+                       "| Peak | 20*log10(max(\\|min\\|,\\|max\\|)) |\n"
+                       "| Multi line | carriage return |")
+
+    def test_escape_passthrough(self):
+        assert _escape_cell("Integrated -16.0 LUFS") == "Integrated -16.0 LUFS"
+
+
+class TestDigitalSilenceBoundaries:
+    """(ref: TestIsDigitalSilence, mdtable_test.go:85-104)."""
+
+    @pytest.mark.parametrize("v,want", [
+        (-math.inf, "< -120"),
+        (-120.0, "< -120"),
+        (-120.1, "< -120"),
+        (-119.9, "-119.90"),
+        (-60.0, "-60.00"),
+        (0.0, "0.00"),
+    ])
+    def test_db_axis(self, v, want):
+        assert _fmt(v, "dBFS") == want
+
+
+class TestSignedTargetOffset:
+    """(ref: formatMetricSigned + '+19.22' in TestRenderLoudnessFullStages,
+    sections_test.go:145-163)."""
+
+    def test_positive_offset_renders_plus(self):
+        md = render_markdown(full_record())
+        assert "+19.22" in md
+        assert "+9.10" in md
+        assert "+0.05" in md
+
+    def test_fmt_signed(self):
+        assert _fmt(19.22, "LU", signed=True) == "+19.22"
+        assert _fmt(-2.5, "LU", signed=True) == "-2.50"
+
+
+class TestSectionOrder:
+    """(ref: TestRenderMarkdownSectionOrder, render_test.go:42-77)."""
+
+    def test_full_report_order(self):
+        md = render_markdown(full_record(), Timings(
+            analysis_s=2.0, processing_s=90.0, realtime_factor=12.5))
+        order = ["# Audio Processing Report", "## Processing Summary",
+                 "## Loudness", "## Dynamics", "## Spectral",
+                 "## Noise Floor", "## Regions", "## Interval Summary",
+                 "## Filter Chain", "## Normalisation"]
+        last = -1
+        for heading in order:
+            idx = md.find(heading)
+            assert idx != -1, heading
+            assert idx > last, heading
+            last = idx
+
+    def test_header_content(self):
+        # (ref: TestRenderHeader, sections_test.go:104-118)
+        md = render_markdown(full_record())
+        for want in ("EP83-mark.flac", "2026-06-11T17:20:55+01:00",
+                     "44.1 kHz", "mono"):
+            assert want in md, want
+
+    def test_processing_summary_zero_omitted(self):
+        # (ref: TestRenderProcessingSummaryZeroOmitted)
+        assert "## Processing Summary" not in render_markdown(
+            full_record(), Timings())
+
+    def test_processing_summary_populated(self):
+        md = render_markdown(full_record(), Timings(
+            analysis_s=2.0, processing_s=90.0, realtime_factor=12.5))
+        for want in ("Pass 1 (analysis)", "Pass 2 (filter chain)",
+                     "Real-time factor", "12.5x", "1m 30s"):
+            assert want in md, want
+
+
+class TestAnalysisOnly:
+    """(ref: TestRenderMarkdownAnalysisOnlyOmitsProcessingSections +
+    TestRenderPass1OnlyOmitsStageColumns, render_test.go:78-116,
+    sections_test.go:209-220)."""
+
+    def test_omits_processing_sections(self):
+        md = render_markdown(analysis_record())
+        for banned in ("## Processing Summary", "## Filter Chain",
+                       "## Normalisation", "Spectrograms"):
+            assert banned not in md, banned
+        assert "| Metric | Definition | Input | Filtered | Final |" not in md
+        for want in ("# Audio Processing Report", "## Loudness",
+                     "## Noise Floor", "## Regions", "## Interval Summary"):
+            assert want in md, want
+
+    def test_stage_columns_input_only(self):
+        md = render_markdown(analysis_record())
+        assert "| Metric | Definition | Input |" in md
+
+
+class TestNoDanglingHeadings:
+    """(ref: TestRenderMarkdownNoDanglingHeadings, render_test.go:117-128)."""
+
+    def test_no_triple_newline(self):
+        for rec in (full_record(), analysis_record()):
+            md = render_markdown(rec, Timings(analysis_s=1.0))
+            assert "\n\n\n" not in md
+
+    def test_nil_record_empty(self):
+        # (ref: TestRenderMarkdownNilRecord)
+        assert render_markdown({}) == ""
+        assert render_markdown(None) == ""
+
+
+class TestNoInterpretationTokens:
+    """(ref: TestRenderNoInterpretationTokens, sections_test.go:239-247):
+    the report states numbers, never editorialises."""
+
+    def test_banned_tokens_absent(self):
+        md = render_markdown(full_record(), Timings(analysis_s=1.0))
+        for banned in ("warm", "bright", "tonal", "broadband", "good",
+                       "Character", "✓", "⚠", "❌"):
+            assert banned not in md, banned
+
+
+class TestRegionsAndGateStats:
+    """(ref: TestRenderRegionsElected / TestRenderGateStatistics /
+    TestRenderSpeechCandidateCountOnly, sections_test.go:359-439)."""
+
+    def test_elected_profiles_render(self):
+        md = render_markdown(full_record())
+        for want in ("### Room Tone", "### Speech", "-84.58", "-45.37",
+                     "1467.00", "60.00"):
+            assert want in md, want
+
+    def test_gate_statistics(self):
+        md = render_markdown(full_record())
+        for want in ("### Gate Statistics", "-34.20", "-78.50", "44.30"):
+            assert want in md, want
+
+    def test_candidate_count(self):
+        md = render_markdown(full_record())
+        assert "Evaluated" in md
+        assert "| Evaluated | 2 |" in md
+
+
+class TestNormalisationNumbers:
+    """(ref: TestRenderNormalisationNumbers / NoGlyphs,
+    sections_filters_test.go:149-215)."""
+
+    def test_numbers_present(self):
+        md = render_markdown(full_record())
+        for want in ("-16.00", "9.05", "-25.10", "-2.51"):
+            assert want in md, want
+
+    def test_filter_chain_order(self):
+        # (ref: TestRenderFiltersChainOrder) — HP before gate
+        md = render_markdown(full_record())
+        assert md.find("Rumble high-pass") < md.find("Speech gate")
