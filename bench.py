@@ -88,7 +88,11 @@ def main() -> None:
                 * 32768.0), -32768, 32767).astype(np.int16)
             for _ in range(n_files)
         ]
-        workers = int(os.environ.get("BENCH_WORKERS", "3"))
+        # 2 concurrent files measured fastest through the tunnel (135.2x
+        # with 4 files vs 115.4x at 3 workers and 80.7x at 4, 2026-08-17):
+        # enough overlap to hide the wire, few enough streams to avoid
+        # GIL + tunnel-client serialisation contention
+        workers = int(os.environ.get("BENCH_WORKERS", "2"))
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=min(workers, n_files)) as ex:
             results = list(ex.map(lambda f: process_audio(f, sr), files))

@@ -458,11 +458,11 @@ def batched_master_chunked(
         report(0.55 + 0.15 * (k + 1) / n_chunks)
     ychunks = None
 
-    p3_np = [(np.asarray(bp_), np.asarray(tp_), np.asarray(sp_))
-             for bp_, tp_, sp_ in p3]
-    loud_m = [FC._combine_loudness([bp_[i] for bp_, _, _ in p3_np], n_blocks[i],
-                                   [float(tp_[i]) for _, tp_, _ in p3_np],
-                                   [float(sp_[i]) for _, _, sp_ in p3_np])
+    # each p3 element is (b, nb+2) packed [bp..., tp, speak] rows
+    p3_np = [np.asarray(pk) for pk in p3]
+    loud_m = [FC._combine_loudness([pk[i, :-2] for pk in p3_np], n_blocks[i],
+                                   [float(pk[i, -2]) for pk in p3_np],
+                                   [float(pk[i, -1]) for pk in p3_np])
               for i in range(b)]
     m_i = np.asarray([float(l["integrated"]) for l in loud_m])
     m_tp_db = np.asarray(

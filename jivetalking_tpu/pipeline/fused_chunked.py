@@ -396,7 +396,9 @@ def _stage_partials_meta(sr: int, C: int, hm: int, w: int,
 
 @functools.partial(jax.jit, static_argnames=("sr", "C", "hm"))
 def _loudness_partials(ext, k0, n_total, kw_ir, tp_bank, sr: int, C: int, hm: int):
-    """bp + peaks only (the pass-3 measurement)."""
+    """bp + peaks only (the pass-3 measurement), as ONE packed vector
+    [bp..., tp, speak] — per-chunk pulls cost a ~30 ms tunnel round trip
+    each, so chunks gather into a single buffer before the host reads."""
     block_len = max(1, int(round(sr * 0.1)))
     kx = _fft_convolve_full(ext, kw_ir, hm + C)[hm:]
     nb = C // block_len
@@ -409,7 +411,7 @@ def _loudness_partials(ext, k0, n_total, kw_ir, tp_bank, sr: int, C: int, hm: in
     taps = int(tp_bank.shape[1])
     tp = _tp_window_end_max(xv[hm - (taps - 1):], tp_bank, C, k0, n_total)
     speak = jnp.max(jnp.abs(xv[hm:]))
-    return bp, tp, speak
+    return jnp.concatenate([bp, tp[None], speak[None]])
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "C", "lookahead"))
@@ -928,11 +930,14 @@ def fused_master_chunked(
         report(0.30 + 0.25 * (k + 1) / n_chunks)
     cchunks = None
 
-    for p in packed_f:
-        p.copy_to_host_async()
+    # ONE gathered pull for all chunks' packed partials (per-chunk pulls
+    # cost a ~30 ms tunnel round trip each — 2026-08-17 this halved the
+    # chunked 5-min master's metric-sync wall)
+    gathered_f = np.asarray(_concat_chunks(tuple(packed_f), k=n_chunks))
+    Lp = gathered_f.size // n_chunks
     treedef, shapes, dtypes = _stage_partials_meta(sr, C, hm, w)
-    parts_f = [_unpack_all(np.asarray(p), shapes, dtypes, treedef)
-               for p in packed_f]
+    parts_f = [_unpack_all(gathered_f[k * Lp : (k + 1) * Lp], shapes, dtypes,
+                           treedef) for k in range(n_chunks)]
     t_stage_a = time.perf_counter() - t0
 
     # ---- plan (host; the same maths as the unfused path) ----
@@ -991,11 +996,12 @@ def fused_master_chunked(
         report(0.55 + 0.15 * (k + 1) / n_chunks)
     ychunks = None
 
-    for b_, t_, s_ in p3:
-        b_.copy_to_host_async(); t_.copy_to_host_async(); s_.copy_to_host_async()
-    loud_m = _combine_loudness([np.asarray(b) for b, _, _ in p3], n_blocks,
-                               [float(np.asarray(t)) for _, t, _ in p3],
-                               [float(np.asarray(s)) for _, _, s in p3])
+    gathered_p3 = np.asarray(_concat_chunks(tuple(p3), k=n_chunks))
+    L3 = gathered_p3.size // n_chunks
+    rows3 = [gathered_p3[k * L3 : (k + 1) * L3] for k in range(n_chunks)]
+    loud_m = _combine_loudness([r[:-2] for r in rows3], n_blocks,
+                               [float(r[-2]) for r in rows3],
+                               [float(r[-1]) for r in rows3])
     m_i = float(loud_m["integrated"])
     m_tp_db = 20.0 * math.log10(max(float(loud_m["true_peak"]), 1e-12))
     _, effective_i, offset_db = linear_mode_scalars(m_i, m_tp_db, target_i, xp=np)
@@ -1016,6 +1022,27 @@ def fused_master_chunked(
     w_carry = jnp.float32(-3.0e38)
     zchunks, packed_z, out_chunks = [], [], []
     zeros_hb = jnp.zeros(hb, jnp.float32)
+    half = taps // 2 if out_rate != sr else 0
+    slack = taps + 2 * M if out_rate != sr else 0
+
+    def emit_delivery(j):
+        # delivery for chunk j (one behind the B stream when resampling —
+        # it needs the right neighbour); the host pull starts IMMEDIATELY
+        # so the multi-MB downlink overlaps the remaining B/partials
+        # compute instead of queueing after it (the exposed tail is then
+        # only the final chunk's pull)
+        if out_rate != sr:
+            left = zchunks[j - 1][-half:] if j > 0 else jnp.zeros(half, jnp.float32)
+            right = (zchunks[j + 1][:slack] if j + 1 < n_chunks
+                     else jnp.zeros(slack, jnp.float32))
+            c = _resample_chunk(left, zchunks[j], right, B,
+                                L=L, M=M, taps=taps, C=C)
+        else:
+            c = jnp.clip(jnp.round(zchunks[j] * 32767.0),
+                         -32768.0, 32767.0).astype(jnp.int16)
+        c.copy_to_host_async()
+        out_chunks.append(c)
+
     for k in range(n_chunks):
         left = pchunks[k - 1][-hb:] if k > 0 else zeros_hb
         right = pchunks[k + 1][:hb] if k + 1 < n_chunks else zeros_hb
@@ -1028,28 +1055,15 @@ def fused_master_chunked(
         packed_z.append(_stage_partials_packed(
             jnp.concatenate([zl, z_k]), jnp.int32(k * C), jnp.int32(n),
             noise_b, speech_b, kw_ir, tp_bank, sr=sr, C=C, hm=hm, w=w))
+        if k >= 1:
+            emit_delivery(k - 1)
         report(0.70 + 0.20 * (k + 1) / n_chunks)
+    emit_delivery(n_chunks - 1)
+    n_out = n * L // M if out_rate != sr else n
 
-    # delivery resample one chunk behind (needs the right neighbour)
-    if out_rate != sr:
-        half = taps // 2
-        slack = taps + 2 * M
-        for k in range(n_chunks):
-            left = zchunks[k - 1][-half:] if k > 0 else jnp.zeros(half, jnp.float32)
-            right = zchunks[k + 1][:slack] if k + 1 < n_chunks else jnp.zeros(slack, jnp.float32)
-            out_chunks.append(_resample_chunk(left, zchunks[k], right, B,
-                                              L=L, M=M, taps=taps, C=C))
-        n_out = n * L // M
-    else:
-        for k in range(n_chunks):
-            out_chunks.append(jnp.clip(jnp.round(zchunks[k] * 32767.0),
-                                       -32768.0, 32767.0).astype(jnp.int16))
-        n_out = n
-
-    for p in packed_z:
-        p.copy_to_host_async()
-    parts_z = [_unpack_all(np.asarray(p), shapes, dtypes, treedef)
-               for p in packed_z]
+    gathered_z = np.asarray(_concat_chunks(tuple(packed_z), k=n_chunks))
+    parts_z = [_unpack_all(gathered_z[k * Lp : (k + 1) * Lp], shapes, dtypes,
+                           treedef) for k in range(n_chunks)]
 
     loud_z = _combine_loudness([p["bp"] for p in parts_z], n_blocks,
                                [float(p["tp_max"]) for p in parts_z],
@@ -1093,9 +1107,8 @@ def fused_master_chunked(
         },
     }
 
-    # start delivery pulls; trim the pad tail off the final chunk
-    for c in out_chunks:
-        c.copy_to_host_async()
+    # delivery pulls are already in flight (emit_delivery); trim the pad
+    # tail off the final chunk
     full = np.concatenate([np.asarray(c) for c in out_chunks])[:n_out]
     out_final = (full,)
 

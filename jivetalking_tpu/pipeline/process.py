@@ -64,6 +64,15 @@ class ProcessResult:
     pass_timings: dict = field(default_factory=dict)   # pass name -> seconds
 
 
+def _remote_attached() -> bool:
+    """True when the accelerator hangs off the remote-attach tunnel (the
+    axon dev environment): transfers cost ~25-40 MB/s there, so transfer
+    overlap dominates routing choices that are irrelevant on PCIe."""
+    import jax
+
+    return "axon" in str(jax.config.jax_platforms or "")
+
+
 def _pull_pcm(dev) -> np.ndarray:
     """Device->host pull of the delivery PCM.  The remote-TPU tunnel moves
     one buffer at ~15-25 MB/s but overlaps concurrent transfers, so a large
@@ -285,7 +294,20 @@ def process_audio(
         # carried state, per-chunk progress, bounded HBM.
         report("processing", 0.0)
 
-        if should_chunk(int(mono.shape[0]), sample_rate):
+        n_mono = int(mono.shape[0])
+        chunk = should_chunk(n_mono, sample_rate)
+        chunk_secs = 240.0
+        if not chunk and _remote_attached() and n_mono >= 120 * sample_rate:
+            # remote-tunnel deployment (the axon dev attach): the chunked
+            # master's per-chunk delivery pulls overlap the remaining
+            # device compute, hiding most of the multi-MB downlink that a
+            # whole-file master pays serially after stage B (measured
+            # 2026-08-17: ~0.7 s of a 5-min file's 2.6 s wall).  On PCIe
+            # the transfer is ~20 ms and whole-file (fewer dispatches)
+            # stays the default.
+            chunk = True
+            chunk_secs = 75.0
+        if chunk:
             from .fused_chunked import fused_master_chunked
 
             def chunk_progress(frac):
@@ -298,6 +320,7 @@ def process_audio(
 
             out_chunks, out_rate, fm, fused_t = fused_master_chunked(
                 mono, sample_rate, eff, m, progress=chunk_progress,
+                chunk_secs=chunk_secs,
                 on_filtered_levels=on_filtered_levels,
             )
         else:

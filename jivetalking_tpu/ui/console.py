@@ -46,25 +46,50 @@ def _arrow_row(label: str, before, after, unit: str) -> str:
     return row
 
 
+# display clamp for the noise-floor rows: anything at/below the 16-bit
+# quantisation floor renders "< -96" (ref: noise-floor clamp,
+# view_layout_test.go:326-357 — "-inf" and "-120" both display "< -96")
+NOISE_FLOOR_DISPLAY_MIN_DB = -96.0
+
+
+def _fmt_noise_floor(v: float | None) -> str:
+    if v is None:
+        return "-"
+    if v == -math.inf or v <= NOISE_FLOOR_DISPLAY_MIN_DB:
+        return "< -96"
+    if not math.isfinite(v):
+        return "-"
+    return f"{v:.1f}"
+
+
 def render_done_box(o: FileOutcome) -> str:
-    """Per-file completion box (ref: done box, views.go:646-860)."""
+    """Per-file completion box (ref: done box, views.go:646-860; row order
+    Time, Loudness, True peak, Dynamics, Noise floor, Recording, Processed
+    per TestDoneBoxRowOrder, view_layout_test.go:414-445)."""
     if o.error:
         return f"✗ {o.path}: {o.error}"
     lines = [f"✓ {o.path} -> {o.output_path}"]
+    lines.append(
+        f"  {'Time':<14} {_fmt_wall(o.wall_secs)}  ⚡ {o.realtime_factor:.1f}x realtime"
+    )
     lines.append(_arrow_row("Loudness", o.input_lufs, o.output_lufs, "LUFS"))
     lines.append(_arrow_row("True peak", o.input_tp, o.output_tp, "dBTP"))
-    lines.append(_arrow_row("Loudness range", o.input_lra, o.output_lra, "LU"))
+    lines.append(_arrow_row("Dynamics", o.input_lra, o.output_lra, "LU"))
     if o.input_noise_floor is not None:
         after = o.output_noise_floor
         if after is not None:
-            lines.append(_arrow_row("Noise floor", o.input_noise_floor, after, "dBFS"))
+            row = (f"  {'Noise floor':<14} {_fmt_noise_floor(o.input_noise_floor):>8}"
+                   f" -> {_fmt_noise_floor(after):>8} dBFS")
+            delta = (float(after) - float(o.input_noise_floor)
+                     if all(math.isfinite(x) for x in (after, o.input_noise_floor))
+                     else None)
+            if delta is not None:
+                row += f"  Δ {delta:+.1f}"
+            lines.append(row)
         else:
-            lines.append(f"  {'Noise floor':<14} {_fmt_db(o.input_noise_floor):>8} dBFS")
+            lines.append(f"  {'Noise floor':<14} {_fmt_noise_floor(o.input_noise_floor):>8} dBFS")
     lines.append(f"  {'Recording':<14} {stars_row(o.recording_stars, o.recording_label)}")
     lines.append(f"  {'Processed':<14} {stars_row(o.quality_stars, o.quality_label)}")
-    lines.append(
-        f"  {'Wall time':<14} {_fmt_wall(o.wall_secs)}  ⚡ {o.realtime_factor:.1f}x realtime"
-    )
     return "\n".join(lines)
 
 

@@ -252,3 +252,86 @@ class TestViewport:
         assert len(lines) == 10
         assert "earlier line" in lines[0]
         assert lines[-1] == "line39"
+
+
+from jivetalking_tpu.cli.pool import FileOutcome
+from jivetalking_tpu.ui.console import render_done_box
+
+
+class TestDoneBoxReferenceInvariants:
+    """Behavioural invariants ported from the reference's done-box suite
+    (ref: view_layout_test.go:152-594), adapted to the plain-string
+    renderer: row order, signed unit-less deltas, LUFS-not-dB loudness,
+    the 16-bit noise-floor display clamp, and non-hardcoded star bars."""
+
+    def _outcome(self, **kw):
+        base = dict(
+            path="LMP-81-mark.flac",
+            output_path="LMP-81-mark-LUFS-16-processed.flac",
+            input_lufs=-30.9, output_lufs=-15.9,
+            input_tp=-0.1, output_tp=-2.0,
+            input_lra=12.3, output_lra=8.0,
+            input_noise_floor=-62.0, output_noise_floor=-80.0,
+            quality_stars=4, quality_label="Excellent",
+            recording_stars=3, recording_label="Good",
+            wall_secs=151.0, realtime_factor=17.9,
+        )
+        base.update(kw)
+        return FileOutcome(**base)
+
+    def test_row_order(self):
+        # (ref: TestDoneBoxRowOrder, view_layout_test.go:414-445)
+        box = render_done_box(self._outcome())
+        order = ["Time", "Loudness", "True peak", "Dynamics", "Noise floor",
+                 "Recording", "Processed"]
+        last = -1
+        for label in order:
+            idx = box.find(label)
+            assert idx != -1, label
+            assert idx > last, label
+            last = idx
+
+    def test_loudness_in_lufs_with_signed_delta(self):
+        # (ref: TestDoneBoxRendersIndigoLabelledRows:196-207)
+        box = render_done_box(self._outcome())
+        assert "LUFS" in box
+        assert "Δ +15.0" in box
+        # the delta carries no unit
+        assert "Δ +15.0 LUFS" not in box and "Δ +15.0 dB" not in box
+
+    def test_true_peak_signed_delta(self):
+        # (ref: TestDoneBoxTruePeakRow, view_layout_test.go:358-384)
+        box = render_done_box(self._outcome())
+        assert "True peak" in box
+        assert "Δ -1.9" in box
+
+    def test_stars_not_hardcoded(self):
+        # (ref: the 4-star file must NOT render a 5-star bar, :218-230)
+        box = render_done_box(self._outcome())
+        assert "★★★★☆" in box
+        assert "★★★★★" not in box
+        assert "★★★☆☆" in box   # recording 3-of-5
+
+    @pytest.mark.parametrize("floor,want", [
+        (float("-inf"), "< -96"),
+        (-120.0, "< -96"),
+        (-89.0, "-89.0"),
+    ])
+    def test_noise_floor_display_clamp(self, floor, want):
+        # (ref: TestDoneBoxNoiseFloorClamp, view_layout_test.go:326-357)
+        box = render_done_box(self._outcome(output_noise_floor=floor))
+        assert want in box, box
+
+    def test_arrow_columns_align(self):
+        # (ref: TestDoneBoxColumnsAlign, view_layout_test.go:452-527):
+        # the -> sits at the same column on every before->after row
+        box = render_done_box(self._outcome())
+        arrows = [line.find("->") for line in box.splitlines()
+                  if "->" in line and not line.startswith("✓")]
+        assert len(arrows) >= 3
+        assert len(set(arrows)) == 1, box
+
+    def test_heading_shows_output_path(self):
+        box = render_done_box(self._outcome())
+        heading = box.splitlines()[0]
+        assert "LMP-81-mark-LUFS-16-processed.flac" in heading
