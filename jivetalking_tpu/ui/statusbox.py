@@ -28,6 +28,15 @@ def _box(title: str, rows: list[str]) -> str:
     return "\n".join([top, *rows, bottom])
 
 
+def format_sample_rate(hz: float) -> str:
+    """kHz with a trimmed trailing .0: 44100 -> '44.1 kHz', 48000 ->
+    '48 kHz' (ref: formatSampleRate, TestFormatSampleRate,
+    statusboxes_test.go:93-111)."""
+    khz = hz / 1000.0
+    s = f"{khz:.1f}".rstrip("0").rstrip(".")
+    return f"{s} kHz"
+
+
 def _db(v: float) -> str:
     return f"{v:.1f} ㏈" if math.isfinite(v) else "-"
 
@@ -52,13 +61,13 @@ def render_filter_chain_box(s: AdaptedSummary) -> str:
     rows = [
         _row("Downmix", "mono" if s.downmix_mono else "off"),
         _row("High-pass", f"{s.highpass_hz:.0f} Hz"),
-        _row("Low-pass", f"{s.lowpass_hz / 1000:.1f} kHz"),
+        _row("Low-pass", format_sample_rate(s.lowpass_hz)),
         _row("Denoise", "+".join(denoise) if denoise else "off"),
         _row("Gate", f"{_db(s.gate_thresh_db)} @ {s.gate_ratio:.1f}:1"),
         _row("Compressor", f"{_db(s.comp_thresh_db)} @ 3.0:1"),
         _row("De-esser", f"i={s.deesser_i:.2f}" if s.deesser_on else "off"),
         _row("Limiter", limiter),
-        _row("Output", f"{s.sample_rate / 1000:.1f} kHz s16"),
+        _row("Output", f"{format_sample_rate(s.sample_rate)} s16"),
     ]
     return _box("Filter Chain", rows)
 

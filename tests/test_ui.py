@@ -335,3 +335,60 @@ class TestDoneBoxReferenceInvariants:
         box = render_done_box(self._outcome())
         heading = box.splitlines()[0]
         assert "LMP-81-mark-LUFS-16-processed.flac" in heading
+
+
+class TestStatusBoxReferenceInvariants:
+    """(ref: statusboxes_test.go:46-190): pending vs off distinction,
+    lit-row values, limiter pending-until-known, sample-rate trimming."""
+
+    def _lit_summary(self):
+        from jivetalking_tpu.ui.summary import AdaptedSummary
+
+        return AdaptedSummary(
+            chain_ready=True, downmix_mono=True, highpass_hz=80.0,
+            lowpass_hz=20500.0, denoise_nlm=True, denoise_fft=True,
+            gate_thresh_db=-42.1, gate_ratio=2.0, comp_thresh_db=-11.9,
+            deesser_on=False, deesser_i=0.0, sample_rate=44100,
+            input_lufs=-24.3, true_peak_dbtp=-6.1, input_lra=9.2,
+        )
+
+    def test_pending_box_shows_placeholder_no_values(self):
+        # (ref: TestChainBoxPendingRows)
+        from jivetalking_tpu.ui.summary import AdaptedSummary
+
+        box = render_filter_chain_box(AdaptedSummary())
+        assert "Filter Chain" in box
+        assert "⋯" in box
+        assert "80 Hz" not in box
+
+    def test_lit_rows_show_values(self):
+        # (ref: TestChainBoxLitRows)
+        box = render_filter_chain_box(self._lit_summary())
+        for want in ("80 Hz", "20.5 kHz", "NLM+FFT", "-42.1", "-11.9",
+                     "44.1 kHz s16"):
+            assert want in box, want
+
+    def test_off_row_distinct_from_pending(self):
+        # (ref: TestPendingVsOffRow): the disabled de-esser reads "off",
+        # the not-yet-known limiter reads the pending placeholder
+        box = render_filter_chain_box(self._lit_summary())
+        deesser_line = next(l for l in box.splitlines() if "De-esser" in l)
+        assert "off" in deesser_line and "⋯" not in deesser_line
+        limiter_line = next(l for l in box.splitlines() if "Limiter" in l)
+        assert "⋯" in limiter_line and "off" not in limiter_line.lower().replace("⋯", "")
+
+    def test_limiter_lights_during_pass4(self):
+        # (ref: TestChainBoxLimiterLitDuringPass4)
+        s = with_limiter(self._lit_summary(), enabled=True, ceiling_dbtp=-2.8)
+        box = render_filter_chain_box(s)
+        limiter_line = next(l for l in box.splitlines() if "Limiter" in l)
+        assert "-2.8" in limiter_line
+        assert "⋯" not in limiter_line
+
+    def test_format_sample_rate_trims(self):
+        # (ref: TestFormatSampleRate, statusboxes_test.go:93-111)
+        from jivetalking_tpu.ui.statusbox import format_sample_rate
+
+        assert format_sample_rate(44100) == "44.1 kHz"
+        assert format_sample_rate(48000) == "48 kHz"
+        assert format_sample_rate(20500) == "20.5 kHz"
