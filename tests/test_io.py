@@ -64,3 +64,87 @@ def test_generate_test_audio_silence_gap(tmp_path):
 def test_downmix_stereo_mean():
     x = np.stack([np.ones(10, np.float32), -np.ones(10, np.float32)])
     np.testing.assert_allclose(downmix_mono(x), np.zeros(10), atol=0)
+
+
+class TestAiff:
+    """AIFF/AIFC PCM reader (the macOS-native stem container; ref: the
+    reference demuxes via FFmpeg, reader.go:29-170 — this covers the
+    uncompressed subset with named errors otherwise)."""
+
+    def _write_aiff(self, path, x_i16, sr, aifc_sowt=False):
+        import struct
+
+        n, ch = x_i16.shape[1], x_i16.shape[0]
+        inter = x_i16.T.reshape(-1)
+        # 80-bit extended float sample rate
+        import math
+
+        exp = int(math.floor(math.log2(sr)))
+        mant = int(sr / 2.0 ** (exp - 63))
+        f80 = struct.pack(">HQ", exp + 16383, mant)
+        if aifc_sowt:
+            comm = struct.pack(">HIH", ch, n, 16) + f80 + b"sowt" + b"\x00\x00"
+            pcm = inter.astype("<i2").tobytes()
+            form_type = b"AIFC"
+        else:
+            comm = struct.pack(">HIH", ch, n, 16) + f80
+            pcm = inter.astype(">i2").tobytes()
+            form_type = b"AIFF"
+        ssnd = struct.pack(">II", 0, 0) + pcm
+        chunks = b""
+        for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+            chunks += cid + struct.pack(">I", len(body)) + body
+            if len(body) % 2:
+                chunks += b"\x00"
+        form = b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+        open(path, "wb").write(form)
+
+    def test_roundtrip_and_metadata(self, tmp_path):
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        rng = np.random.default_rng(5)
+        x = np.clip(np.round(rng.standard_normal((2, 4000)) * 8000),
+                    -32768, 32767).astype(np.int16)
+        p = str(tmp_path / "s.aiff")
+        self._write_aiff(p, x, 44100)
+        samples, meta = open_audio_file(p, raw_int16=True)
+        assert meta.format_name == "aiff"
+        assert meta.sample_rate == 44100
+        assert meta.channels == 2
+        assert meta.bit_depth == 16
+        np.testing.assert_array_equal(samples, x)
+
+    def test_aifc_sowt_little_endian(self, tmp_path):
+        from jivetalking_tpu.io.aiff import read_aiff
+
+        rng = np.random.default_rng(6)
+        x = np.clip(np.round(rng.standard_normal((1, 2000)) * 8000),
+                    -32768, 32767).astype(np.int16)
+        p = str(tmp_path / "s.aifc")
+        self._write_aiff(p, x, 48000, aifc_sowt=True)
+        samples, rate, bits = read_aiff(p, raw_int16=True)
+        assert rate == 48000 and bits == 16
+        np.testing.assert_array_equal(samples, x)
+
+    def test_compressed_aifc_names_codec(self, tmp_path):
+        import struct
+
+        p = str(tmp_path / "c.aifc")
+        comm = struct.pack(">HIH", 1, 100, 16) + b"\x40\x0e" + b"\x00" * 8 + b"ulaw"
+        ssnd = struct.pack(">II", 0, 0) + b"\x00" * 10
+        chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+        chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        open(p, "wb").write(b"FORM" + struct.pack(">I", 4 + len(chunks))
+                            + b"AIFC" + chunks)
+        from jivetalking_tpu.io.aiff import read_aiff
+
+        with pytest.raises(ValueError, match="ulaw"):
+            read_aiff(p)
+
+    def test_unsupported_format_names_restriction(self, tmp_path):
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        p = str(tmp_path / "x.mp3")
+        open(p, "wb").write(b"ID3\x00")
+        with pytest.raises(ValueError, match="transcode"):
+            open_audio_file(p)
