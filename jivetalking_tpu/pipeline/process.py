@@ -64,15 +64,6 @@ class ProcessResult:
     pass_timings: dict = field(default_factory=dict)   # pass name -> seconds
 
 
-def _remote_attached() -> bool:
-    """True when the accelerator hangs off the remote-attach tunnel (the
-    axon dev environment): transfers cost ~25-40 MB/s there, so transfer
-    overlap dominates routing choices that are irrelevant on PCIe."""
-    import jax
-
-    return "axon" in str(jax.config.jax_platforms or "")
-
-
 def _pull_pcm(dev) -> np.ndarray:
     """Device->host pull of the delivery PCM.  The remote-TPU tunnel moves
     one buffer at ~15-25 MB/s but overlaps concurrent transfers, so a large
@@ -297,16 +288,14 @@ def process_audio(
         n_mono = int(mono.shape[0])
         chunk = should_chunk(n_mono, sample_rate)
         chunk_secs = 240.0
-        if not chunk and _remote_attached() and n_mono >= 120 * sample_rate:
-            # remote-tunnel deployment (the axon dev attach): the chunked
-            # master's per-chunk delivery pulls overlap the remaining
-            # device compute, hiding most of the multi-MB downlink that a
-            # whole-file master pays serially after stage B (measured
-            # 2026-08-17: ~0.7 s of a 5-min file's 2.6 s wall).  On PCIe
-            # the transfer is ~20 ms and whole-file (fewer dispatches)
-            # stays the default.
-            chunk = True
-            chunk_secs = 75.0
+        # NOTE (measured 2026-08-17): routing tunnel-attached 5-min files
+        # through the chunked master (75 s chunks) to overlap delivery
+        # pulls with compute scored 88.9x vs the whole-file master's
+        # 115.7x — the chunked form's three host sync points and chunk
+        # halo overheads cost more than the ~0.7 s pull overlap saves.
+        # Whole-file stays the sub-20-min path everywhere; the chunked
+        # master's per-chunk early pulls still pay off where chunking is
+        # structurally required (hour-scale files).
         if chunk:
             from .fused_chunked import fused_master_chunked
 

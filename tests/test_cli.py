@@ -333,3 +333,26 @@ class TestStyledHelp:
 
         assert main(["-h"]) == 0
         assert "Usage:" in capsys.readouterr().out
+
+
+class TestSecondRunOverwrite:
+    """(ref: TestProcessAudioSecondRunOverwritesOutputAndCleansTemp,
+    processor_test.go:552-628): re-processing the same input replaces the
+    published output atomically and leaves no temp residue."""
+
+    def test_second_run_overwrites(self, fixture_wav):
+        outcomes1 = run_pool([fixture_wav])
+        assert outcomes1[0].error == ""
+        out_path = outcomes1[0].output_path
+        first_mtime = os.path.getmtime(out_path)
+        first_bytes = open(out_path, "rb").read()
+
+        outcomes2 = run_pool([fixture_wav])
+        assert outcomes2[0].error == ""
+        assert outcomes2[0].output_path == out_path
+        assert os.path.getmtime(out_path) >= first_mtime
+        # identical input -> identical master; the file was REPLACED, not
+        # appended or left as a temp
+        assert open(out_path, "rb").read() == first_bytes
+        d = os.path.dirname(fixture_wav)
+        assert not [f for f in os.listdir(d) if f.startswith(".")]
