@@ -372,7 +372,11 @@ def write_run_record(path: str, record: dict) -> None:
 
 def write_interval_sidecar(path: str, iv: Intervals) -> None:
     """Stream per-250ms interval rows to .intervals.jsonl
-    (ref: runrecord_write.go:88-161)."""
+    (ref: runrecord_write.go:88-161).  Spectral metrics are FLATTENED into
+    the row as `spectral_*` keys — the reference's IntervalSample JSON
+    contract has no nested spectral object (ref: IntervalSample MarshalJSON,
+    analyser.go; pinned by TestIntervalSampleJSON_PreservesFlatSpectralFields,
+    analyser_test.go:29-132)."""
     tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
     with open(tmp, "w") as f:
         for i in range(len(iv)):
@@ -382,8 +386,11 @@ def write_interval_sidecar(path: str, iv: Intervals) -> None:
                 "peak_dbfs": float(iv.peak_level[i]),
                 "momentary_lufs": float(iv.momentary_lufs[i]),
                 "short_term_lufs": float(iv.short_term_lufs[i]),
-                "spectral": {k: float(iv.spectral[k][i]) for k in iv.spectral},
             }
+            row.update({
+                f"spectral_{_SPECTRAL_KEY[k]}": float(iv.spectral[k][i])
+                for k in iv.spectral
+            })
             f.write(json.dumps(sanitize_json(row)) + "\n")
     os.replace(tmp, path)
 

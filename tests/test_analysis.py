@@ -311,3 +311,51 @@ class TestMeasureRegion:
         x = np.zeros(80000, np.float32)  # 10 s at 8 kHz
         assert measure_region(x, 8000, Region(2.0, 1.0)) is None   # inverted
         assert measure_region(x, 8000, Region(5.0, 14.0)) is not None  # end clamps to n
+
+
+class TestAnalyseAudioSyntheticTone:
+    """(ref: TestAnalyseAudio, analyser_test.go:132-218): the 5 s -23 dBFS
+    440 Hz tone with a 0.5 s silence gap and light (-60 dB) noise bed — the
+    reference's known-characteristics sanity ranges, via the synth
+    generator it uses (io/synth mirrors generateTestAudio)."""
+
+    @pytest.fixture(scope="class")
+    def tone_measurements(self, tmp_path_factory):
+        from jivetalking_tpu.io.synth import (
+            SilenceGap,
+            TestAudioOptions,
+            generate_test_audio,
+        )
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        path = str(tmp_path_factory.mktemp("synth") / "tone.wav")
+        generate_test_audio(path, TestAudioOptions(
+            duration_secs=5.0, sample_rate=44100,
+            tone_freq=440.0, tone_level=-23.0, noise_level=-60.0,
+            silence_gap=SilenceGap(start=2.0, duration=0.5)))
+        samples, meta = open_audio_file(path)
+        return analyse_audio(samples, meta.sample_rate)
+
+    def test_loudness_ranges(self, tone_measurements):
+        m = tone_measurements
+        # input level close to the -23 dBFS tone level
+        assert -30.0 < m.loudness.input_i < -20.0
+        # true peak within reason (sine TP ~ tone level)
+        assert -30.0 < m.loudness.input_tp < 0.0
+        # LRA low for a steady tone with one brief gap
+        assert 0.0 <= m.loudness.input_lra <= 15.0
+
+    def test_noise_floor_sane(self, tone_measurements):
+        m = tone_measurements
+        assert -120.0 < m.noise.floor <= 0.0
+
+    def test_target_offset_reaches_target(self, tone_measurements):
+        # offset should project the input to ~-16 LUFS
+        m = tone_measurements
+        projected = m.loudness.input_i + m.loudness.target_offset
+        assert abs(projected - (-16.0)) <= 2.0
+
+    def test_duration_and_rate(self, tone_measurements):
+        m = tone_measurements
+        assert m.duration == pytest.approx(5.0, abs=0.01)
+        assert m.sample_rate == 44100

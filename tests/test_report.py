@@ -107,6 +107,29 @@ class TestAnalysisRecord:
         row = json.loads(lines[0])
         assert {"timestamp_s", "rms_dbfs", "momentary_lufs"} <= set(row)
 
+    def test_interval_sidecar_flat_spectral_fields(self, measurements, tmp_path):
+        # (ref: TestIntervalSampleJSON_PreservesFlatSpectralFields,
+        # analyser_test.go:29-132): interval rows flatten spectral metrics
+        # as spectral_* keys with NO nested spectral object
+        path = str(tmp_path / "rec.intervals.jsonl")
+        write_interval_sidecar(path, measurements.intervals)
+        row = json.loads(open(path).read().splitlines()[0])
+        want_flat = {
+            "spectral_mean", "spectral_variance", "spectral_centroid_hz",
+            "spectral_spread_hz", "spectral_skewness", "spectral_kurtosis",
+            "spectral_entropy", "spectral_flatness", "spectral_crest",
+            "spectral_flux", "spectral_slope", "spectral_decrease",
+            "spectral_rolloff_hz",
+        }
+        assert want_flat <= set(row)
+        assert "spectral" not in row
+        # round-trip: the flat values mirror the in-memory interval table
+        iv = measurements.intervals
+        from jivetalking_tpu.report.runrecord import _SPECTRAL_KEY
+        for k in iv.spectral:
+            assert row[f"spectral_{_SPECTRAL_KEY[k]}"] == pytest.approx(
+                float(iv.spectral[k][0]), nan_ok=True)
+
 
 class TestMarkdown:
     def test_analysis_report_sections(self, measurements):
