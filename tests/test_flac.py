@@ -250,3 +250,54 @@ class TestStreamReader:
                     got += c.shape[1]
             # some good frames decoded before the damage
             assert 0 < got < n
+
+
+class TestEncodeErrorPaths:
+    """(ref: TestApplyLoudnormAndMeasure*RemovesTemp family,
+    normalise_test.go:561-937): any failure on the publish path must
+    remove the dot-temp — the output directory never accumulates residue,
+    and the destination file is never half-written."""
+
+    def test_encode_failure_removes_temp_and_raises(self, tmp_path):
+        import numpy as np
+
+        from jivetalking_tpu.io.flac import write_flac
+
+        missing_dir = tmp_path / "nope" / "deeper"
+        x = np.zeros(4096, np.float32)
+        with pytest.raises(Exception):
+            write_flac(str(missing_dir / "out.flac"), x, 44100)
+        # parent of the missing dir: nothing appeared anywhere under tmp
+        assert list(tmp_path.iterdir()) == []
+
+    def test_success_leaves_no_temp(self, tmp_path):
+        import os
+
+        import numpy as np
+
+        from jivetalking_tpu.io.flac import read_flac, write_flac
+
+        out = tmp_path / "out.flac"
+        x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(44100) / 44100)).astype(np.float32)
+        write_flac(str(out), x, 44100)
+        assert out.exists()
+        assert not [f for f in os.listdir(tmp_path) if f.startswith(".")]
+        decoded, rate, bits = read_flac(str(out))
+        assert rate == 44100 and decoded.shape[1] == 44100
+
+    def test_existing_output_replaced_not_appended(self, tmp_path):
+        # a second publish atomically REPLACES the destination
+        import os
+
+        import numpy as np
+
+        from jivetalking_tpu.io.flac import flac_info, write_flac
+
+        out = tmp_path / "out.flac"
+        write_flac(str(out), np.zeros(44100, np.float32), 44100)
+        first_size = out.stat().st_size
+        write_flac(str(out), np.zeros(22050, np.float32), 44100)
+        n, ch, rate, bits = flac_info(str(out))
+        assert n == 22050
+        assert out.stat().st_size != first_size
+        assert not [f for f in os.listdir(tmp_path) if f.startswith(".")]
