@@ -1,0 +1,211 @@
+"""Run-record schema-shape contract tests — the behavioural port of
+the reference's runrecord suite (runrecord_test.go:76-480): nested regions
+shape with sidecar'd candidate arrays, _s-suffixed second durations,
+dB-valued gate fields, analysis-only block dropping, and non-finite
+serialisation.
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from jivetalking_tpu.adaptive import adapt_config, default_filter_config
+from jivetalking_tpu.adaptive.adapt import AdaptiveDiagnostics
+from jivetalking_tpu.analysis.analyser import AudioMeasurements
+from jivetalking_tpu.analysis.types import (
+    GateStatistics,
+    NoiseProfile,
+    Region,
+    RegionSample,
+    SpeechCandidate,
+)
+from jivetalking_tpu.pipeline.normalise import NormalisationResult
+from jivetalking_tpu.pipeline.process import OutputMeasurements, ProcessResult
+from jivetalking_tpu.report.runrecord import (
+    new_analysis_run_record,
+    new_run_record,
+)
+
+
+def populated_measurements() -> AudioMeasurements:
+    """(ref: populatedAudioMeasurements, runrecord_test.go fixtures) —
+    room tone elected at 2s/10s, speech elected at 30-40s, candidates."""
+    m = AudioMeasurements()
+    m.duration = 60.0
+    m.sample_rate = 44100
+    m.loudness.input_i = -24.0
+    m.loudness.input_tp = -5.0
+    m.noise.floor = -60.0
+    m.noise.floor_source = "vad_percentile"
+    sample = RegionSample(rms_level=-55.0, peak_level=-45.0, crest_factor=10.0)
+    m.vad.noise_profile = NoiseProfile(
+        start=2.0, duration=10.0, measured_noise_floor=-60.0,
+        peak_level=-45.0, crest_factor=15.0, entropy=0.8)
+    m.vad.elected_room_tone_sample = sample
+    sp_sample = RegionSample(rms_level=-19.0, peak_level=-2.0, crest_factor=17.0)
+    profile = SpeechCandidate(
+        region=Region(30.0, 40.0), sample=sp_sample,
+        voicing_density=0.9, body_band_rms=-20.0, sib_band_rms=-30.0,
+        bands_measured=True, score=0.82)
+    m.vad.speech_profile = profile
+    m.vad.speech_candidates = [profile]
+    m.vad.gate_stats = GateStatistics(
+        voiced_low_percentile=-34.0, noise_high_percentile=-55.0,
+        separation_db=21.0)
+    return m
+
+
+def populated_result() -> ProcessResult:
+    """(ref: populatedProcessingResult) — full record with filtered/final
+    region samples on both kinds."""
+    m = populated_measurements()
+    rt = RegionSample(rms_level=-55.0, peak_level=-45.0, crest_factor=10.0)
+    sp = RegionSample(rms_level=-19.0, peak_level=-2.0, crest_factor=17.0)
+    eff, diag = adapt_config(default_filter_config(), m)
+    return ProcessResult(
+        measurements=m,
+        effective_config=eff,
+        diagnostics=diag,
+        filtered=OutputMeasurements(room_tone_sample=rt, speech_sample=sp),
+        final=OutputMeasurements(room_tone_sample=rt, speech_sample=sp),
+        normalisation=NormalisationResult(
+            input_lufs=-18.5, input_tp=-1.2,
+            output_lufs=-16.0, output_tp=-1.5,
+            gain_applied_db=2.5, within_target=True,
+            requested_target_i=-16.0, effective_target_i=-16.0),
+        output_audio=np.zeros(4, np.int16),
+        output_rate=44100,
+    )
+
+
+def roundtrip(rec: dict) -> dict:
+    """The contract is on the SERIALISED tree (ref: marshalRecordTree)."""
+    return json.loads(json.dumps(rec))
+
+
+class TestRegionsNestedShape:
+    """(ref: TestRunRecord_RegionsNestedShape, runrecord_test.go:188-307)."""
+
+    def test_nested_shape(self):
+        tree = roundtrip(new_run_record("ep.wav", populated_result()))
+        regions = tree["regions"]
+
+        # old flat keys must NOT appear directly under regions
+        for flat in ("speech_candidates", "noise_profile", "speech_profile",
+                     "speech_regions", "interval_samples"):
+            assert flat not in regions, flat
+
+        rt, sp = regions["room_tone"], regions["speech"]
+        for block, name in ((rt, "room_tone"), (sp, "speech")):
+            assert "elected" in block, name
+            assert "samples" in block, name
+            # full candidate arrays live in the sidecar, never inline
+            assert "candidates" not in block, name
+        assert "candidates_summary" in sp
+        assert "candidates_summary" not in rt
+
+        # input samples populate from the elected profiles, measurement
+        # keys only — no election fields
+        for block in (rt, sp):
+            inp = block["samples"]["input"]
+            assert "rms_level_dbfs" in inp
+            for key in ("score", "stability_score", "voicing_density",
+                        "transient_warning"):
+                assert key not in inp, key
+
+        # filtered/final samples present on a full record
+        for kind in ("room_tone", "speech"):
+            for stage in ("filtered", "final"):
+                assert stage in regions[kind]["samples"], (kind, stage)
+
+    def test_analysis_only_drops_filtered_final_samples(self):
+        # (ref: TestRunRecord_RegionsAnalysisOnlyDropsSamples :307)
+        tree = roundtrip(new_analysis_run_record("ep.wav", populated_measurements()))
+        regions = tree["regions"]
+        for kind in ("room_tone", "speech"):
+            block = regions[kind]
+            assert "elected" in block, kind
+            samples = block.get("samples", {})
+            for stage in ("filtered", "final"):
+                assert stage not in samples, (kind, stage)
+        # speech input sample still wires from the elected profile
+        assert "input" in regions["speech"]["samples"]
+
+
+class TestRegionDurationsAreSeconds:
+    """(ref: TestRunRecord_RegionDurationsAreSeconds,
+    runrecord_test.go:340-387) — _s float seconds, raw keys absent."""
+
+    def test_seconds_keys(self):
+        tree = roundtrip(new_run_record("ep.wav", populated_result()))
+        rt_elected = tree["regions"]["room_tone"]["elected"]
+        assert rt_elected["start_s"] == 2.0
+        assert rt_elected["duration_s"] == 10.0
+        for raw in ("start", "duration"):
+            assert raw not in rt_elected, raw
+
+        sp_region = tree["regions"]["speech"]["elected"]["region"]
+        assert sp_region["start_s"] == 30.0
+        assert sp_region["end_s"] == 40.0
+        assert sp_region["duration_s"] == 10.0
+        for raw in ("start", "end", "duration"):
+            assert raw not in sp_region, raw
+
+
+class TestGateFieldsAreDecibels:
+    """(ref: TestRunRecord_GateThresholdIsDecibels,
+    runrecord_test.go:442-480) — the record carries honest dB values, not
+    the live config's linear amplitudes."""
+
+    def test_threshold_and_range_in_db(self):
+        tree = roundtrip(new_run_record("ep.wav", populated_result()))
+        gate = tree["filters"]["speech_gate"]
+        thr = gate["threshold_dbfs"]
+        # the adapted config stored ~0.01 linear (-40 dB); the record must
+        # carry dB, not the tiny linear amplitude
+        assert thr < -1.0
+        assert -90.0 <= thr <= -20.0
+        rng = gate["range_db"]
+        assert rng < -1.0
+        # the linear keys must be gone
+        assert "threshold" not in gate
+        assert "range" not in gate
+
+
+class TestFullShapeAndAnalysisOnly:
+    """(ref: TestRunRecord_FullShape :76 +
+    TestRunRecord_AnalysisOnlyDropsProcessingBlocks :125)."""
+
+    def test_full_shape(self):
+        tree = roundtrip(new_run_record("ep.wav", populated_result()))
+        for block in ("run", "loudness", "dynamics", "spectral", "noise",
+                      "regions", "filters", "normalisation"):
+            assert block in tree, block
+        for stage in ("input", "filtered", "final"):
+            assert stage in tree["loudness"]["stages"], stage
+            assert stage in tree["spectral"]["stages"], stage
+
+    def test_analysis_only_drops_processing_blocks(self):
+        tree = roundtrip(new_analysis_run_record("ep.wav", populated_measurements()))
+        for block in ("filters", "normalisation"):
+            assert block not in tree, block
+        assert list(tree["loudness"]["stages"]) == ["input"]
+
+
+class TestNonFiniteSerialisesAsNull:
+    """(ref: TestRunRecord_NonFiniteFloatSerialisesAsNull,
+    runrecord_test.go:157-188)."""
+
+    def test_nan_inf_become_null(self):
+        m = populated_measurements()
+        m.loudness.input_i = float("nan")
+        m.loudness.input_tp = float("-inf")
+        rec = new_analysis_run_record("ep.wav", m)
+        s = json.dumps(rec)
+        assert "NaN" not in s and "Infinity" not in s
+        tree = json.loads(s)
+        inp = tree["loudness"]["stages"]["input"]
+        vals = [v for v in inp.values() if v is None]
+        assert vals, "non-finite floats must serialise as null"
