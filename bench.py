@@ -88,14 +88,45 @@ def main() -> None:
                 * 32768.0), -32768, 32767).astype(np.int16)
             for _ in range(n_files)
         ]
-        # 2 concurrent files measured fastest through the tunnel (135.2x
-        # with 4 files vs 115.4x at 3 workers and 80.7x at 4, 2026-08-17):
-        # enough overlap to hide the wire, few enough streams to avoid
-        # GIL + tunnel-client serialisation contention
+        # 2 compute workers + ONE dedicated puller thread measured fastest
+        # (2026-08-17: pipe2 134.9x / pipe3 137.7x vs pool2 113.2x, seq
+        # 111.4x, same hour; scripts/bench_aggregate_experiment.py): the
+        # delivery pulls are DEFERRED (process_audio(defer_output_pull=True))
+        # so file N's 26 MB downlink overlaps file N+1's upload/compute
+        # instead of serialising inside its worker.  Deeper pools gain
+        # nothing: the tunnel serialises opposite-direction transfers
+        # (scripts/tunnel_duplex_probe.py), so the wire itself is the
+        # aggregate ceiling.
+        import queue
+        import threading
+
+        from jivetalking_tpu.pipeline.process import finish_output_pull
+
         workers = int(os.environ.get("BENCH_WORKERS", "2"))
+        pullq: "queue.Queue" = queue.Queue()
+        pulled = []
+
+        def puller():
+            while True:
+                item = pullq.get()
+                if item is None:
+                    return
+                finish_output_pull(item)
+                pulled.append(item)
+
         t0 = time.perf_counter()
+        pt = threading.Thread(target=puller)
+        pt.start()
+
+        def work(f):
+            r = process_audio(f, sr, defer_output_pull=True)
+            pullq.put(r)
+            return r
+
         with ThreadPoolExecutor(max_workers=min(workers, n_files)) as ex:
-            results = list(ex.map(lambda f: process_audio(f, sr), files))
+            results = list(ex.map(work, files))
+        pullq.put(None)
+        pt.join()
         wall = time.perf_counter() - t0
         res = results[-1]
         rt_factor = duration * n_files / wall

@@ -246,8 +246,17 @@ def process_one_file(
     events: PoolEvents,
     diagnostics: bool,
     cancel: threading.Event,
-) -> FileOutcome:
-    """Process one file through the 4-pass pipeline + publish + artefacts."""
+    finisher=None,
+):
+    """Process one file through the 4-pass pipeline + publish + artefacts.
+
+    With `finisher` (a 1-thread executor shared across the pool), the
+    delivery pull + encode + artefact spine run on THAT thread and a
+    Future[FileOutcome] is returned: file N's multi-MB downlink and host
+    encode then overlap file N+1's upload/compute instead of serialising
+    inside its worker (measured 2026-08-17: 134.9x vs 113.2x aggregate,
+    scripts/bench_aggregate_experiment.py).  Without it the behaviour is
+    unchanged and a FileOutcome is returned directly."""
     outcome = FileOutcome(path=path)
     start = time.perf_counter()
     _emit(events.on_file_start, path)
@@ -294,7 +303,51 @@ def process_one_file(
             samples, meta.sample_rate, base_config=base,
             progress=progress, on_adapted=on_adapted,
             on_filtered_levels=on_filtered_levels,
+            defer_output_pull=finisher is not None,
         )
+    except InterruptedError:
+        outcome.error = "cancelled"
+    except Exception as e:
+        outcome.error = str(e)
+
+    if outcome.error:
+        outcome.wall_secs = time.perf_counter() - start
+        _emit(events.on_file_complete, outcome)
+        if finisher is None:
+            return outcome
+        import concurrent.futures
+
+        done: "concurrent.futures.Future" = concurrent.futures.Future()
+        done.set_result(outcome)
+        return done
+
+    def _finish() -> FileOutcome:
+        return _finish_one_file(
+            path, outcome, res, samples, meta, events, diagnostics, start)
+
+    if finisher is None:
+        return _finish()
+    return finisher.submit(_finish)
+
+
+def _finish_one_file(
+    path: str,
+    outcome: FileOutcome,
+    res: ProcessResult,
+    samples,
+    meta,
+    events: PoolEvents,
+    diagnostics: bool,
+    start: float,
+) -> FileOutcome:
+    """The publish half of process_one_file: delivery pull, encode,
+    spectrograms, scores, artefact spine, done-box emit.  Runs either
+    inline (no finisher) or on the pool's single finisher thread so it
+    overlaps the next file's compute."""
+    try:
+        from ..pipeline.process import finish_output_pull
+
+        finish_output_pull(res)
 
         # name the file after the MEASURED output loudness (ref:
         # processor.go:199-214 result.OutputLUFS): a linear-mode-capped
@@ -537,14 +590,32 @@ def run_pool(
     events = events or PoolEvents()
     cancel = cancel or threading.Event()
     jobs = jobs or resolve_jobs(len(files), os.cpu_count() or 1)
-    worker = analyse_one_file if analysis_only else process_one_file
 
     # per-worker config clone (ref: CloneForWorker, filters.go:368-373)
     import copy
 
-    with ThreadPoolExecutor(max_workers=jobs) as ex:
-        futures = [
-            ex.submit(worker, f, copy.deepcopy(base), events, diagnostics, cancel)
-            for f in files
-        ]
-        return [f.result() for f in futures]
+    if analysis_only:
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futures = [
+                ex.submit(analyse_one_file, f, copy.deepcopy(base), events,
+                          diagnostics, cancel)
+                for f in files
+            ]
+            return [f.result() for f in futures]
+
+    # processing: compute workers + ONE shared finisher thread.  Each
+    # worker defers its delivery pull; the finisher pulls + encodes +
+    # writes artefacts while the workers move on to the next file's
+    # upload/compute (the pull and the upload are the two big wire terms;
+    # overlapping them is worth ~20% aggregate, measured 2026-08-17).
+    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="finisher") as fin:
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futures = [
+                ex.submit(process_one_file, f, copy.deepcopy(base), events,
+                          diagnostics, cancel, fin)
+                for f in files
+            ]
+            handles = [f.result() for f in futures]
+        # each handle is a Future from the finisher (or a resolved one for
+        # compute-side failures)
+        return [h.result() for h in handles]

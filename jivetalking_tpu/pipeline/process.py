@@ -62,6 +62,21 @@ class ProcessResult:
     output_audio: np.ndarray          # final PCM at output_rate, int16
     output_rate: int
     pass_timings: dict = field(default_factory=dict)   # pass name -> seconds
+    # deferred delivery (process_audio(defer_output_pull=True)): the device
+    # buffers whose async pulls are in flight; output_audio is None until
+    # finish_output_pull(result) materialises it.  Lets a pool overlap file
+    # N's multi-MB downlink with file N+1's compute from a separate thread.
+    output_chunks: list = field(default=None, repr=False)
+
+
+def finish_output_pull(result: "ProcessResult") -> np.ndarray:
+    """Materialise a deferred delivery pull (see ProcessResult.output_chunks).
+    Idempotent; returns the int16 PCM and caches it on the result."""
+    if result.output_audio is None and result.output_chunks is not None:
+        result.output_audio = np.concatenate(
+            [np.asarray(c) for c in result.output_chunks])
+        result.output_chunks = None
+    return result.output_audio
 
 
 def _pull_pcm(dev) -> np.ndarray:
@@ -230,6 +245,7 @@ def process_audio(
     on_adapted=None,
     fused: bool = True,
     on_filtered_levels=None,
+    defer_output_pull: bool = False,
 ) -> ProcessResult:
     """Full 4-pass master of (channels, n) or (n,) PCM at `sample_rate`.
 
@@ -335,6 +351,13 @@ def process_audio(
         timings["normalising"] = fused_t["stage_b"]
         report("normalising", 1.0)
         # chunk pulls were started async inside fused_master
+        if defer_output_pull:
+            return ProcessResult(
+                measurements=m, effective_config=eff, diagnostics=diag,
+                filtered=filtered, final=final, normalisation=norm,
+                output_audio=None, output_rate=out_rate,
+                pass_timings=timings, output_chunks=list(out_chunks),
+            )
         out_np = np.concatenate([np.asarray(c) for c in out_chunks])
     else:
         # PASS 2
