@@ -392,3 +392,85 @@ class TestStatusBoxReferenceInvariants:
         assert format_sample_rate(44100) == "44.1 kHz"
         assert format_sample_rate(48000) == "48 kHz"
         assert format_sample_rate(20500) == "20.5 kHz"
+
+
+class TestMeterReferenceInvariants:
+    """(ref: progress_bar_test.go:315-703): peak-at-ceiling stays in
+    bounds, no peak marker at the floor, the header shows the LEVEL not
+    the peak, and the spring physics ease without overshoot."""
+
+    def test_peak_at_ceiling_stays_in_bounds(self):
+        # (ref: TestMeterPeakAtCeilingStaysInBounds :315)
+        from jivetalking_tpu.ui.live import _METER_WIDTH, render_meter
+
+        row = render_meter(-3.0, 0.0)
+        # fixed geometry: the bar is exactly _METER_WIDTH cells between the
+        # ▐ ▌ caps no matter where the peak tick lands
+        bar = row[row.index("▐") + 1:row.index("▌")]
+        assert len(bar) == _METER_WIDTH
+        assert "┃" in bar  # the peak tick renders inside, not past the cap
+
+    def test_no_peak_marker_at_floor(self):
+        # (ref: TestMeterNoPeakMarkerAtFloor :341)
+        from jivetalking_tpu.ui.live import render_meter
+
+        row = render_meter(-60.0, -60.0)
+        assert "┃" not in row
+        assert "—" in row  # silent header placeholder
+
+    def test_header_shows_level_not_peak(self):
+        # (ref: TestMeterHeaderShowsLevelNotPeak :210)
+        from jivetalking_tpu.ui.live import render_meter
+
+        row = render_meter(-23.4, -5.0)
+        assert "-23.4" in row
+        assert "-5.0" not in row
+
+    def test_progress_spring_eases_without_overshoot(self):
+        # (ref: TestProgressSpringEases :568 + no-overshoot contracts)
+        from jivetalking_tpu.ui.live import FileRow, _advance_meter
+
+        row = FileRow(path="x")
+        row.stage = "processing"
+        row.fraction = 1.0
+        last = 0.0
+        for tick in range(60):
+            _advance_meter(row, now=float(tick))
+            assert last - 1e-12 <= row.disp_fraction <= 1.0 + 1e-12
+            last = row.disp_fraction
+        # converges to the target
+        assert row.disp_fraction > 0.99
+
+    def test_peak_spring_holds_then_decays(self):
+        # (ref: TestPeakSpringInitialisesAtFloor :623, TestPeakSpringEases
+        # :635, TestPeakSpringNoOvershoot :672 + the peak-hold contract)
+        import numpy as np
+
+        from jivetalking_tpu.ui.live import (
+            FileRow,
+            _METER_FLOOR_DB,
+            _PEAK_HOLD_SECS,
+            _advance_meter,
+        )
+
+        row = FileRow(path="x")
+        assert row.peak_db == _METER_FLOOR_DB  # initialises at the floor
+        row.stage = "processing"
+        row.fraction = row.disp_fraction = 0.5
+        row.levels = np.full(10, -10.0)
+        # rise: the meter eases toward the level, the peak rides it
+        for tick in range(40):
+            _advance_meter(row, now=0.0)
+            assert row.peak_db >= row.meter_db - 1e-9  # peak never below level
+            assert row.meter_db <= -10.0 + 1e-6       # no overshoot past target
+        top = row.peak_db
+        assert top == pytest.approx(-10.0, abs=0.5)
+        # drop the signal: within the hold window the peak stays pinned
+        row.levels = np.full(10, -50.0)
+        _advance_meter(row, now=0.5 * _PEAK_HOLD_SECS)
+        assert row.peak_db == pytest.approx(top, abs=1e-9)
+        # after the hold lapses the peak DECAYS, it does not snap
+        before = row.peak_db
+        _advance_meter(row, now=10.0)
+        assert row.meter_db < before - 1.0
+        assert before - 2.0 < row.peak_db < before
