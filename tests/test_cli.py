@@ -41,10 +41,22 @@ def fixture_wav(tmp_path_factory):
 
 
 class TestResolveJobs:
+    """(ref: TestResolveJobs, main_test.go:716-737)."""
     def test_bounds(self):
         assert resolve_jobs(3, 8) == 3
         assert resolve_jobs(10, 4) == 4
         assert resolve_jobs(0, 4) == 1
+
+    def test_reference_vectors(self):
+        # (name, num_files, num_cpu, want)
+        for name, nf, ncpu, want in [
+            ("fewer files than CPUs uses file count", 3, 8, 3),
+            ("more files than CPUs caps at CPU count", 16, 8, 8),
+            ("files equal CPUs uses that count", 8, 8, 8),
+            ("single file stays one", 1, 8, 1),
+            ("zero files floors to one", 0, 8, 1),
+        ]:
+            assert resolve_jobs(nf, ncpu) == want, name
 
 
 class TestDebugSink:
@@ -356,3 +368,43 @@ class TestSecondRunOverwrite:
         assert open(out_path, "rb").read() == first_bytes
         d = os.path.dirname(fixture_wav)
         assert not [f for f in os.listdir(d) if f.startswith(".")]
+
+
+class TestProcessingPoolOrderingAndIsolation:
+    """(ref: TestRunWorkerPool_FailureIsolation pool_test.go:220,
+    TestRunWorkerPool_SerialParityJobs1 :288,
+    TestRunAnalysisPool_OrderedSlots analysispool_test.go:219) — through
+    the PROCESSING pool (compute workers + finisher thread)."""
+
+    def test_failure_isolation_processing(self, fixture_wav, tmp_path):
+        bad = str(tmp_path / "bad.wav")
+        open(bad, "wb").write(b"RIFFgarbage")
+        outcomes = run_pool([bad, fixture_wav])
+        assert outcomes[0].error != ""
+        assert outcomes[1].error == ""
+        assert os.path.exists(outcomes[1].output_path)
+
+    def test_outcomes_in_input_order_with_jobs(self, fixture_wav, tmp_path):
+        import shutil
+
+        paths = [fixture_wav]
+        for i in range(2):
+            p = str(tmp_path / f"copy{i}.wav")
+            shutil.copy(fixture_wav, p)
+            paths.append(p)
+        completes = []
+        events = PoolEvents(on_file_complete=lambda o: completes.append(o.path))
+        outcomes = run_pool(paths, events=events, jobs=2)
+        # returned outcomes hold input order regardless of completion order
+        assert [o.path for o in outcomes] == paths
+        assert all(o.error == "" for o in outcomes)
+        # every file completed exactly once
+        assert sorted(completes) == sorted(paths)
+
+    def test_serial_parity_jobs1(self, fixture_wav):
+        a = run_pool([fixture_wav], jobs=1)[0]
+        b = run_pool([fixture_wav], jobs=2)[0]
+        assert a.error == b.error == ""
+        assert a.output_lufs == pytest.approx(b.output_lufs, abs=1e-9)
+        assert a.output_tp == pytest.approx(b.output_tp, abs=1e-9)
+        assert a.quality_stars == b.quality_stars
