@@ -474,3 +474,154 @@ class TestMeterReferenceInvariants:
         _advance_meter(row, now=10.0)
         assert row.meter_db < before - 1.0
         assert before - 2.0 < row.peak_db < before
+
+
+class TestSummaryAxisDiscipline:
+    """(ref: summary_test.go:122-364): the live analysis box and the done
+    box derive the noise floor from ONE resolver, and the SNR gap never
+    mixes the astats-RMS and momentary-LUFS axes."""
+
+    def _m(self):
+        from jivetalking_tpu.analysis.analyser import AudioMeasurements
+
+        return AudioMeasurements()
+
+    def _speech(self, rms=-22.0, momentary=None):
+        from jivetalking_tpu.analysis.types import (
+            Region,
+            RegionSample,
+            SpeechCandidate,
+        )
+
+        sample = RegionSample(rms_level=rms)
+        if momentary is not None:
+            sample.momentary_lufs = momentary
+        return SpeechCandidate(region=Region(0.0, 10.0), sample=sample)
+
+    def test_live_box_floor_matches_done_box_floor(self):
+        # (ref: TestLiveBoxFloorMatchesDoneBoxFloor :122)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.analysis.types import NoiseProfile, RegionSample
+        from jivetalking_tpu.quality import input_display_noise_floor_db
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        cases = []
+        m = self._m()
+        m.noise.floor = -85.0  # internal; both surfaces must ignore it
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-73.0)
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=-73.0)
+        cases.append(("elected room-tone sample", m, True))
+
+        m = self._m()
+        m.noise.floor = -85.0
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=-70.0)
+        cases.append(("no elected sample, momentary field present", m, False))
+
+        m = self._m()
+        m.noise.voice_activated = True
+        m.noise.floor = -85.0
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-120.0)
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=-62.0)
+        cases.append(("voice-activated momentary floor", m, True))
+
+        cfg = default_filter_config()
+        for name, m, want_floor in cases:
+            live = new_adapted_summary(cfg, None, m)
+            done, ok = input_display_noise_floor_db(m)
+            assert ok is want_floor, name
+            assert live.has_noise_floor is ok, name
+            if ok:
+                assert live.noise_floor_db == done, name
+            # the internal momentary floor never leaks into the display
+            assert live.noise_floor_db != m.noise.floor, name
+
+    def test_unmeasured_floor_no_separation(self):
+        # (ref: TestUnmeasuredFloorNoSeparation :214)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.ui.statusbox import render_analysis_box
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        m = self._m()
+        m.noise.floor = -85.0
+        m.vad.speech_profile = self._speech(rms=-22.0)
+        s = new_adapted_summary(default_filter_config(), None, m)
+        assert not s.has_noise_floor
+        assert s.separation_db == 0
+        box = render_analysis_box(s)
+        sep_row = [ln for ln in box.splitlines() if "Separation" in ln][0]
+        assert "-" in sep_row.replace("Separation", "")
+        assert "0.0 dB" not in sep_row
+
+    def test_separation_same_axis(self):
+        # (ref: TestSeparationDBSameAxis :238)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.analysis.types import RegionSample
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        m = self._m()
+        m.noise.floor = -85.0
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-70.0)
+        m.vad.speech_profile = self._speech(rms=-22.0)
+        s = new_adapted_summary(default_filter_config(), None, m)
+        assert s.separation_db == s.voice_avg_db - s.noise_floor_db
+        assert s.separation_db == -22.0 - (-70.0)
+
+    def test_voice_activated_momentary_pair(self):
+        # (ref: TestSeparationDBVoiceActivatedMomentary :260)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.analysis.types import NoiseProfile, RegionSample
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        m = self._m()
+        m.noise.voice_activated = True
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-120.0)
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=-62.0)
+        m.vad.speech_profile = self._speech(rms=-22.0, momentary=-24.0)
+        s = new_adapted_summary(default_filter_config(), None, m)
+        assert s.noise_floor_db == -62.0   # momentary floor, not the -120 sentinel
+        assert s.has_noise_floor
+        assert s.separation_db == -24.0 - (-62.0)   # momentary pair
+        assert s.separation_db == -24.0 - s.noise_floor_db
+        assert s.separation_db != s.voice_avg_db - s.noise_floor_db
+
+    def test_not_voice_activated_astats_path(self):
+        # (ref: TestSeparationDBNotVoiceActivatedAstats :296)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.analysis.types import NoiseProfile, RegionSample
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        m = self._m()
+        m.noise.voice_activated = False
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-70.0)
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=-62.0)
+        m.vad.speech_profile = self._speech(rms=-22.0, momentary=-24.0)
+        s = new_adapted_summary(default_filter_config(), None, m)
+        assert s.noise_floor_db == -70.0
+        assert s.separation_db == s.voice_avg_db - s.noise_floor_db
+        assert s.separation_db == -22.0 - (-70.0)
+
+    def test_voice_activated_unmeasured_momentary_floor(self):
+        # (ref: TestSeparationDBVoiceActivatedUnmeasuredFloor :323)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.analysis.types import NoiseProfile, RegionSample
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        m = self._m()
+        m.noise.voice_activated = True
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-70.0)
+        m.vad.noise_profile = NoiseProfile(measured_noise_floor=0.0)  # unmeasured
+        m.vad.speech_profile = self._speech(rms=-22.0, momentary=-24.0)
+        s = new_adapted_summary(default_filter_config(), None, m)
+        assert s.noise_floor_db == -70.0   # astats fallback
+        assert s.separation_db == s.voice_avg_db - s.noise_floor_db
+        assert s.separation_db == -22.0 - (-70.0)
+        assert s.separation_db != -24.0   # never momentary-vs-0
+
+    def test_nil_guards(self):
+        # (ref: TestNewAdaptedSummaryNilGuards :353)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.analysis.analyser import AudioMeasurements
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        assert not new_adapted_summary(None, None, AudioMeasurements()).chain_ready
+        assert not new_adapted_summary(default_filter_config(), None, None).chain_ready
