@@ -283,3 +283,108 @@ class TestNormalisationNumbers:
         # (ref: TestRenderFiltersChainOrder) — HP before gate
         md = render_markdown(full_record())
         assert md.find("Rumble high-pass") < md.find("Speech gate")
+
+
+class TestPass1OnlyStageColumns:
+    """(ref: TestRenderPass1OnlyOmitsStageColumns, sections_test.go:209)."""
+
+    def test_input_only_headers(self):
+        md = render_markdown(analysis_record())
+        for section in ("## Loudness", "## Dynamics", "## Spectral"):
+            body = md.split(section, 1)[1].split("##", 1)[0]
+            header = [ln for ln in body.splitlines() if ln.startswith("| Metric")][0]
+            assert "Input" in header
+            assert "Filtered" not in header and "Final" not in header
+
+    def test_full_record_has_all_stage_columns(self):
+        md = render_markdown(full_record())
+        body = md.split("## Loudness", 1)[1].split("##", 1)[0]
+        header = [ln for ln in body.splitlines() if ln.startswith("| Metric")][0]
+        for col in ("Input", "Filtered", "Final"):
+            assert col in header
+
+
+class TestNaNLeafPlaceholder:
+    """(ref: TestRenderNaNLeafPlaceholder, sections_test.go:221): a NaN
+    leaf renders the placeholder cell, never 'nan'."""
+
+    def test_nan_renders_placeholder(self):
+        rec = analysis_record()
+        rec["dynamics"]["stages"]["input"]["rms_trough_dbfs"] = math.nan
+        md = render_markdown(rec)
+        body = md.split("## Dynamics", 1)[1].split("##", 1)[0]
+        row = [ln for ln in body.splitlines() if "trough" in ln.lower()]
+        assert row, body
+        assert "nan" not in row[0].lower()
+        assert "| - |" in row[0].replace("— ", "- ").replace(" -", " -")
+
+
+class TestSpeechCandidateCountOnly:
+    """(ref: TestRenderSpeechCandidateCountOnly, sections_test.go:420):
+    the inline record renders a candidate COUNT + elected score, never a
+    ranked per-candidate list."""
+
+    def test_count_and_score_only(self):
+        md = render_markdown(full_record())
+        body = md.split("### Speech", 1)[1]
+        assert "**Candidates**" in body
+        assert "Evaluated" in body and "| 2 |" in body
+        assert "0.65" in body
+        for banned in ("Candidate 1", "Candidate 2", "Rank"):
+            assert banned not in body, banned
+
+
+class TestRegionSamplesStages:
+    """(ref: TestRenderRegionSamplesStages :440 + NilInputPlaceholder
+    :464, adapted to this renderer's omit-when-empty convention)."""
+
+    def test_samples_input_only_in_analysis_mode(self):
+        rec = analysis_record()
+        rec["regions"]["speech"]["samples"] = {
+            "input": {"rms_level_dbfs": -45.4, "peak_level_dbfs": -15.5,
+                      "crest_factor_db": 29.9}}
+        md = render_markdown(rec)
+        body = md.split("### Speech", 1)[1].split("### Gate", 1)[0]
+        assert "**Samples**" in body
+        table = body.split("**Samples**", 1)[1]
+        header = [ln for ln in table.splitlines()
+                  if ln.startswith("| Metric")][0]
+        assert "Input" in header
+        assert "Filtered" not in header and "Final" not in header
+
+    def test_nil_input_does_not_crash(self):
+        rec = analysis_record()
+        rec["regions"]["room_tone"]["samples"] = {"input": None}
+        md = render_markdown(rec)   # must not raise
+        assert "### Room Tone" in md
+
+    def test_full_record_samples_all_stages(self):
+        rec = full_record()
+        sample = {"rms_level_dbfs": -55.0, "peak_level_dbfs": -45.0,
+                  "crest_factor_db": 10.0}
+        rec["regions"]["room_tone"]["samples"] = {
+            "input": dict(sample), "filtered": dict(sample),
+            "final": dict(sample)}
+        md = render_markdown(rec)
+        body = md.split("### Room Tone", 1)[1].split("### Speech", 1)[0]
+        table = body.split("**Samples**", 1)[1]
+        header = [ln for ln in table.splitlines() if ln.startswith("| Metric")][0]
+        for col in ("Input", "Filtered", "Final"):
+            assert col in header
+
+
+class TestIntervalSummarySection:
+    """(ref: TestRenderIntervalSummary :481 + NilOmitted :504)."""
+
+    def test_renders_count_percentiles_gap(self):
+        md = render_markdown(full_record())
+        body = md.split("## Interval Summary", 1)[1].split("##", 1)[0]
+        assert "Interval count" in body and "| 20 |" in body
+        assert "P50" in body and "P90" in body
+        assert "Largest RMS gap" in body
+
+    def test_nil_summary_omitted(self):
+        rec = full_record()
+        rec.pop("interval_summary")
+        md = render_markdown(rec)
+        assert "## Interval Summary" not in md
