@@ -59,6 +59,16 @@ DEFINITIONS = {
     "speech_band_sib_rms_dbfs": ("Sibilant-band RMS", "RMS over the 6-9 kHz sibilant band of the elected speech region.", "dBFS"),
     "voicing_density": ("Voicing density", "Proportion of voiced intervals over the elected speech region, 0-1.", ""),
     "score": ("Score", "Composite candidate-ranking score of the elected region.", ""),
+    # interval summary (per-250ms RMS distribution + gap; ref definitions.go:331-374)
+    "interval_count": ("Interval count", "Number of 250 ms intervals sampled over the input.", "count"),
+    "largest_gap_db": ("Largest gap", "Biggest jump between adjacent sorted interval RMS values, the room-tone/speech boundary signal.", "dB"),
+    "rms_dist_min_dbfs": ("RMS min", "Lowest interval RMS above digital silence.", "dBFS"),
+    "rms_dist_p10_dbfs": ("RMS p10", "10th-percentile interval RMS above digital silence.", "dBFS"),
+    "rms_dist_p25_dbfs": ("RMS p25", "25th-percentile interval RMS above digital silence.", "dBFS"),
+    "rms_dist_p50_dbfs": ("RMS p50", "Median interval RMS above digital silence.", "dBFS"),
+    "rms_dist_p75_dbfs": ("RMS p75", "75th-percentile interval RMS above digital silence.", "dBFS"),
+    "rms_dist_p90_dbfs": ("RMS p90", "90th-percentile interval RMS above digital silence.", "dBFS"),
+    "rms_dist_max_dbfs": ("RMS max", "Highest interval RMS above digital silence.", "dBFS"),
     "voiced_low_percentile_dbfs": ("Voiced low percentile", "p10 of in-region voiced levels on the VAD level axis.", "dBFS"),
     "noise_high_percentile_dbfs": ("Noise high percentile", "p95 of below-split levels on the VAD level axis.", "dBFS"),
     "gate_separation_db": ("Gate separation", "Voiced low percentile minus noise high percentile.", "dB"),

@@ -255,10 +255,15 @@ def _render_regions(rec: dict) -> str:
             parts.append(sub)
     cand = speech.get("candidates_summary")
     if cand:
-        rows = [["Evaluated", str(cand.get("evaluated_count", 0))]]
+        # (ref: renderCandidatesSummary, sections.go:377-399): count row is a
+        # literal, the elected score reuses the catalogued "score" entry.
+        rows = [["Evaluated count", "Number of region candidates evaluated.",
+                 str(int(cand.get("evaluated_count", 0)))]]
         if "elected_score" in cand:
-            rows.append(["Elected score", _fmt(cand["elected_score"])])
-        parts.append("**Candidates**\n\n" + _table(["Field", "Value"], rows))
+            label, definition, _ = define("score")
+            rows.append([label, definition, _fmt(cand["elected_score"])])
+        parts.append("**Candidates**\n\n"
+                     + _table(["Metric", "Definition", "Value"], rows))
     samples = speech.get("samples") or {}
     if any(samples.values()):
         headers = ["Metric", "Definition", *_stage_headers(samples)]
@@ -308,18 +313,29 @@ def _render_spectrograms(rec: dict) -> str:
 
 
 def _render_interval_summary(rec: dict) -> str:
+    """(ref: renderIntervalSummary, sections.go:460-485): a single-stage
+    Metric | Definition | Value table — count row, the seven RMS
+    distribution rows when present, the largest-gap row last; labels and
+    glosses from the definitions catalogue."""
     s = rec.get("interval_summary")
     if not s:
         return ""
-    rows = [["Interval count", str(s.get("count", 0))]]
+
+    def row(key, value, unit_override=None):
+        label, definition, unit = define(key)
+        shown = unit_override if unit_override is not None else unit
+        return [label, f"{definition} ({unit})" if unit else definition,
+                _fmt(value, shown) if not isinstance(value, str) else value]
+
+    rows = [row("interval_count", str(int(s.get("count", 0))))]
     dist = s.get("rms_distribution")
     if dist:
         for k in ("min_dbfs", "p10_dbfs", "p25_dbfs", "p50_dbfs", "p75_dbfs",
                   "p90_dbfs", "max_dbfs"):
-            rows.append([k.replace("_dbfs", "").upper(), _fmt(dist.get(k), "dBFS")])
+            rows.append(row(f"rms_dist_{k}", dist.get(k)))
     if "largest_gap_db" in s:
-        rows.append(["Largest RMS gap", _fmt(s["largest_gap_db"], "dB")])
-    return "## Interval Summary\n\n" + _table(["Field", "Value"], rows)
+        rows.append(row("largest_gap_db", s["largest_gap_db"]))
+    return "## Interval Summary\n\n" + _table(["Metric", "Definition", "Value"], rows)
 
 
 def _render_filters(rec: dict) -> str:

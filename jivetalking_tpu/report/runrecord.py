@@ -189,14 +189,20 @@ def _interval_summary(iv: Intervals | None) -> dict | None:
     if iv is None or len(iv) == 0:
         return None
     out: dict = {"count": int(len(iv))}
-    rms = np.sort(iv.rms_level[iv.rms_level > -120.0 + 1e-9])
+    rms = np.sort(iv.rms_level[iv.rms_level > -120.0])
     if rms.size >= 10:
-        def pick(p):
-            return float(rms[int(p / 100.0 * (rms.size - 1))])
+        n = int(rms.size)
+        # Integer-index selection sorted[n*k/d], NOT interpolation and NOT
+        # the (n-1)-scaled index (they differ at e.g. P75 for n=11) — the
+        # reference pins this exact maths (runrecord_summary.go:15,39-46,
+        # runrecord_sidecar_test.go TestNewIntervalSummary_MatchesReportMaths).
         out["rms_distribution"] = {
             "min_dbfs": float(rms[0]),
-            "p10_dbfs": pick(10), "p25_dbfs": pick(25), "p50_dbfs": pick(50),
-            "p75_dbfs": pick(75), "p90_dbfs": pick(90),
+            "p10_dbfs": float(rms[n // 10]),
+            "p25_dbfs": float(rms[n // 4]),
+            "p50_dbfs": float(rms[n // 2]),
+            "p75_dbfs": float(rms[n * 3 // 4]),
+            "p90_dbfs": float(rms[n * 9 // 10]),
             "max_dbfs": float(rms[-1]),
         }
         gaps = np.diff(rms)

@@ -266,8 +266,8 @@ class TestRegionsAndGateStats:
 
     def test_candidate_count(self):
         md = render_markdown(full_record())
-        assert "Evaluated" in md
-        assert "| Evaluated | 2 |" in md
+        assert "Evaluated count" in md
+        assert "| Evaluated count | Number of region candidates evaluated. | 2 |" in md
 
 
 class TestNormalisationNumbers:
@@ -380,8 +380,10 @@ class TestIntervalSummarySection:
         md = render_markdown(full_record())
         body = md.split("## Interval Summary", 1)[1].split("##", 1)[0]
         assert "Interval count" in body and "| 20 |" in body
-        assert "P50" in body and "P90" in body
-        assert "Largest RMS gap" in body
+        assert "RMS p50" in body and "RMS p90" in body
+        assert "Largest gap" in body
+        # catalogue glosses ride along (ref metricDefinition unit suffix)
+        assert "Median interval RMS above digital silence. (dBFS)" in body
 
     def test_nil_summary_omitted(self):
         rec = full_record()

@@ -209,3 +209,58 @@ class TestNonFiniteSerialisesAsNull:
         inp = tree["loudness"]["stages"]["input"]
         vals = [v for v in inp.values() if v is None]
         assert vals, "non-finite floats must serialise as null"
+
+
+def intervals_with_rms(vals) -> "Intervals":
+    """Interval table with the given RMS series and inert other columns."""
+    from jivetalking_tpu.analysis.intervals import Intervals
+    from jivetalking_tpu.metering.spectral import METRIC_NAMES
+
+    n = len(vals)
+    z = np.zeros(n)
+    return Intervals(
+        timestamp=np.arange(n) * 0.25,
+        rms_level=np.asarray(vals, dtype=np.float64),
+        peak_level=z, momentary_lufs=z, short_term_lufs=z,
+        true_peak=z, sample_peak=z,
+        spectral={k: z for k in METRIC_NAMES},
+        spectral_found=np.zeros(n, dtype=bool),
+    )
+
+
+class TestIntervalSummaryMaths:
+    """(ref: TestNewIntervalSummary_MatchesReportMaths / _BelowThreshold,
+    runrecord_sidecar_test.go:48-91): integer-index percentile selection
+    sorted[n*k/d] — NOT interpolation, NOT (n-1)-scaled indices (the two
+    differ at P75 for n=11) — and the >=10-non-silent population gate."""
+
+    def test_matches_reference_index_selection(self):
+        from jivetalking_tpu.report.runrecord import _interval_summary
+
+        vals = [-70, -68, -66, -64, -62, -40, -38, -36, -34, -32, -30]
+        s = _interval_summary(intervals_with_rms([-130.0] + vals))
+        assert s["count"] == 12  # silence interval counts toward count
+        d = s["rms_distribution"]
+        n = 11
+        assert d["min_dbfs"] == vals[0]
+        assert d["p10_dbfs"] == vals[n // 10]
+        assert d["p25_dbfs"] == vals[n // 4]
+        assert d["p50_dbfs"] == vals[n // 2]
+        assert d["p75_dbfs"] == vals[n * 3 // 4]   # index 8, NOT 7
+        assert d["p90_dbfs"] == vals[n * 9 // 10]
+        assert d["max_dbfs"] == vals[-1]
+        assert s["largest_gap_db"] == 22.0  # -62 -> -40
+
+    def test_below_threshold_drops_distribution(self):
+        from jivetalking_tpu.report.runrecord import _interval_summary
+
+        s = _interval_summary(intervals_with_rms([-60, -50, -40, -30, -20]))
+        assert s["count"] == 5
+        assert "rms_distribution" not in s
+        assert "largest_gap_db" not in s
+
+    def test_empty_series_is_none(self):
+        from jivetalking_tpu.report.runrecord import _interval_summary
+
+        assert _interval_summary(intervals_with_rms([])) is None
+        assert _interval_summary(None) is None
