@@ -214,6 +214,34 @@ def main(argv: list[str] | None = None) -> int:
                     jobs=jobs,
                     cancel=cancel,
                 )
+        elif args.analyse:
+            # No terminal: one up-front banner, then the ordered post-pool
+            # loop prints each confirmation in INPUT order — byte-identical
+            # stdout for any jobs count (ref: main.go:403-441,
+            # TestRunAnalysisOnlyWithDeps_OrderedOutputParityAcrossJobs).
+            print(f"Analysing {len(args.files)} files…", flush=True)
+            events = PoolEvents(
+                on_warning=lambda w: warnings.append(w),
+                on_debug=lambda p, msg: sink.for_file(p)(msg),
+            )
+            outcomes = run_pool(
+                args.files,
+                base=default_filter_config(),
+                events=events,
+                diagnostics=args.diagnostics,
+                analysis_only=True,
+                jobs=jobs,
+                cancel=cancel,
+            )
+            for o in outcomes:
+                if o.error == "cancelled":
+                    continue  # a user who quit gets no error spew
+                if o.error:
+                    print_error(f"Analysis failed for {o.path}: {o.error}")
+                    continue
+                if not o.report_written:
+                    continue  # report failed: warning already queued
+                print(render_analysis_summary(o), flush=True)
         else:
             events = PoolEvents(
                 on_progress=on_progress,
@@ -226,7 +254,7 @@ def main(argv: list[str] | None = None) -> int:
                 base=default_filter_config(),
                 events=events,
                 diagnostics=args.diagnostics,
-                analysis_only=args.analyse,
+                analysis_only=False,
                 jobs=jobs,
                 cancel=cancel,
             )

@@ -100,6 +100,9 @@ class FileOutcome:
     recording_label: str = ""
     wall_secs: float = 0.0
     realtime_factor: float = 0.0
+    # the .md report landed — the no-TTY confirmation line is suppressed
+    # when it did not (ref: emitAnalysisReport reportWritten, main.go:498-520)
+    report_written: bool = True
     result: ProcessResult | None = field(default=None, repr=False)
     measurements: AudioMeasurements | None = field(default=None, repr=False)
 
@@ -496,13 +499,15 @@ def analyse_one_file(
                 )
             except Exception as e:
                 _emit(events.on_warning, f"spectrogram render failed: {e}")
-        for fn, target in (
-            (lambda p: write_run_record(p, rec), analysis_record_path(path)),
-            (lambda p: write_markdown_report(p, rec), analysis_report_path(path)),
+        for fn, target, is_report in (
+            (lambda p: write_run_record(p, rec), analysis_record_path(path), False),
+            (lambda p: write_markdown_report(p, rec), analysis_report_path(path), True),
         ):
             try:
                 fn(target)
             except Exception as e:
+                if is_report:
+                    outcome.report_written = False
                 _emit(events.on_warning, f"failed to write {os.path.basename(target)}: {e}")
         if diagnostics and m.intervals is not None:
             try:

@@ -10,6 +10,7 @@ pattern, ui/view_layout_test.go)."""
 from __future__ import annotations
 
 import math
+import os
 
 from ..cli.pool import FileOutcome
 from ..quality import gain_advice
@@ -136,7 +137,10 @@ def render_analysis_summary(o: FileOutcome) -> str:
     if o.error:
         return f"✗ {o.path}: {o.error}"
     m = o.measurements
-    lines = [f"✓ {o.path}"]
+    from ..report.paths import analysis_report_path
+
+    report_name = os.path.basename(analysis_report_path(o.path))
+    lines = [f"✓ {os.path.basename(o.path)} → {report_name}"]
     lines.append(f"  {'Loudness':<14} {_fmt_db(o.input_lufs)} LUFS   "
                  f"{'True peak':<10} {_fmt_db(o.input_tp)} dBTP   "
                  f"{'LRA':<4} {_fmt_db(o.input_lra)} LU")

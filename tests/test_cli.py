@@ -408,3 +408,83 @@ class TestProcessingPoolOrderingAndIsolation:
         assert a.output_lufs == pytest.approx(b.output_lufs, abs=1e-9)
         assert a.output_tp == pytest.approx(b.output_tp, abs=1e-9)
         assert a.quality_stars == b.quality_stars
+
+
+class TestAnalysisNonTTYContract:
+    """(ref: runAnalysisOnlyWithDeps non-TTY path, main.go:403-441;
+    TestRunAnalysisOnlyWithDeps_NonTTYOmitsBenchPath /
+    _NonTTYBannerThenOrderedReports / _OrderedOutputParityAcrossJobs /
+    _FailureIsolation, main_test.go:131-616): one up-front banner, then —
+    only after the pool returns — one confirmation line per file in INPUT
+    order, so stdout is byte-identical for any jobs count; the report body
+    never leaks to stdout; a failing file prints one error and no
+    confirmation while siblings still confirm."""
+
+    @pytest.fixture(scope="class")
+    def three_wavs(self, tmp_path_factory, fixture_wav):
+        import shutil
+
+        d = tmp_path_factory.mktemp("ordered")
+        paths = []
+        for name in ("alpha.wav", "bravo.wav", "charlie.wav"):
+            p = str(d / name)
+            shutil.copy(fixture_wav, p)
+            paths.append(p)
+        return paths
+
+    def run_cli(self, files, capsys, jobs=None):
+        args = ["-a"] + (["--jobs", str(jobs)] if jobs else []) + list(files)
+        rc = main(args)
+        captured = capsys.readouterr()
+        return rc, captured.out, captured.err
+
+    def test_banner_then_ordered_confirmations(self, three_wavs, capsys):
+        rc, out, _ = self.run_cli(three_wavs, capsys, jobs=3)
+        assert rc == 0
+        assert out.startswith("Analysing 3 files…")
+        # confirmations carry the report basename and appear in input order
+        positions = []
+        for p in three_wavs:
+            base = os.path.basename(p)
+            want = f"✓ {base} → {base[:-4]}-wav-analysis.md"
+            assert want in out, want
+            positions.append(out.index(want))
+        assert positions == sorted(positions)
+        # the report body and per-file progress lines stay out of stdout
+        assert "# Audio Processing Report" not in out
+        assert ": analysis" not in out
+
+    def test_jobs_parity(self, three_wavs, capsys):
+        _, serial, _ = self.run_cli(three_wavs, capsys, jobs=1)
+        _, parallel, _ = self.run_cli(three_wavs, capsys, jobs=3)
+        assert serial == parallel
+
+    def test_failure_isolation(self, three_wavs, tmp_path, capsys):
+        bad = str(tmp_path / "broken.wav")
+        open(bad, "wb").write(b"RIFFgarbage")
+        files = [three_wavs[0], bad, three_wavs[2]]
+        rc, out, err = self.run_cli(files, capsys)
+        assert rc == 1
+        # the error prints through print_error (stderr), never stdout
+        assert "broken.wav" in err and "Analysis failed" in err
+        assert "✓ broken.wav" not in out
+        for p in (files[0], files[2]):
+            assert f"✓ {os.path.basename(p)}" in out
+        # sibling confirmations still in input order
+        a = out.index(f"✓ {os.path.basename(files[0])}")
+        c = out.index(f"✓ {os.path.basename(files[2])}")
+        assert a < c
+
+    def test_report_write_failure_suppresses_confirmation(
+        self, three_wavs, capsys, monkeypatch
+    ):
+        # (ref: emitAnalysisReport reportWritten gate, main.go:498-520)
+        import jivetalking_tpu.cli.pool as pool_mod
+
+        def boom(path, *a, **k):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(pool_mod, "write_markdown_report", boom)
+        rc, out, _ = self.run_cli([three_wavs[0]], capsys)
+        assert rc == 0  # write failures are non-fatal
+        assert "✓" not in out.split("Analysing", 1)[1]
