@@ -64,14 +64,23 @@ class Intervals:
         (ref: analyser_candidates_shared.go accumulateIntervalMetrics)."""
         if not mask.any():
             return None
-        spectral = {k: float(np.mean(self.spectral[k][mask])) for k in METRIC_NAMES}
+        # spectral averages use only intervals that HAVE spectral frames —
+        # unfound rows never dilute the mean (ref: SpectralAccumulator
+        # skips Found=false frames, analyser_metrics.go; pinned by
+        # TestSpectralAccumulator_MixedFoundAndUnfound).  With none found
+        # the metrics stay zero-valued, found=False.
+        smask = mask & self.spectral_found
+        if smask.any():
+            spectral = {k: float(np.mean(self.spectral[k][smask])) for k in METRIC_NAMES}
+        else:
+            spectral = {k: 0.0 for k in METRIC_NAMES}
         rms = float(np.mean(self.rms_level[mask]))
         peak = float(np.max(self.peak_level[mask]))
         return RegionSample(
             rms_level=rms,
             peak_level=peak,
             crest_factor=peak - rms,
-            spectral=SpectralMetrics(**spectral, found=bool(self.spectral_found[mask].any())),
+            spectral=SpectralMetrics(**spectral, found=bool(smask.any())),
             momentary_lufs=float(np.mean(self.momentary_lufs[mask])),
             short_term_lufs=float(np.mean(self.short_term_lufs[mask])),
             true_peak=float(np.max(self.true_peak[mask])),

@@ -198,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
             with ui_cls(args.files) as live:
                 events = PoolEvents(
                     on_file_start=live.on_file_start,
+                    on_duration=live.on_duration,
                     on_progress=live.on_progress,
                     on_adapted=live.on_adapted_summary,
                     on_levels=live.on_levels,

@@ -113,6 +113,7 @@ class PoolEvents:
     tolerant (the pool never fails on a UI error)."""
 
     on_file_start: callable = None
+    on_duration: callable = None        # (path, audio_secs) once metadata is read
     on_progress: callable = None        # (path, pass_name, fraction)
     on_adapted: callable = None         # (path, AdaptedSummary)
     on_levels: callable = None          # (path, levels_db ndarray, hop_secs)
@@ -271,6 +272,9 @@ def process_one_file(
         # stream through the bounded-memory decoder instead of a whole-
         # file host buffer (ref: reader.go's O(frame) loop).
         samples, meta = _open_for_processing(path)
+        # the audio duration drives the live row's ⚡ realtime-speed badge
+        # (ref: FileProgress.Duration, views.go:255-263)
+        _emit(events.on_duration, path, float(meta.duration_secs))
         if (isinstance(samples, np.ndarray) and samples.dtype != np.int16
                 and meta.bit_depth and meta.bit_depth <= 16):
             samples = np.clip(
@@ -455,6 +459,7 @@ def analyse_one_file(
         # keep 16-bit sources as int16 until the device (half the upload
         # bytes; the fused programs downmix/convert in-graph)
         samples, meta = open_audio_file(path, raw_int16=True)
+        _emit(events.on_duration, path, float(meta.duration_secs))
         if cancel.is_set():
             raise InterruptedError("cancelled")
         m, eff, diag = analyse_only(samples, meta.sample_rate, base)

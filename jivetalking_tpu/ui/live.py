@@ -42,6 +42,7 @@ PASS_LABELS = {
 }
 _SPINNER = "⠋⠙⠹⠸⠼⠴⠦⠧⠇⠏"
 _BAR_WIDTH = 24
+_TIMELINE_WIDTH = 8          # mini dot timeline cells (ref: views.go:229)
 _METER_WIDTH = 30
 _METER_FLOOR_DB = -60.0      # mirrored from the reference's meter floor
 _PEAK_HOLD_SECS = 1.0
@@ -60,6 +61,7 @@ class FileRow:
     error: str = ""
     done_box: str = ""
     summary: AdaptedSummary | None = None
+    duration: float = 0.0        # audio seconds (drives the ⚡ speed badge)
     levels: object = None        # np.ndarray of dBFS per 250 ms interval
     level_hop: float = 0.25
     meter_db: float = _METER_FLOOR_DB
@@ -81,6 +83,41 @@ class LiveModel:
 def _bar(fraction: float) -> str:
     filled = int(round(_BAR_WIDTH * max(0.0, min(1.0, fraction))))
     return "█" * filled + "░" * (_BAR_WIDTH - filled)
+
+
+def format_elapsed(secs: float) -> str:
+    """MM:SS clock, growing to HH:MM:SS past an hour, rounded to the
+    second (ref: formatElapsed, analysis_model.go:223-235)."""
+    total = int(round(max(0.0, secs)))
+    h, rem = divmod(total, 3600)
+    m, s = divmod(rem, 60)
+    if h > 0:
+        return f"{h:02d}:{m:02d}:{s:02d}"
+    return f"{m:02d}:{s:02d}"
+
+
+def render_timeline(row: FileRow, elapsed: float) -> str:
+    """The Time block: elapsed clock, mini dot timeline filled to the pass
+    progress, projected total-pass clock, and a realtime-speed badge
+    (ref: renderTimeline, views.go:231-271).
+
+    The badge is (progress × duration) / elapsed with the reference's
+    start-up guards (duration known, progress > 0.02, elapsed > 0.3 s).
+    The reference additionally un-scales Pass 1's bar progress by
+    BandPhaseProgressStart (0.95) because its band phase reserves bar
+    headroom after the decode loop (views.go:273-287); here the bands run
+    inside the same fused device program and every pass reports a true
+    fraction, so the fraction passes through unscaled."""
+    progress = max(0.0, min(1.0, row.fraction))
+    right = "--:--"
+    if progress > 0:
+        right = format_elapsed(elapsed / progress)
+    filled = max(0, min(_TIMELINE_WIDTH, int(progress * _TIMELINE_WIDTH + 0.5)))
+    timeline = "▰" * filled + "▱" * (_TIMELINE_WIDTH - filled)
+    badge = "⚡ —×"
+    if row.duration > 0 and progress > 0.02 and elapsed > 0.3:
+        badge = f"⚡ {progress * row.duration / elapsed:.1f}×"
+    return f"{format_elapsed(elapsed)} {timeline} {right}  ·  {badge}"
 
 
 def render_meter(level_db: float, peak_db: float) -> str:
@@ -147,6 +184,8 @@ def render_frame(model: LiveModel, tick: int) -> str:
         lines.append(
             f"{spin} {row.path:<32} {stage:<16} {_bar(row.disp_fraction if row.stage else 0.0)} {elapsed:5.0f}s"
         )
+        if row.started and row.stage:
+            lines.append("  " + render_timeline(row, elapsed))
         if row.levels is not None and row.stage in ("processing", "normalising"):
             lines.append("  " + render_meter(row.meter_db, row.peak_db))
         if row.summary is not None:
@@ -200,6 +239,10 @@ class LiveUI:
     def on_adapted_summary(self, path: str, summary: AdaptedSummary) -> None:
         with self._lock:
             self.model.rows[path].summary = summary
+
+    def on_duration(self, path: str, secs: float) -> None:
+        with self._lock:
+            self.model.rows[path].duration = float(secs)
 
     def on_levels(self, path: str, levels_db, hop_secs: float) -> None:
         with self._lock:

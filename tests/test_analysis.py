@@ -359,3 +359,65 @@ class TestAnalyseAudioSyntheticTone:
         m = tone_measurements
         assert m.duration == pytest.approx(5.0, abs=0.01)
         assert m.sample_rate == 44100
+
+
+class TestSpectralAccumulatorSemantics:
+    """The interval->region spectral averaging rules (ref:
+    SpectralAccumulator, analyser_metrics.go; vectors from
+    internal/processor/analyser_metrics_test.go:152-254)."""
+
+    _REF_ROW_A = dict(mean=2.0, variance=4.0, centroid=1000.0, spread=200.0,
+                      skewness=1.0, kurtosis=2.0, entropy=0.2, flatness=0.4,
+                      crest=6.0, flux=0.02, slope=-0.10, decrease=0.06,
+                      rolloff=5000.0)
+    _REF_ROW_B = dict(mean=6.0, variance=12.0, centroid=3000.0, spread=600.0,
+                      skewness=3.0, kurtosis=6.0, entropy=0.6, flatness=0.8,
+                      crest=10.0, flux=0.06, slope=-0.30, decrease=0.18,
+                      rolloff=9000.0)
+
+    def _intervals(self, rows, found):
+        from jivetalking_tpu.analysis.intervals import Intervals
+        from jivetalking_tpu.metering.spectral import METRIC_NAMES
+
+        n = len(rows)
+        z = np.full(n, -30.0)
+        return Intervals(
+            timestamp=np.arange(n) * 0.25,
+            rms_level=z, peak_level=z + 10.0,
+            momentary_lufs=z, short_term_lufs=z,
+            true_peak=z, sample_peak=z,
+            spectral={k: np.array([r[k] for r in rows]) for k in METRIC_NAMES},
+            spectral_found=np.asarray(found, dtype=bool),
+        )
+
+    def test_mixed_found_and_unfound(self):
+        # an unfound row's values never dilute the average; found survives
+        # (ref: TestSpectralAccumulator_MixedFoundAndUnfound)
+        garbage = {k: 100.0 for k in self._REF_ROW_A}
+        iv = self._intervals([garbage, self._REF_ROW_B], [False, True])
+        rs = iv.region_sample(np.array([True, True]))
+        assert rs.spectral.found
+        assert rs.spectral.mean == pytest.approx(6.0)
+        assert rs.spectral.variance == pytest.approx(12.0)
+
+    def test_zero_found_gives_zero_valued_metrics(self):
+        # no spectral frames -> zero-value metrics, found=False
+        # (ref: TestSpectralAccumulator_ZeroFrameCount)
+        garbage = {k: 100.0 for k in self._REF_ROW_A}
+        iv = self._intervals([garbage], [False])
+        rs = iv.region_sample(np.array([True]))
+        assert not rs.spectral.found
+        for k in self._REF_ROW_A:
+            assert getattr(rs.spectral, k) == 0.0
+
+    def test_averages_all_thirteen_fields(self):
+        # two found rows -> midpoint for every field
+        # (ref: TestSpectralAccumulator_AveragesAllFields)
+        iv = self._intervals([self._REF_ROW_A, self._REF_ROW_B], [True, True])
+        rs = iv.region_sample(np.array([True, True]))
+        want = dict(mean=4.0, variance=8.0, centroid=2000.0, spread=400.0,
+                    skewness=2.0, kurtosis=4.0, entropy=0.4, flatness=0.6,
+                    crest=8.0, flux=0.04, slope=-0.20, decrease=0.12,
+                    rolloff=7000.0)
+        for k, v in want.items():
+            assert getattr(rs.spectral, k) == pytest.approx(v), k

@@ -370,3 +370,68 @@ class TestDefinitionsCatalogue:
         ]
         missing = [k for k in required if k not in DEFINITIONS]
         assert not missing, missing
+
+
+class TestSpectrogramSourceAndBounds:
+    """Kind→bounds and stage→source resolution rules (ref:
+    TestSpectrogramSourceResolution / TestSpectrogramBoundsResolution,
+    internal/processor/spectrogram_test.go:170-250).  The rebuild renders
+    from in-memory PCM rather than re-decoding files, so the stage→source
+    mapping is pinned at the `stage_audio` contract: before/input carry
+    the raw input PCM, after carries the processed delivery (at ITS
+    rate)."""
+
+    def _record_calls(self, monkeypatch):
+        calls = []
+
+        def fake_render(audio, rate, path, start=None, duration=None):
+            calls.append({"audio": audio, "rate": rate, "path": path,
+                          "start": start, "duration": duration})
+            return path
+
+        import jivetalking_tpu.report.spectrogram as sg
+
+        monkeypatch.setattr(sg, "render_spectrogram_image", fake_render)
+        return calls
+
+    def test_whole_bounds_are_none_regions_use_election(self, monkeypatch):
+        from types import SimpleNamespace
+
+        from jivetalking_tpu.report.spectrogram import render_run_spectrograms
+
+        calls = self._record_calls(monkeypatch)
+        render_run_spectrograms(
+            "stem", {"before": np.zeros(16)}, 48000,
+            noise_region=SimpleNamespace(start=2.0, duration=10.0),
+            speech_region=SimpleNamespace(start=30.0, duration=10.0),
+        )
+        by_kind = {c["path"].split("-")[1]: c for c in calls}
+        assert by_kind["whole"]["start"] is None
+        assert by_kind["whole"]["duration"] is None
+        assert (by_kind["roomtone"]["start"], by_kind["roomtone"]["duration"]) == (2.0, 10.0)
+        assert (by_kind["speech"]["start"], by_kind["speech"]["duration"]) == (30.0, 10.0)
+
+    def test_unelected_kinds_are_omitted(self, monkeypatch):
+        # no elected profile -> the kind is skipped, never rendered whole
+        # (ref: nil_elected_profile guard, spectrogram_test.go:240-249)
+        from jivetalking_tpu.report.spectrogram import render_run_spectrograms
+
+        calls = self._record_calls(monkeypatch)
+        render_run_spectrograms("stem", {"before": np.zeros(16)}, 48000)
+        assert [c["path"] for c in calls] == ["stem.spectrogram-whole-before.png"]
+
+    def test_stage_rate_override(self, monkeypatch):
+        # the delivery stage renders at ITS OWN rate (44.1k) while the
+        # input stages render at the source rate (the reference re-decodes
+        # each source file, picking up its rate implicitly)
+        from jivetalking_tpu.report.spectrogram import render_run_spectrograms
+
+        calls = self._record_calls(monkeypatch)
+        before, after = np.zeros(16), np.zeros(12)
+        render_run_spectrograms(
+            "stem", {"before": before, "after": (after, 44100)}, 48000)
+        by_stage = {c["path"].rsplit("-", 1)[1]: c for c in calls}
+        assert by_stage["before.png"]["rate"] == 48000
+        assert by_stage["before.png"]["audio"] is before
+        assert by_stage["after.png"]["rate"] == 44100
+        assert by_stage["after.png"]["audio"] is after

@@ -625,3 +625,88 @@ class TestSummaryAxisDiscipline:
 
         assert not new_adapted_summary(None, None, AudioMeasurements()).chain_ready
         assert not new_adapted_summary(default_filter_config(), None, None).chain_ready
+
+
+class TestTimelineReferenceInvariants:
+    """The Time block: clocks, dot timeline, ⚡ speed badge (ref:
+    renderTimeline views.go:231-271; vectors from
+    internal/ui/progress_bar_test.go:387-471)."""
+
+    def _row(self, progress, duration, **kw):
+        from jivetalking_tpu.ui.live import FileRow
+
+        row = FileRow(path="a.flac", stage="processing", fraction=progress,
+                      duration=duration)
+        for k, v in kw.items():
+            setattr(row, k, v)
+        return row
+
+    def test_clocks_and_badge(self):
+        # progress 0.5 after 10 s of a 60 s file: elapsed 00:10, projected
+        # 00:20, badge (0.5*60)/10 = 3.0x, 4/8 dots filled
+        # (ref: TestTimelineClocksAndBadge)
+        from jivetalking_tpu.ui.live import render_timeline
+
+        line = render_timeline(self._row(0.5, 60.0), elapsed=10.0)
+        assert "00:10" in line
+        assert "00:20" in line
+        assert "⚡ 3.0×" in line
+        assert line.count("▰") == 4 and line.count("▱") == 4
+
+    def test_badge_guards(self):
+        # placeholder until duration known, progress > 0.02 AND
+        # elapsed > 0.3 s (ref: TestTimelineBadgeGuards)
+        from jivetalking_tpu.ui.live import render_timeline
+
+        cases = [
+            (0.5, 0.0, 10.0, False),   # no duration
+            (0.01, 60.0, 10.0, False),  # progress too low
+            (0.5, 60.0, 0.2, False),   # elapsed too short
+            (0.5, 60.0, 10.0, True),   # all clear
+        ]
+        for progress, duration, elapsed, want_num in cases:
+            line = render_timeline(self._row(progress, duration), elapsed)
+            if want_num:
+                assert "⚡ —×" not in line and "×" in line, line
+            else:
+                assert "⚡ —×" in line, line
+
+    def test_fill_tracks_progress(self):
+        # fill = round(progress*8), never overflowing the 8-cell width
+        # (ref: TestTimelineFillTracksProgress)
+        from jivetalking_tpu.ui.live import _TIMELINE_WIDTH, render_timeline
+
+        for p in (0.0, 0.25, 0.5, 0.99, 1.0):
+            line = render_timeline(self._row(p, 60.0), elapsed=5.0)
+            want = min(int(p * _TIMELINE_WIDTH + 0.5), _TIMELINE_WIDTH)
+            assert line.count("▰") == want, (p, line)
+            assert line.count("▰") + line.count("▱") == _TIMELINE_WIDTH
+
+    def test_projected_clock_placeholder(self):
+        # --:-- until progress is meaningful
+        # (ref: TestTimelineProjectedClockPlaceholder)
+        from jivetalking_tpu.ui.live import render_timeline
+
+        assert "--:--" in render_timeline(self._row(0.0, 60.0), elapsed=2.0)
+
+    def test_format_elapsed_rolls_to_hours(self):
+        # MM:SS under an hour, HH:MM:SS past it, rounded to the second
+        # (ref: formatElapsed, analysis_model.go:223-235)
+        from jivetalking_tpu.ui.live import format_elapsed
+
+        assert format_elapsed(0.4) == "00:00"
+        assert format_elapsed(59.6) == "01:00"
+        assert format_elapsed(125.0) == "02:05"
+        assert format_elapsed(3725.0) == "01:02:05"
+
+    def test_timeline_row_renders_in_frame(self):
+        # an in-flight row shows its Time block; a queued row does not
+        model = LiveModel(files=["a.flac", "b.flac"])
+        row = model.rows["a.flac"]
+        row.stage = "processing"
+        row.fraction = 0.5
+        row.duration = 60.0
+        row.started = time.perf_counter() - 10.0
+        frame = render_frame(model, tick=0)
+        assert "▰" in frame and "⚡" in frame
+        assert frame.count("▱") <= 8  # only the in-flight row has a timeline
