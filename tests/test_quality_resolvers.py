@@ -284,3 +284,26 @@ class TestGainAdviceCorpusDistribution:
         for tp in self.CORPUS:
             d = gain_advice(tp).delta_db
             assert d == int(d)
+
+
+class TestOutputFloorResolver:
+    """Output-side floor resolution (ref: TestOutputNoiseFloorPresent /
+    TestOutputNoiseFloorAbsentNoFallback, quality_test.go:214-237)."""
+
+    def test_present_reads_pass4_room_tone(self):
+        from jivetalking_tpu.quality.scores import final_room_tone_rms
+
+        res = result_with(-16.0, -2.0, -64.0, -82.0)
+        floor, ok = final_room_tone_rms(res)
+        assert ok and floor == -82.0
+
+    def test_absent_no_input_fallback(self):
+        # no Pass-4 room-tone sample -> ok=False even when an input floor
+        # exists, so the done box never renders a misleading input->input
+        # arrow (ref: TestOutputNoiseFloorAbsentNoFallback)
+        from jivetalking_tpu.quality.scores import final_room_tone_rms
+
+        res = result_with(-16.0, -2.0, -64.0, -82.0)
+        res.final.room_tone_sample = None
+        _, ok = final_room_tone_rms(res)
+        assert not ok

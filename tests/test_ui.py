@@ -77,21 +77,23 @@ class TestStatusBoxes:
         cfg, diag = adapt_config(default_filter_config(), m)
         s = new_adapted_summary(cfg, diag, m)
         box = render_filter_chain_box(s)
-        assert "80 Hz" in box
-        assert "20.5 kHz" in box
+        assert "80 ㎐" in box
+        assert "20.5 ㎑" in box
         assert "NLM+FFT" in box
-        assert "44.1 kHz s16" in box
+        assert "mono/44.1㎑" in box
         assert "⋯" in box  # limiter still pending
 
     def test_analysis_box_rows(self):
+        from jivetalking_tpu.ui.statusbox import _disp_width
+
         m = _measurements()
         cfg, diag = adapt_config(default_filter_config(), m)
         s = new_adapted_summary(cfg, diag, m)
         box = render_analysis_box(s)
         assert "-25.0 LUFS" in box
         assert "-8.0" in box
-        # all lines equal width (box alignment)
-        widths = {len(line) for line in box.splitlines()}
+        # all lines equal display width (box alignment; ㏈/㎑ count 2 cells)
+        widths = {_disp_width(line) for line in box.splitlines()}
         assert len(widths) == 1
 
 
@@ -342,6 +344,7 @@ class TestStatusBoxReferenceInvariants:
     lit-row values, limiter pending-until-known, sample-rate trimming."""
 
     def _lit_summary(self):
+        # (ref: litSummary, statusboxes_test.go:15-41)
         from jivetalking_tpu.ui.summary import AdaptedSummary
 
         return AdaptedSummary(
@@ -349,7 +352,10 @@ class TestStatusBoxReferenceInvariants:
             lowpass_hz=20500.0, denoise_nlm=True, denoise_fft=True,
             gate_thresh_db=-42.1, gate_ratio=2.0, comp_thresh_db=-11.9,
             deesser_on=False, deesser_i=0.0, sample_rate=44100,
-            input_lufs=-24.3, true_peak_dbtp=-6.1, input_lra=9.2,
+            has_speech=True, voice_avg_db=-20.9, has_noise_floor=True,
+            noise_floor_db=-68.0, separation_db=47.0, input_lra=8.2,
+            true_peak_dbtp=-3.2, has_sibilance=True, sibilance_db=-4.0,
+            gate_depth_db=14.0, input_lufs=-24.3,
         )
 
     def test_pending_box_shows_placeholder_no_values(self):
@@ -359,39 +365,115 @@ class TestStatusBoxReferenceInvariants:
         box = render_filter_chain_box(AdaptedSummary())
         assert "Filter Chain" in box
         assert "⋯" in box
-        assert "80 Hz" not in box
+        assert "80 ㎐" not in box
+        # every row pending: ○ glyph, no lit ●
+        assert "●" not in box and box.count("○") == 8
 
     def test_lit_rows_show_values(self):
         # (ref: TestChainBoxLitRows)
         box = render_filter_chain_box(self._lit_summary())
-        for want in ("80 Hz", "20.5 kHz", "NLM+FFT", "-42.1", "-11.9",
-                     "44.1 kHz s16"):
+        for want in ("mono/44.1㎑", "80 ㎐", "20.5 ㎑", "NLM+FFT",
+                     "-42.1 ㏈", "-11.9 ㏈"):
             assert want in box, want
 
     def test_off_row_distinct_from_pending(self):
-        # (ref: TestPendingVsOffRow): the disabled de-esser reads "off",
-        # the not-yet-known limiter reads the pending placeholder
+        # (ref: TestPendingVsOffRow): the disabled de-esser reads ○ OFF,
+        # the not-yet-known limiter reads ○ ⋯
         box = render_filter_chain_box(self._lit_summary())
         deesser_line = next(l for l in box.splitlines() if "De-esser" in l)
-        assert "off" in deesser_line and "⋯" not in deesser_line
+        assert "OFF" in deesser_line and "⋯" not in deesser_line
+        assert deesser_line.lstrip("│ ").startswith("○")
         limiter_line = next(l for l in box.splitlines() if "Limiter" in l)
-        assert "⋯" in limiter_line and "off" not in limiter_line.lower().replace("⋯", "")
+        assert "⋯" in limiter_line and "OFF" not in limiter_line
 
     def test_limiter_lights_during_pass4(self):
-        # (ref: TestChainBoxLimiterLitDuringPass4)
+        # (ref: TestChainBoxLimiterLitDuringPass4 + TestChainBoxLimiterLit)
         s = with_limiter(self._lit_summary(), enabled=True, ceiling_dbtp=-2.8)
         box = render_filter_chain_box(s)
         limiter_line = next(l for l in box.splitlines() if "Limiter" in l)
-        assert "-2.8" in limiter_line
+        assert "-2.8 ㏈TP" in limiter_line
         assert "⋯" not in limiter_line
+
+    def test_deesser_engaged_shows_intensity(self):
+        # (ref: TestChainBoxDeesserEngaged)
+        s = self._lit_summary()
+        s.deesser_on = True
+        s.deesser_i = 0.62
+        box = render_filter_chain_box(s)
+        assert "i=0.62" in box
 
     def test_format_sample_rate_trims(self):
         # (ref: TestFormatSampleRate, statusboxes_test.go:93-111)
         from jivetalking_tpu.ui.statusbox import format_sample_rate
 
-        assert format_sample_rate(44100) == "44.1 kHz"
-        assert format_sample_rate(48000) == "48 kHz"
-        assert format_sample_rate(20500) == "20.5 kHz"
+        assert format_sample_rate(44100) == "44.1㎑"
+        assert format_sample_rate(48000) == "48㎑"
+        assert format_sample_rate(20500) == "20.5㎑"
+
+    def test_analysis_box_lit_rows(self):
+        # (ref: TestAnalysisBoxLitRows): every row lights to its value,
+        # the SNR row carries the inline bar, Noise floor pads to a
+        # 2-space gap (label width 13 - len('Noise floor') = 2)
+        box = render_analysis_box(self._lit_summary())
+        for want in ("SNR Gap", "-20.9 ㏈", "-68 ㏈", "47 ㏈",
+                     "8.2 LU → 2.0:1", "-3.2 ㏈TP", "-4 ㏈",
+                     "-24.3 LUFS", "14 ㏈"):
+            assert want in box, want
+        assert "▰" in box
+        assert "Noise floor  -68 ㏈" in box
+
+    def test_analysis_box_no_speech_dims(self):
+        # (ref: TestAnalysisBoxNoSpeechDims): speech rows show the
+        # placeholder, always-available rows still light
+        s = self._lit_summary()
+        s.has_speech = False
+        s.has_sibilance = False
+        box = render_analysis_box(s)
+        voice_line = next(l for l in box.splitlines() if "Voice avg" in l)
+        assert "⋯" in voice_line
+        snr_line = next(l for l in box.splitlines() if "SNR Gap" in l)
+        assert "⋯" in snr_line and "▰" not in snr_line
+        assert "-68 ㏈" in box and "-3.2 ㏈TP" in box
+
+    def test_analysis_box_unmeasured_floor_is_na(self):
+        # unmeasured floor shows 'n/a', never a bogus 0 ㏈
+        # (ref: renderAnalysisBox noiseFloor, statusboxes.go:352-357)
+        s = self._lit_summary()
+        s.has_noise_floor = False
+        box = render_analysis_box(s)
+        floor_line = next(l for l in box.splitlines() if "Noise floor" in l)
+        assert "n/a" in floor_line and "0 ㏈" not in floor_line
+
+    def test_analysis_row_order(self):
+        # (ref: TestAnalysisRowOrder): True peak (5) -> Gate depth (6) ->
+        # Sibilance (7) -> Loudness (8)
+        box = render_analysis_box(self._lit_summary())
+        idx = {k: box.index(k) for k in
+               ("True peak", "Gate depth", "Sibilance", "Loudness")}
+        assert idx["True peak"] < idx["Gate depth"] < idx["Sibilance"] < idx["Loudness"]
+
+    def test_border_title_in_top_border(self):
+        # (ref: TestBorderTitleInTopBorder): title spliced into the top
+        # border, first data row directly beneath
+        for render, title, first in (
+            (render_filter_chain_box, "Filter Chain", "Downmix"),
+            (render_analysis_box, "Analysis", "Voice avg"),
+        ):
+            lines = render(self._lit_summary()).splitlines()
+            assert lines[0].startswith("╭") and lines[0].endswith("╮")
+            assert title in lines[0]
+            assert first in lines[1], (title, lines[1])
+
+    def test_separation_bar_fill(self):
+        # 0-60 dB span over 3 cells (ref: separationBar,
+        # statusboxes.go:385-396)
+        from jivetalking_tpu.ui.statusbox import separation_bar
+
+        assert separation_bar(0.0) == "▱▱▱"
+        assert separation_bar(30.0) == "▰▰▱"
+        assert separation_bar(60.0) == "▰▰▰"
+        assert separation_bar(999.0) == "▰▰▰"
+        assert separation_bar(-5.0) == "▱▱▱"
 
 
 class TestMeterReferenceInvariants:
@@ -548,9 +630,9 @@ class TestSummaryAxisDiscipline:
         assert not s.has_noise_floor
         assert s.separation_db == 0
         box = render_analysis_box(s)
-        sep_row = [ln for ln in box.splitlines() if "Separation" in ln][0]
-        assert "-" in sep_row.replace("Separation", "")
-        assert "0.0 dB" not in sep_row
+        sep_row = [ln for ln in box.splitlines() if "SNR Gap" in ln][0]
+        assert "⋯" in sep_row
+        assert "0 ㏈" not in sep_row
 
     def test_separation_same_axis(self):
         # (ref: TestSeparationDBSameAxis :238)
