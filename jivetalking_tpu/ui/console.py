@@ -34,17 +34,40 @@ def _fmt_wall(secs: float) -> str:
     return f"{m:02d}:{s:02d}"
 
 
-def _arrow_row(label: str, before, after, unit: str) -> str:
-    """before -> after with the signed delta column (ref: the done box's
-    'Δ +19.1' trailing figure, docs/Usage.md:18-45)."""
-    row = f"  {label:<14} {_fmt_db(before):>8} -> {_fmt_db(after):>8} {unit}"
-    try:
-        delta = float(after) - float(before)
-    except (TypeError, ValueError):
-        return row
-    if math.isfinite(delta):
-        row += f"  Δ {delta:+.1f}"
-    return row
+# Column widths for the before→after rows so the →, unit, and Δ line up
+# into a mini-table (ref: doneBoxValueWidth/UnitWidth/DeltaWidth,
+# views.go:694-699)
+_VALUE_W = 5
+_UNIT_W = 4
+_DELTA_W = 5
+
+UNIT_DB = "㏈"       # the reference's square unit glyphs (statusboxes.go:58-63)
+UNIT_DBTP = "㏈TP"
+
+
+def _unit_col(unit: str) -> str:
+    """Pad a unit to _UNIT_W DISPLAY columns (㏈ counts 2 cells)."""
+    from .statusbox import _disp_width
+
+    return unit + " " * max(0, _UNIT_W - _disp_width(unit))
+
+
+def _before_after(before: float, after: float, unit: str) -> str:
+    """`%5.1f → %5.1f unit  Δ %+5.1f` (ref: doneBoxBeforeAfterRow,
+    views.go:707-713)."""
+    return (f"{before:{_VALUE_W}.1f} → {after:{_VALUE_W}.1f} "
+            f"{_unit_col(unit)}  Δ {after - before:+{_DELTA_W}.1f}")
+
+
+def _optional_before_after(unit: str, before, after) -> str:
+    """before→after only when a before figure exists; otherwise the output
+    figure alone, never a misleading '0.0 →' (ref:
+    doneBoxOptionalBeforeAfter, views.go:721-727)."""
+    if after is None or not math.isfinite(float(after)):
+        return "-"
+    if before is not None and math.isfinite(float(before)):
+        return _before_after(float(before), float(after), unit)
+    return f"{float(after):.1f} {unit}"
 
 
 # display clamp for the noise-floor rows: anything at/below the 16-bit
@@ -53,42 +76,52 @@ def _arrow_row(label: str, before, after, unit: str) -> str:
 NOISE_FLOOR_DISPLAY_MIN_DB = -96.0
 
 
-def _fmt_noise_floor(v: float | None) -> str:
-    if v is None:
-        return "-"
-    if v == -math.inf or v <= NOISE_FLOOR_DISPLAY_MIN_DB:
-        return "< -96"
-    if not math.isfinite(v):
-        return "-"
-    return f"{v:.1f}"
+def _noise_floor_cell(floor: float) -> str:
+    """Fixed-width floor cell with the '< -96' clamp (ref:
+    formatNoiseFloorCell, views.go:735-744)."""
+    if floor == -math.inf or floor <= NOISE_FLOOR_DISPLAY_MIN_DB:
+        return f"{'< -96':>{_VALUE_W}}"
+    return f"{floor:{_VALUE_W}.0f}"
+
+
+def _noise_floor_row(inp, out) -> str:
+    """input→output room-tone floor; NO Δ (the floors are already a
+    before/after story and a delta over the '< -96' sentinel would
+    mislead); a single available end shows that value alone (ref:
+    doneBoxNoiseFloorRow, views.go:746-765)."""
+    have_in = inp is not None and not math.isnan(float(inp))
+    have_out = out is not None and not math.isnan(float(out))
+    if have_in and have_out:
+        return (f"{_noise_floor_cell(float(inp))} → "
+                f"{_noise_floor_cell(float(out))} {_unit_col(UNIT_DB)}")
+    if have_out:
+        return f"{_noise_floor_cell(float(out)).strip()} {UNIT_DB}"
+    if have_in:
+        return f"{_noise_floor_cell(float(inp)).strip()} {UNIT_DB}"
+    return "n/a"
 
 
 def render_done_box(o: FileOutcome) -> str:
-    """Per-file completion box (ref: done box, views.go:646-860; row order
-    Time, Loudness, True peak, Dynamics, Noise floor, Recording, Processed
-    per TestDoneBoxRowOrder, view_layout_test.go:414-445)."""
+    """Per-file completion box (ref: renderDoneBox, views.go:646-860; row
+    order Time, Loudness, True peak, Dynamics, Noise floor, Recording,
+    Processed per TestDoneBoxRowOrder, view_layout_test.go:414-445)."""
     if o.error:
         return f"✗ {o.path}: {o.error}"
     lines = [f"✓ {o.path} -> {o.output_path}"]
-    lines.append(
-        f"  {'Time':<14} {_fmt_wall(o.wall_secs)}  ⚡ {o.realtime_factor:.1f}x realtime"
-    )
-    lines.append(_arrow_row("Loudness", o.input_lufs, o.output_lufs, "LUFS"))
-    lines.append(_arrow_row("True peak", o.input_tp, o.output_tp, "dBTP"))
-    lines.append(_arrow_row("Dynamics", o.input_lra, o.output_lra, "LU"))
-    if o.input_noise_floor is not None:
-        after = o.output_noise_floor
-        if after is not None:
-            row = (f"  {'Noise floor':<14} {_fmt_noise_floor(o.input_noise_floor):>8}"
-                   f" -> {_fmt_noise_floor(after):>8} dBFS")
-            delta = (float(after) - float(o.input_noise_floor)
-                     if all(math.isfinite(x) for x in (after, o.input_noise_floor))
-                     else None)
-            if delta is not None:
-                row += f"  Δ {delta:+.1f}"
-            lines.append(row)
-        else:
-            lines.append(f"  {'Noise floor':<14} {_fmt_noise_floor(o.input_noise_floor):>8} dBFS")
+    # Time row: whole-file elapsed clock · ⚡ badge; the placeholder when
+    # no timing is available (ref: TestDoneBoxTimeRow)
+    badge = "⚡ —×"
+    if o.wall_secs > 0 and o.realtime_factor > 0:
+        badge = f"⚡ {o.realtime_factor:.1f}×"
+    lines.append(f"  {'Time':<14} {_fmt_wall(o.wall_secs)}  ·  {badge}")
+    lines.append(f"  {'Loudness':<14} "
+                 + _optional_before_after("LUFS", o.input_lufs, o.output_lufs))
+    lines.append(f"  {'True peak':<14} "
+                 + _optional_before_after(UNIT_DBTP, o.input_tp, o.output_tp))
+    lines.append(f"  {'Dynamics':<14} "
+                 + _optional_before_after("LU", o.input_lra, o.output_lra))
+    lines.append(f"  {'Noise floor':<14} "
+                 + _noise_floor_row(o.input_noise_floor, o.output_noise_floor))
     lines.append(f"  {'Recording':<14} {stars_row(o.recording_stars, o.recording_label)}")
     lines.append(f"  {'Processed':<14} {stars_row(o.quality_stars, o.quality_label)}")
     return "\n".join(lines)

@@ -222,14 +222,21 @@ class LiveUI:
         self._thread: threading.Thread | None = None
 
     # --- pool event handlers (the message types) ---
+    # Every handler routes by path and tolerates an unknown one: a message
+    # for a file this UI doesn't know must never crash the repaint loop
+    # (ref: TestUpdateOutOfRangeSafety, model_routing_test.go:65-91).
 
     def on_file_start(self, path: str) -> None:
         with self._lock:
-            self.model.rows[path].started = time.perf_counter()
+            row = self.model.rows.get(path)
+            if row is not None:
+                row.started = time.perf_counter()
 
     def on_progress(self, path: str, stage: str, fraction: float) -> None:
         with self._lock:
-            row = self.model.rows[path]
+            row = self.model.rows.get(path)
+            if row is None:
+                return
             if stage != row.stage:
                 # new pass: restart the eased bar from the new target's left
                 row.disp_fraction = 0.0
@@ -238,21 +245,29 @@ class LiveUI:
 
     def on_adapted_summary(self, path: str, summary: AdaptedSummary) -> None:
         with self._lock:
-            self.model.rows[path].summary = summary
+            row = self.model.rows.get(path)
+            if row is not None:
+                row.summary = summary
 
     def on_duration(self, path: str, secs: float) -> None:
         with self._lock:
-            self.model.rows[path].duration = float(secs)
+            row = self.model.rows.get(path)
+            if row is not None:
+                row.duration = float(secs)
 
     def on_levels(self, path: str, levels_db, hop_secs: float) -> None:
         with self._lock:
-            row = self.model.rows[path]
+            row = self.model.rows.get(path)
+            if row is None:
+                return
             row.levels = levels_db
             row.level_hop = hop_secs
 
     def on_file_complete(self, outcome) -> None:
         with self._lock:
-            row = self.model.rows[outcome.path]
+            row = self.model.rows.get(outcome.path)
+            if row is None:
+                return
             row.done = True
             row.error = outcome.error
             row.done_box = render_done_box(outcome)
@@ -307,7 +322,9 @@ class AnalysisLiveUI(LiveUI):
 
     def on_file_complete(self, outcome) -> None:
         with self._lock:
-            row = self.model.rows[outcome.path]
+            row = self.model.rows.get(outcome.path)
+            if row is None:
+                return
             row.done = True
             row.error = outcome.error
             row.done_box = render_analysis_summary(outcome)

@@ -96,7 +96,7 @@ class TestConsole:
         assert "-25.3" in box and "-16.0" in box
         assert "★★★★★  Excellent" in box
         assert "02:31" in box
-        assert "17.9x realtime" in box
+        assert "⚡ 17.9×" in box
 
     def test_done_box_error(self):
         assert render_done_box(FileOutcome(path="x.flac", error="boom")) == "✗ x.flac: boom"

@@ -302,10 +302,11 @@ class TestDoneBoxReferenceInvariants:
         assert "Δ +15.0 LUFS" not in box and "Δ +15.0 dB" not in box
 
     def test_true_peak_signed_delta(self):
-        # (ref: TestDoneBoxTruePeakRow, view_layout_test.go:358-384)
+        # (ref: TestDoneBoxTruePeakRow, view_layout_test.go:358-384):
+        # right-aligned signed delta column (Δ %+5.1f)
         box = render_done_box(self._outcome())
         assert "True peak" in box
-        assert "Δ -1.9" in box
+        assert "Δ  -1.9" in box
 
     def test_stars_not_hardcoded(self):
         # (ref: the 4-star file must NOT render a 5-star bar, :218-230)
@@ -317,21 +318,74 @@ class TestDoneBoxReferenceInvariants:
     @pytest.mark.parametrize("floor,want", [
         (float("-inf"), "< -96"),
         (-120.0, "< -96"),
-        (-89.0, "-89.0"),
+        (-89.0, "-89 ㏈"),
     ])
     def test_noise_floor_display_clamp(self, floor, want):
-        # (ref: TestDoneBoxNoiseFloorClamp, view_layout_test.go:326-357)
+        # (ref: TestDoneBoxNoiseFloorClamp, view_layout_test.go:326-357;
+        # the numeric form is %.0f per formatNoiseFloorCell)
         box = render_done_box(self._outcome(output_noise_floor=floor))
         assert want in box, box
 
     def test_arrow_columns_align(self):
         # (ref: TestDoneBoxColumnsAlign, view_layout_test.go:452-527):
-        # the -> sits at the same column on every before->after row
+        # the → sits at the same column on every before→after row
         box = render_done_box(self._outcome())
-        arrows = [line.find("->") for line in box.splitlines()
-                  if "->" in line and not line.startswith("✓")]
+        arrows = [line.find("→") for line in box.splitlines()
+                  if "→" in line and not line.startswith("✓")]
         assert len(arrows) >= 3
         assert len(set(arrows)) == 1, box
+
+    def test_time_row_badge_and_placeholder(self):
+        # (ref: TestDoneBoxTimeRow): elapsed clock + ⚡ badge; the
+        # placeholder when no timing is available
+        box = render_done_box(self._outcome(wall_secs=48.0, realtime_factor=2.5))
+        time_line = next(l for l in box.splitlines() if "Time" in l)
+        assert "00:48" in time_line and "⚡ 2.5×" in time_line
+        box = render_done_box(self._outcome(wall_secs=0.0, realtime_factor=0.0))
+        time_line = next(l for l in box.splitlines() if "Time" in l)
+        assert "⚡ —×" in time_line and "00:00" in time_line
+
+    def test_noise_floor_no_delta(self):
+        # (ref: TestDoneBoxNoiseFloorBeforeAfter): input→output arrow, the
+        # values, and NO reduction delta (a Δ over '< -96' would mislead)
+        box = render_done_box(self._outcome())
+        noise_line = next(l for l in box.splitlines() if "Noise floor" in l)
+        assert "→" in noise_line
+        assert "-62" in noise_line and "-80" in noise_line
+        assert "Δ" not in noise_line and "reduced" not in noise_line
+
+    def test_noise_floor_single_end(self):
+        # (ref: TestDoneBoxNoiseFloorSingleEnd): one available end shows
+        # that value alone, never a broken arrow
+        box = render_done_box(self._outcome(input_noise_floor=None))
+        line = next(l for l in box.splitlines() if "Noise floor" in l)
+        assert "→" not in line and "-80 ㏈" in line
+        box = render_done_box(self._outcome(output_noise_floor=None))
+        line = next(l for l in box.splitlines() if "Noise floor" in l)
+        assert "→" not in line and "-62 ㏈" in line
+        box = render_done_box(self._outcome(input_noise_floor=None,
+                                            output_noise_floor=None))
+        line = next(l for l in box.splitlines() if "Noise floor" in l)
+        assert "n/a" in line
+
+    def test_empty_summary_guards_output_only(self):
+        # (ref: TestDoneBoxGuardsEmptySummary): unknown input TP/LRA ->
+        # output value alone, no misleading before→after
+        box = render_done_box(self._outcome(input_tp=None, input_lra=None))
+        for label, want in (("True peak", "-2.0 ㏈TP"), ("Dynamics", "8.0 LU")):
+            line = next(l for l in box.splitlines() if label in l)
+            assert "→" not in line, line
+            assert want in line, line
+
+    def test_noise_and_stars_move_together(self):
+        # (ref: TestDoneBoxNoiseAndStarsMoveTogether): a cleaner floor
+        # comes with more stars; number and stars never contradict
+        clean = render_done_box(self._outcome(
+            output_noise_floor=-80.0, quality_stars=5, quality_label="Excellent"))
+        noisy = render_done_box(self._outcome(
+            output_noise_floor=-55.0, quality_stars=4, quality_label="Great"))
+        assert "-80 ㏈" in clean and "★★★★★" in clean
+        assert "-55 ㏈" in noisy and "★★★★☆" in noisy
 
     def test_heading_shows_output_path(self):
         box = render_done_box(self._outcome())
@@ -792,3 +846,86 @@ class TestTimelineReferenceInvariants:
         frame = render_frame(model, tick=0)
         assert "▰" in frame and "⚡" in frame
         assert frame.count("▱") <= 8  # only the in-flight row has a timeline
+
+
+class TestModelRoutingReferenceInvariants:
+    """Message routing + ticker invariants (ref: model_routing_test.go:
+    index routing, out-of-range safety, spring-only tick, tick stop)."""
+
+    def _ui(self, files=("a.flac", "b.flac")):
+        import io
+
+        from jivetalking_tpu.ui.live import LiveUI
+
+        return LiveUI(list(files), out=io.StringIO())
+
+    def test_progress_routes_to_its_row(self):
+        # (ref: TestProgressMsgIndexRouting): an update for one file never
+        # touches the other's row
+        ui = self._ui()
+        ui.on_progress("b.flac", "processing", 0.6)
+        assert ui.model.rows["b.flac"].fraction == 0.6
+        assert ui.model.rows["b.flac"].stage == "processing"
+        assert ui.model.rows["a.flac"].fraction == 0.0
+        assert ui.model.rows["a.flac"].stage == ""
+
+    def test_complete_routes_to_its_row(self):
+        # (ref: TestFileCompleteMsgIndexRouting)
+        from jivetalking_tpu.cli.pool import FileOutcome
+
+        ui = self._ui()
+        ui.on_file_complete(FileOutcome(path="b.flac", output_path="b-out.flac"))
+        assert ui.model.rows["b.flac"].done
+        assert not ui.model.rows["a.flac"].done
+        assert not ui.model.all_done  # one of two files remains
+
+    def test_unknown_path_is_safe(self):
+        # (ref: TestUpdateOutOfRangeSafety): events for a file the UI does
+        # not know must not crash or mutate known rows
+        from jivetalking_tpu.cli.pool import FileOutcome
+        from jivetalking_tpu.ui.live import AnalysisLiveUI
+        from jivetalking_tpu.ui.summary import AdaptedSummary
+
+        ui = self._ui()
+        ui.on_file_start("ghost.flac")
+        ui.on_progress("ghost.flac", "processing", 0.4)
+        ui.on_duration("ghost.flac", 60.0)
+        ui.on_levels("ghost.flac", [0.0], 0.25)
+        ui.on_adapted_summary("ghost.flac", AdaptedSummary())
+        ui.on_file_complete(FileOutcome(path="ghost.flac"))
+        assert not ui.model.all_done
+        assert ui.model.rows["a.flac"].fraction == 0.0
+        import io
+
+        aui = AnalysisLiveUI(["a.flac"], out=io.StringIO())
+        aui.on_file_complete(FileOutcome(path="ghost.flac"))
+        assert not aui.model.all_done
+
+    def test_tick_eases_display_without_mutating_routed_fields(self):
+        # (ref: TestMeterTickStepsSpringWithoutMutatingRoutedFields): the
+        # ticker moves only the eased display state; stage/fraction stay
+        import time as _time
+
+        from jivetalking_tpu.ui.live import _advance_meter
+
+        ui = self._ui()
+        ui.on_progress("a.flac", "processing", 0.8)
+        row = ui.model.rows["a.flac"]
+        row.levels = np.full(10, -18.0)
+        before = (row.stage, row.fraction)
+        for _ in range(5):
+            _advance_meter(row, _time.perf_counter())
+        assert (row.stage, row.fraction) == before
+        assert row.disp_fraction > 0.0       # eased toward the target
+        assert row.meter_db > -60.0          # meter moved
+
+    def test_all_complete_sets_done_flag(self):
+        # (ref: TestMeterTickStopsAfterAllComplete): the loop's stop
+        # condition trips exactly when the last row completes
+        from jivetalking_tpu.cli.pool import FileOutcome
+
+        ui = self._ui()
+        ui.on_file_complete(FileOutcome(path="a.flac"))
+        assert not ui.model.all_done
+        ui.on_file_complete(FileOutcome(path="b.flac"))
+        assert ui.model.all_done
