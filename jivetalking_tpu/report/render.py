@@ -39,10 +39,27 @@ class Timings:
 
 
 def _fmt_duration(secs: float) -> str:
+    """Human-readable duration: '12.5s', '1m 30s', '2h 3m 4s'
+    (ref: formatDuration; vectors in TestFormatDuration,
+    mdtable_test.go:183-199)."""
+    if secs >= 3600:
+        h, rem = divmod(int(round(secs)), 3600)
+        m, s = divmod(rem, 60)
+        return f"{h}h {m}m {s}s"
     if secs >= 60:
         m, s = divmod(int(round(secs)), 60)
         return f"{m}m {s}s"
     return f"{secs:.1f}s"
+
+
+def _channel_name(n) -> str:
+    """'mono' / 'stereo' / 'N channels' (ref: channelName; vectors in
+    TestChannelName, mdtable_test.go:202-216)."""
+    if n == 1:
+        return "mono"
+    if n == 2:
+        return "stereo"
+    return f"{n} channels" if n else "-"
 
 
 def _fmt(value, unit: str = "", signed: bool = False) -> str:
@@ -130,7 +147,7 @@ def _render_header(rec: dict) -> str:
         ["Processed at", _fmt(run.get("processed_at"))],
         ["Duration", _fmt_duration(run.get("duration_s") or 0.0)],
         ["Sample rate", f"{sr / 1000.0:.1f} kHz" if sr else "-"],
-        ["Channels", "mono" if run.get("channels") == 1 else str(run.get("channels", "-"))],
+        ["Channels", _channel_name(run.get("channels"))],
     ]
     return "# Audio Processing Report\n\n## Run\n\n" + _table(["Field", "Value"], rows)
 

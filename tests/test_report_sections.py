@@ -390,3 +390,184 @@ class TestIntervalSummarySection:
         rec.pop("interval_summary")
         md = render_markdown(rec)
         assert "## Interval Summary" not in md
+
+
+class TestFormatVectors:
+    """Formatter vector tables (ref: mdtable_test.go:106-216)."""
+
+    def test_format_metric_db_floor_tokens(self):
+        # (ref: TestFormatMetricDB): digital silence renders '< -120';
+        # just above the floor renders the number; NaN/+inf placeholder
+        from jivetalking_tpu.report.render import _fmt
+
+        assert _fmt(float("-inf"), "dBFS") == "< -120"
+        assert _fmt(-120.0, "dBFS") == "< -120"
+        assert _fmt(-130.0, "dBFS") == "< -120"
+        assert _fmt(-119.9, "dBFS").startswith("-119.9")
+        assert _fmt(float("nan"), "dBFS") == "-"
+        assert _fmt(float("inf"), "dBFS") == "-"
+
+    def test_format_metric_lufs_floor_strict(self):
+        # (ref: TestFormatMetricLUFS): strictly-below -70 tokens; exactly
+        # -70 renders the number
+        from jivetalking_tpu.report.render import _fmt
+
+        assert _fmt(-70.1, "LUFS") == "< -70"
+        assert _fmt(-70.0, "LUFS").startswith("-70.0")
+        assert _fmt(-16.0, "LUFS").startswith("-16.0")
+        assert _fmt(float("nan"), "LUFS") == "-"
+
+    def test_format_metric_scientific(self):
+        # (ref: TestFormatMetricScientific): tiny non-zero magnitudes go
+        # scientific; zero stays fixed-point
+        from jivetalking_tpu.report.render import _fmt
+
+        assert _fmt(0.00001) == "1.00e-05"
+        assert "e" not in _fmt(0.0)
+
+    def test_format_metric_signed(self):
+        # (ref: TestFormatMetricSigned): explicit + for positives and
+        # zero; NaN placeholder
+        from jivetalking_tpu.report.render import _fmt
+
+        assert _fmt(2.5, signed=True).startswith("+2.5")
+        assert _fmt(-1.2, signed=True).startswith("-1.2")
+        assert _fmt(0.0, signed=True).startswith("+0.0")
+        assert _fmt(float("nan"), signed=True) == "-"
+
+    def test_format_duration(self):
+        # (ref: TestFormatDuration)
+        from jivetalking_tpu.report.render import _fmt_duration
+
+        assert _fmt_duration(0.5) == "0.5s"
+        assert _fmt_duration(12.5) == "12.5s"
+        assert _fmt_duration(90.0) == "1m 30s"
+        assert _fmt_duration(59 * 60 + 59) == "59m 59s"
+        assert _fmt_duration(2 * 3600 + 3 * 60 + 4) == "2h 3m 4s"
+
+    def test_channel_name(self):
+        # (ref: TestChannelName)
+        from jivetalking_tpu.report.render import _channel_name
+
+        assert _channel_name(1) == "mono"
+        assert _channel_name(2) == "stereo"
+        assert _channel_name(6) == "6 channels"
+
+
+class TestSpectrogramSection:
+    """(ref: TestRenderSpectrogramsProcessing / AnalysisOnly / Empty /
+    NoFFmpegToken, sections_test.go:515-603)."""
+
+    def _images(self, kinds, stages, stem="ep-LUFS-16-processed"):
+        return [{"kind": k, "stage": s,
+                 "path": f"{stem}.spectrogram-{k}-{s}.png"}
+                for k in kinds for s in stages]
+
+    def test_processing_table(self):
+        rec = full_record()
+        rec["spectrograms"] = self._images(
+            ("whole", "roomtone", "speech"), ("before", "after"))
+        md = render_markdown(rec)
+        for want in (
+            "## Spectrograms",
+            "| Region | Before | After |",
+            "Whole file", "Room tone", "Speech",
+            "![whole before](ep-LUFS-16-processed.spectrogram-whole-before.png)",
+            "![whole after](ep-LUFS-16-processed.spectrogram-whole-after.png)",
+            "![roomtone before](ep-LUFS-16-processed.spectrogram-roomtone-before.png)",
+            "![speech after](ep-LUFS-16-processed.spectrogram-speech-after.png)",
+        ):
+            assert want in md, want
+        # processing runs never render an Input column
+        spectro = md[md.index("## Spectrograms"):]
+        assert "Input" not in spectro.split("##")[1]
+
+    def test_analysis_only_input_column(self):
+        rec = analysis_record()
+        rec["spectrograms"] = self._images(("whole",), ("input",), stem="show")
+        md = render_markdown(rec)
+        spectro = md[md.index("## Spectrograms"):]
+        assert "| Region | Input |" in spectro
+        assert "![whole input](show.spectrogram-whole-input.png)" in spectro
+        assert "Before" not in spectro.split("##")[1]
+
+    def test_empty_omitted(self):
+        rec = full_record()
+        rec["spectrograms"] = []
+        assert "## Spectrograms" not in render_markdown(rec)
+
+    def test_no_ffmpeg_tokens(self):
+        # (ref: TestRenderSpectrogramsNoFFmpegToken): the section carries
+        # no tool internals
+        rec = full_record()
+        rec["spectrograms"] = self._images(("whole",), ("input",), stem="show")
+        md = render_markdown(rec)
+        spectro = md[md.index("## Spectrograms"):]
+        for banned in ("ffmpeg", "showspectrumpic", "exec"):
+            assert banned not in spectro
+
+
+class TestNoiseFloorSection:
+    """(ref: TestRenderNoiseFloor, sections_test.go:327-356)."""
+
+    def test_values_and_source(self):
+        md = render_markdown(full_record())
+        section = md[md.index("## Noise Floor"):].split("\n## ")[0]
+        for want in ("-84.58", "vad_percentile", "40.12", "no", "0.1234"):
+            assert want in section, want
+
+    def test_nan_floor_renders_placeholder(self):
+        rec = full_record()
+        rec["noise"]["floor_prescan_dbfs"] = float("nan")
+        md = render_markdown(rec)
+        section = md[md.index("## Noise Floor"):].split("\n## ")[0]
+        line = next(l for l in section.splitlines() if "prescan" in l.lower()
+                    or "Pre-scan" in l)
+        assert "| - |" in line
+
+    def test_no_dropped_tokens(self):
+        # (ref: TestRenderRegionsNoDroppedTokens): the 1.5 sections drop
+        # the legacy Character/verdict tokens
+        md = render_markdown(full_record())
+        start = md.index("## Noise Floor")
+        out = md[start:]
+        for banned in ("†", "Character", "(tonal)", "(broadband)",
+                       "✓", "⚠", "❌", "SNR"):
+            assert banned not in out, banned
+
+
+class TestFiltersAndSummarySections:
+    def test_filters_params_rendered(self):
+        # (ref: TestRenderFiltersParams, sections_filters_test.go:115-136)
+        md = render_markdown(full_record())
+        section = md[md.index("## Filter Chain"):]
+        for want in ("| Parameter | Value |", "80", "-47.2", "2.0"):
+            assert want in section, want
+
+    def test_filters_analysis_only_empty(self):
+        # (ref: TestRenderFiltersAnalysisOnlyEmpty)
+        assert "## Filter Chain" not in render_markdown(analysis_record())
+
+    def test_processing_summary_populated(self):
+        # (ref: TestRenderProcessingSummaryPopulated): pass rows + the
+        # realtime factor with the x suffix
+        md = render_markdown(full_record(), Timings(
+            analysis_s=2.0, processing_s=90.0, realtime_factor=12.5))
+        section = md[md.index("## Processing Summary"):].split("\n## ")[0]
+        for want in ("Pass 1 (analysis)", "Pass 2 (filter chain)",
+                     "Real-time factor", "12.5x", "1m 30s"):
+            assert want in section, want
+
+    def test_loudness_definitions_per_row(self):
+        # (ref: TestRenderLoudnessDefinitionPerRow): every loudness row
+        # carries its catalogue gloss (escaped)
+        from jivetalking_tpu.report.definitions import DEFINITIONS
+        from jivetalking_tpu.report.render import _escape_cell
+
+        md = render_markdown(full_record())
+        section = md[md.index("## Loudness"):].split("\n## ")[0]
+        for key in ("integrated_lufs", "true_peak_dbtp", "lra_lu",
+                    "thresh_lufs", "momentary_lufs", "short_term_lufs",
+                    "sample_peak_dbfs", "target_offset_db"):
+            label, gloss, unit = DEFINITIONS[key]
+            assert _escape_cell(gloss) in section, key
