@@ -402,11 +402,15 @@ def write_interval_sidecar(path: str, iv: Intervals) -> None:
 
 
 def write_candidates_sidecar(path: str, m: AudioMeasurements) -> None:
-    """Stream scored speech candidates to .candidates.jsonl."""
+    """Stream scored speech candidates to .candidates.jsonl; each line is
+    tagged with its candidate kind alongside the spliced-in fields
+    (ref: streamCandidates; TestWriteCandidatesSidecar_TaggedLines,
+    runrecord_sidecar_test.go)."""
     tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
     with open(tmp, "w") as f:
         for c in m.vad.speech_candidates:
             row = {
+                "kind": "speech",
                 "region": {"start_s": c.region.start, "end_s": c.region.end,
                            "duration_s": c.region.duration},
                 "score": c.score,

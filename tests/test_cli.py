@@ -488,3 +488,68 @@ class TestAnalysisNonTTYContract:
         rc, out, _ = self.run_cli([three_wavs[0]], capsys)
         assert rc == 0  # write failures are non-fatal
         assert "✓" not in out.split("Analysing", 1)[1]
+
+
+class TestPoolBounds:
+    """The pool's in-flight bound, observed with a fake worker (the
+    reference's DI-seam pattern: pool_test.go observes concurrency
+    without FFmpeg — TestRunWorkerPool_InFlightBoundedToOne /
+    _BoundHonouredForN / TestRunAnalysisPool_InFlightBoundedToJobs /
+    _FailureIsolation)."""
+
+    def _fake_worker(self, counter):
+        import threading
+        import time as _time
+
+        lock = threading.Lock()
+
+        def fake(path, base, events, diagnostics, cancel, finisher=None):
+            with lock:
+                counter["now"] += 1
+                counter["max"] = max(counter["max"], counter["now"])
+            _time.sleep(0.05)
+            with lock:
+                counter["now"] -= 1
+            o = FileOutcome(path=path)
+            if "bad" in path:
+                o.error = "boom"
+            if finisher is None:
+                return o
+            # the processing pool returns a handle the caller resolves
+            # (the finisher Future seam)
+            from concurrent.futures import Future
+
+            h = Future()
+            h.set_result(o)
+            return h
+
+        return fake
+
+    @pytest.mark.parametrize("jobs,files", [(1, 4), (2, 6), (3, 3)])
+    def test_in_flight_bounded_to_jobs(self, monkeypatch, jobs, files):
+        import jivetalking_tpu.cli.pool as pool
+
+        counter = {"now": 0, "max": 0}
+        monkeypatch.setattr(pool, "process_one_file", self._fake_worker(counter))
+        paths = [f"f{i}.flac" for i in range(files)]
+        outcomes = pool.run_pool(paths, jobs=jobs)
+        assert [o.path for o in outcomes] == paths
+        assert counter["max"] <= jobs
+        if files > jobs:
+            assert counter["max"] == jobs  # the bound is used, not under-used
+
+    def test_analysis_pool_bounded_and_isolated(self, monkeypatch):
+        # one failing file never sinks the others
+        # (ref: TestRunAnalysisPool_FailureIsolation)
+        import jivetalking_tpu.cli.pool as pool
+
+        counter = {"now": 0, "max": 0}
+        fake = self._fake_worker(counter)
+        monkeypatch.setattr(
+            pool, "analyse_one_file",
+            lambda path, base, events, diagnostics, cancel:
+                fake(path, base, events, diagnostics, cancel))
+        paths = ["a.wav", "bad.wav", "c.wav"]
+        outcomes = pool.run_pool(paths, jobs=2, analysis_only=True)
+        assert counter["max"] <= 2
+        assert [o.error for o in outcomes] == ["", "boom", ""]

@@ -435,3 +435,61 @@ class TestSpectrogramSourceAndBounds:
         assert by_stage["before.png"]["audio"] is before
         assert by_stage["after.png"]["rate"] == 44100
         assert by_stage["after.png"]["audio"] is after
+
+
+class TestCandidatesSidecar:
+    """(ref: TestWriteCandidatesSidecar_TaggedLines +
+    TestCandidateSidecarLine_MarshalNonFiniteNulled,
+    runrecord_sidecar_test.go)."""
+
+    def _m(self, scores):
+        from jivetalking_tpu.analysis.analyser import AudioMeasurements
+        from jivetalking_tpu.analysis.types import (
+            Region,
+            RegionSample,
+            SpeechCandidate,
+        )
+
+        m = AudioMeasurements()
+        m.vad.speech_candidates = [
+            SpeechCandidate(region=Region(10.0 * i, 30.0),
+                            sample=RegionSample(rms_level=-24.0),
+                            score=s)
+            for i, s in enumerate(scores)
+        ]
+        return m
+
+    def test_one_tagged_line_per_candidate(self, tmp_path):
+        from jivetalking_tpu.report.runrecord import write_candidates_sidecar
+
+        path = str(tmp_path / "rec.candidates.jsonl")
+        write_candidates_sidecar(path, self._m([9.0, 8.0]))
+        lines = open(path).read().splitlines()
+        assert len(lines) == 2
+        for line in lines:
+            obj = json.loads(line)
+            assert obj["kind"] == "speech"
+            assert "score" in obj  # candidate fields spliced alongside the tag
+
+    def test_non_finite_nulled(self, tmp_path):
+        from jivetalking_tpu.report.runrecord import write_candidates_sidecar
+
+        path = str(tmp_path / "rec.candidates.jsonl")
+        write_candidates_sidecar(path, self._m([float("nan")]))
+        obj = json.loads(open(path).read().splitlines()[0])
+        assert obj["score"] is None  # NaN -> null, never literal NaN
+
+    def test_interval_sidecar_non_finite_nulled(self, measurements, tmp_path):
+        # (ref: TestIntervalSample_MarshalNonFiniteNulled)
+        import copy
+
+        from jivetalking_tpu.report.runrecord import write_interval_sidecar
+
+        iv = copy.deepcopy(measurements.intervals)
+        iv.momentary_lufs[0] = float("-inf")
+        iv.spectral["flux"][0] = float("nan")
+        path = str(tmp_path / "rec.intervals.jsonl")
+        write_interval_sidecar(path, iv)
+        row = json.loads(open(path).read().splitlines()[0])
+        assert row["momentary_lufs"] is None
+        assert row["spectral_flux"] is None
