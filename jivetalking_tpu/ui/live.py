@@ -74,6 +74,9 @@ class LiveModel:
     files: list[str]
     rows: dict = field(default_factory=dict)
     all_done: bool = False
+    verb: str = "Processing"     # the -a view says "Analysing"
+    glyph: str = ""              # fixed active-row glyph; "" = spinner
+                                 # (the -a view's ∿ wave, analysis_model_test.go)
 
     def __post_init__(self):
         for f in self.files:
@@ -167,12 +170,25 @@ def _boxes_for(summary: AdaptedSummary) -> list[str]:
     return [a + "  " + b for a, b in zip(chain, analysis)]
 
 
+def render_overall_progress(model: LiveModel) -> str:
+    """Totals footer: 'Processing N files, M complete, K failed' — counts
+    only, never a 'file N of M' cursor (files run concurrently, a cursor
+    would lie; ref: renderOverallProgress, views.go:631-641 +
+    TestRenderOverallProgressFooter)."""
+    rows = model.rows.values()
+    complete = sum(1 for r in rows if r.done and not r.error)
+    failed = sum(1 for r in rows if r.done and r.error)
+    return (f"{model.verb} {len(model.files)} files, "
+            f"{complete} complete, {failed} failed")
+
+
 def render_frame(model: LiveModel, tick: int) -> str:
     """One full repaint of the live view (pure; string-testable).  Each
     in-flight file renders its own row + ITS status boxes + ITS meter
-    (ref: per-file association, statusboxes.go:269-396)."""
+    (ref: per-file association, statusboxes.go:269-396); the overall
+    totals footer closes the frame when more than one file runs."""
     lines: list[str] = []
-    spin = _SPINNER[tick % len(_SPINNER)]
+    spin = model.glyph or _SPINNER[tick % len(_SPINNER)]
 
     for f in model.files:
         row = model.rows[f]
@@ -190,6 +206,8 @@ def render_frame(model: LiveModel, tick: int) -> str:
             lines.append("  " + render_meter(row.meter_db, row.peak_db))
         if row.summary is not None:
             lines.extend("  " + b for b in _boxes_for(row.summary))
+    if len(model.files) > 1:
+        lines.append(render_overall_progress(model))
     return "\n".join(lines)
 
 
@@ -318,7 +336,14 @@ class LiveUI:
 class AnalysisLiveUI(LiveUI):
     """The -a live view: per-file rows while analysing, each completing
     into the stars + gain-thermometer summary block (ref: AnalysisModel,
-    internal/ui/analysis_model.go:28-96, views.go:538-614)."""
+    internal/ui/analysis_model.go:28-96, views.go:538-614).  Active rows
+    carry the ∿ wave glyph and the footer says 'Analysing'
+    (analysis_model_test.go:265-345)."""
+
+    def __init__(self, files, out=None, fps: float = 15.0):
+        super().__init__(files, out=out, fps=fps)
+        self.model.verb = "Analysing"
+        self.model.glyph = "∿"
 
     def on_file_complete(self, outcome) -> None:
         with self._lock:

@@ -25,6 +25,39 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+# XLA CPU JIT-loads every compiled executable into fresh memory mappings
+# and a long pytest process accumulates them toward the kernel's
+# vm.max_map_count (65,530 default).  Measured 2026-08-17: the suite sat
+# at ~18k maps after the single-device modules, then the 8-device
+# shard_map/vmap master modules alone added ~40k more (47k -> 57k and
+# climbing), at which point mmap failure surfaced as segfaults variously
+# inside LoadedExecutable.serialize(), cache deserialize, or
+# backend_compile_and_load for the big multi-device programs (the same
+# programs compile and round-trip fine in a fresh process).  Dropping the
+# accumulated executables around the heavy modules keeps the map count
+# far from the limit; the persistent cache turns the lost recompiles
+# into cheap deserialisations.
+_BIG_EXECUTABLE_MODULES = {
+    "test_parallel", "test_parallel_master", "test_parallel_sequence",
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_executable_maps(request):
+    import gc
+
+    if request.module.__name__ not in _BIG_EXECUTABLE_MODULES:
+        yield
+        return
+    jax.clear_caches()
+    gc.collect()
+    try:
+        yield
+    finally:
+        jax.clear_caches()
+        gc.collect()
+
+
 @pytest.fixture(scope="session")
 def tmp_audio_dir(tmp_path_factory):
     return tmp_path_factory.mktemp("audio")

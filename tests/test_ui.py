@@ -929,3 +929,63 @@ class TestModelRoutingReferenceInvariants:
         assert not ui.model.all_done
         ui.on_file_complete(FileOutcome(path="b.flac"))
         assert ui.model.all_done
+
+
+class TestOverallProgressFooter:
+    """(ref: TestRenderOverallProgressFooter, model_routing_test.go:262-287)."""
+
+    def test_counts_never_cursor(self):
+        from jivetalking_tpu.cli.pool import FileOutcome
+        from jivetalking_tpu.ui.live import LiveUI, render_overall_progress
+
+        ui = LiveUI(["a.wav", "b.wav", "c.wav"], out=io.StringIO())
+        ui.on_file_complete(FileOutcome(path="a.wav", output_path="a-out.wav"))
+        ui.on_file_complete(FileOutcome(path="b.wav", error="boom"))
+        ui.on_progress("c.wav", "processing", 0.4)
+        footer = render_overall_progress(ui.model)
+        assert "3" in footer
+        assert "1 complete" in footer
+        assert "1 failed" in footer
+        low = footer.lower()
+        assert "file 3 of" not in low and "of 3" not in low
+
+    def test_footer_in_multi_file_frame_only(self):
+        multi = LiveModel(files=["a.wav", "b.wav"])
+        assert "Processing 2 files" in render_frame(multi, tick=0)
+        single = LiveModel(files=["a.wav"])
+        assert "Processing 1 files" not in render_frame(single, tick=0)
+
+
+class TestAnalysisViewGlyphs:
+    """(ref: TestAnalysisMessagesDriveViewWithoutSpinner +
+    TestAnalysisViewLayout, analysis_model_test.go:265-345): active
+    analysis rows carry the ∿ wave glyph, done rows the ✓ → report
+    arrow, errored rows ✗; the footer verb is 'Analysing'."""
+
+    def test_wave_glyph_and_verb(self):
+        from jivetalking_tpu.cli.pool import FileOutcome
+        from jivetalking_tpu.ui.live import AnalysisLiveUI, render_overall_progress
+
+        ui = AnalysisLiveUI(["a.wav", "b.wav", "c.wav"], out=io.StringIO())
+        ui.on_file_start("a.wav")
+        ui.on_progress("a.wav", "analysis", 0.4)
+        ui.on_file_complete(FileOutcome(
+            path="b.wav", recording_stars=3, recording_label="Good",
+            input_tp=-6.0))
+        ui.on_file_complete(FileOutcome(path="c.wav", error="boom"))
+        frame = render_frame(ui.model, tick=0)
+        assert "∿" in frame                       # active row wave glyph
+        assert "✓ b.wav → b-wav-analysis.md" in frame
+        assert "✗ c.wav: boom" in frame
+        footer = render_overall_progress(ui.model)
+        assert footer.startswith("Analysing 3 files")
+        assert "1 complete" in footer and "1 failed" in footer
+
+    def test_processing_view_keeps_spinner(self):
+        from jivetalking_tpu.ui.live import LiveUI
+
+        ui = LiveUI(["a.flac"], out=io.StringIO())
+        ui.on_file_start("a.flac")
+        ui.on_progress("a.flac", "processing", 0.2)
+        frame = render_frame(ui.model, tick=0)
+        assert "∿" not in frame
