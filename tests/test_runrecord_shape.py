@@ -264,3 +264,141 @@ class TestIntervalSummaryMaths:
 
         assert _interval_summary(intervals_with_rms([])) is None
         assert _interval_summary(None) is None
+
+
+def fully_populated_result() -> ProcessResult:
+    """populated_result() with every metric struct filled so the serialised
+    tree exercises the COMPLETE §8.4 key vocabulary (the reference pins it
+    on a populated marshal, runrecord_tags_test.go:87-164)."""
+    from jivetalking_tpu.metering.astats import AstatsResult
+    from jivetalking_tpu.metering.ebur128 import LoudnessResult
+    from jivetalking_tpu.metering.spectral import METRIC_NAMES, SpectralMetrics
+
+    res = populated_result()
+    m = res.measurements
+    ast = AstatsResult(
+        rms_level=-24.0, peak_level=-6.0, rms_trough=-60.0, rms_peak=-18.0,
+        crest_factor=7.9, dynamic_range=54.0, noise_floor=-72.0,
+        noise_floor_count=120.0, flat_factor=0.0, peak_count=3.0,
+        dc_offset=0.0001, min_level=-0.5, max_level=0.5,
+        min_difference=0.0, max_difference=0.2, mean_difference=0.01,
+        rms_difference=0.02, zero_crossings=44100.0,
+        zero_crossings_rate=0.1, entropy=0.65, bit_depth=16.0,
+        number_of_samples=2_646_000.0)
+    spec = SpectralMetrics(**{k: 1.0 for k in METRIC_NAMES}, found=True)
+    lr = LoudnessResult(
+        integrated_lufs=-16.0, lra_lu=6.0, lra_low_lufs=-20.0,
+        lra_high_lufs=-14.0, threshold_lufs=-26.0, sample_peak_db=-1.9,
+        true_peak_db=-1.2, momentary_max_lufs=-12.0, short_term_max_lufs=-13.0,
+        momentary_lufs=np.zeros(4), short_term_lufs=np.zeros(4),
+        block_starts_sec=np.zeros(4))
+    m.astats = ast
+    m.spectral = spec
+    m.loudness.momentary_lufs = -12.0
+    m.loudness.short_term_lufs = -13.0
+    m.loudness.sample_peak_dbfs = -4.5
+    m.loudness.input_lra = 9.0
+    m.loudness.input_thresh = -34.0
+    m.loudness.target_offset = -0.2
+    m.vad.noise_profile.band_noise = [-70.0] * 15
+    m.vad.noise_profile.bands_measured = True
+    for om in (res.filtered, res.final):
+        om.loudness = lr
+        om.astats = ast
+        om.spectral = spec
+    return res
+
+
+def collect_json_keys(tree, keys: set) -> None:
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            keys.add(k)
+            collect_json_keys(v, keys)
+    elif isinstance(tree, list):
+        for v in tree:
+            collect_json_keys(v, keys)
+
+
+class TestCanonicalKeys:
+    """The serialised record must speak the reference's §8.4 key vocabulary
+    — dimensioned suffixes present, legacy un-suffixed keys absent
+    (ref: TestAudioMeasurementsJSON_HasCanonicalKeys +
+    TestRunRecordNoiseProfileSpectralFields, runrecord_tags_test.go:87-283).
+    The reference pins the measurement struct's own marshal; here the record
+    IS the wire format, so the vocabulary is pinned on the full record."""
+
+    # the reference's wantPresent list, minus the four keys that belong to
+    # the AudioMeasurements container marshal (speech_regions/
+    # speech_candidates/speech_profile/noise_profile) — this schema nests
+    # them as regions.speech/room_tone per the RunRecord layout
+    # (runrecord.go:171-173), which the reference's record also uses
+    WANT_PRESENT = [
+        "loudness", "dynamics", "noise", "regions",
+        "integrated_lufs", "true_peak_dbtp", "lra_lu", "thresh_lufs",
+        "target_offset_db", "momentary_lufs", "short_term_lufs",
+        "sample_peak_dbfs",
+        "rms_level_dbfs", "peak_level_dbfs", "dynamic_range_db",
+        "crest_factor_astats_db", "rms_trough_dbfs", "rms_peak_dbfs",
+        "dc_offset", "flat_factor", "zero_crossings_rate",
+        "zero_crossings_count", "min_level_dbfs", "max_level_dbfs",
+        "bit_depth", "number_of_samples", "noise_floor_count", "entropy",
+        "floor_dbfs", "floor_source", "floor_prescan_dbfs",
+        "floor_astats_dbfs", "reduction_headroom_db",
+        "room_tone_detect_level_dbfs", "voice_activated",
+        "centroid_hz", "spread_hz", "rolloff_hz",
+        "voiced_low_percentile_dbfs", "noise_high_percentile_dbfs",
+        "gate_separation_db",
+        "crest_factor_db", "speech_band_body_rms_dbfs",
+        "speech_band_sib_rms_dbfs",
+        "measured_floor_dbfs", "spectral_centroid_hz",
+        "spectral_mean", "spectral_variance", "spectral_spread_hz",
+        "spectral_skewness", "spectral_entropy", "spectral_crest",
+        "spectral_flux", "spectral_slope", "spectral_decrease",
+        "spectral_rolloff_hz",
+    ]
+
+    WANT_ABSENT = [
+        "input_i", "input_tp", "input_lra", "input_thresh",
+        "rms_level", "peak_level", "dynamic_range", "crest_factor",
+        "target_offset", "momentary_loudness", "short_term_loudness",
+        "sample_peak",
+        "floor", "floor_prescan", "floor_astats", "reduction_headroom",
+        "room_tone_detect_level", "min_level", "max_level", "zero_crossings",
+        "spectral_centroid", "spectral_spread", "spectral_rolloff",
+        "suggested_gate_threshold", "measured_noise_floor",
+    ]
+
+    def keys(self):
+        tree = roundtrip(new_run_record("ep.wav", fully_populated_result()))
+        ks: set = set()
+        collect_json_keys(tree, ks)
+        return ks
+
+    def test_canonical_keys_present(self):
+        ks = self.keys()
+        missing = [k for k in self.WANT_PRESENT if k not in ks]
+        assert not missing, f"missing canonical keys: {missing}"
+
+    def test_legacy_keys_absent(self):
+        ks = self.keys()
+        legacy = [k for k in self.WANT_ABSENT if k in ks]
+        assert not legacy, f"legacy keys must not appear: {legacy}"
+
+    def test_noise_profile_spectral_thirteen(self):
+        # all 13 contamination-detection spectral fields reach
+        # regions.room_tone.elected (ref: runrecord_tags_test.go:165-283)
+        from jivetalking_tpu.metering.spectral import METRIC_NAMES
+
+        res = fully_populated_result()
+        res.measurements.vad.noise_profile.spectral = type(
+            res.measurements.spectral)(**{k: 2.0 for k in METRIC_NAMES},
+                                       found=True)
+        tree = roundtrip(new_run_record("ep.wav", res))
+        elected = tree["regions"]["room_tone"]["elected"]
+        from jivetalking_tpu.report.runrecord import _SPECTRAL_KEY
+        for k in METRIC_NAMES:
+            key = f"spectral_{_SPECTRAL_KEY[k]}"
+            assert key in elected, key
+            assert elected[key] == 2.0, key
+        assert elected["band_noise_dbfs"] == [-70.0] * 15
+        assert elected["band_noise_measured"] is True
