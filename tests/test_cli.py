@@ -553,3 +553,44 @@ class TestPoolBounds:
         outcomes = pool.run_pool(paths, jobs=2, analysis_only=True)
         assert counter["max"] <= 2
         assert [o.error for o in outcomes] == ["", "boom", ""]
+
+
+class TestLinearModeForcedWarning:
+    """The dynamic-fallback detective surfaces at the console: a peak-limited
+    file whose effective target was capped must emit a post-run WARNING
+    naming both targets, and an uncapped file must not (ref:
+    detectDynamicNormalisation WARNING, normalise.go:683-693;
+    TestLoudnormFellBackToDynamic)."""
+
+    @staticmethod
+    def _result(forced: bool):
+        from tests.test_runrecord_shape import populated_result
+
+        res = populated_result()
+        res.normalisation.linear_mode_forced = forced
+        res.normalisation.requested_target_i = -16.0
+        res.normalisation.effective_target_i = -18.1 if forced else -16.0
+        return res
+
+    def _emit(self, forced: bool):
+        from jivetalking_tpu.cli.pool import PoolEvents, _debug_result
+
+        warnings, debugs = [], []
+        ev = PoolEvents(
+            on_warning=warnings.append,
+            on_debug=lambda path, msg: debugs.append(msg),
+        )
+        _debug_result(ev, "ep1.flac", self._result(forced))
+        return warnings, debugs
+
+    def test_capped_file_warns_with_both_targets(self):
+        warnings, debugs = self._emit(True)
+        assert len(warnings) == 1
+        w = warnings[0]
+        assert "ep1.flac" in w and "-18.1" in w and "-16.0" in w
+        assert "linear mode" in w
+        assert any("linear-mode cap engaged" in d for d in debugs)
+
+    def test_uncapped_file_stays_quiet(self):
+        warnings, _ = self._emit(False)
+        assert warnings == []
