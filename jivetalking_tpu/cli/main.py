@@ -181,9 +181,8 @@ def main(argv: list[str] | None = None) -> int:
                 on_debug=lambda p, msg: sink.for_file(p)(msg),
             )
             outcomes = emit_batch_outcomes(results, events, args.diagnostics)
+            # on_complete already printed each outcome's done box / ✗ line
             failed = [o for o in outcomes if o.error]
-            for o in failed:
-                print_error(f"✗ {o.path}: {o.error}")
             print()
             print(render_final_summary(outcomes))
             for w in warnings:

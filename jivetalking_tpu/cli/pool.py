@@ -328,9 +328,16 @@ def process_one_file(
         done.set_result(outcome)
         return done
 
+    # the finish half only reads `samples` for the --diagnostics
+    # spectrograms; don't let the closure pin a whole file's PCM (hundreds
+    # of MB at hour scale) in the finisher queue when it's never used
+    finish_samples = samples if diagnostics else None
+    samples = None
+
     def _finish() -> FileOutcome:
         return _finish_one_file(
-            path, outcome, res, samples, meta, events, diagnostics, start)
+            path, outcome, res, finish_samples, meta, events, diagnostics,
+            start)
 
     if finisher is None:
         return _finish()

@@ -168,7 +168,7 @@ def process_files_data_parallel(
 @functools.partial(jax.jit, static_argnames=("sr", "out_rate"))
 def _batched_master_impl(
     x, gate_thr, gate_ratio, gate_range, comp_thr_lin, deess_i, nf_db,
-    band_shape, noise_bounds, speech_bounds,
+    nr_db, band_shape, noise_bounds, speech_bounds,
     chain_ir, kw_ir, tp_bank, deess_k, sr, out_rate,
 ):
     from ..pipeline.fused import _master_stage_a_tree, _master_stage_b_tree
@@ -176,9 +176,9 @@ def _batched_master_impl(
     target_i = jnp.float32(-16.0)
     ttp_lin = jnp.float32(10.0 ** (-1.0 / 20.0))
 
-    def one_file(xi, gt, gr, grange, ct, di, nf, shape, nb, sb):
+    def one_file(xi, gt, gr, grange, ct, di, nf, nr, shape, nb, sb):
         prefixed, offset_db, ma = _master_stage_a_tree(
-            xi, gt, gr, grange, ct, di, nf, jnp.float32(12.0), shape,
+            xi, gt, gr, grange, ct, di, nf, nr, shape,
             target_i, ttp_lin,
             nb, sb, chain_ir, kw_ir, tp_bank, deess_k,
             sr=sr, nlm_enabled=True, afftdn_enabled=True,
@@ -197,7 +197,7 @@ def _batched_master_impl(
 
     return jax.vmap(one_file)(
         x, gate_thr, gate_ratio, gate_range, comp_thr_lin, deess_i, nf_db,
-        band_shape, noise_bounds, speech_bounds,
+        nr_db, band_shape, noise_bounds, speech_bounds,
     )
 
 
@@ -249,6 +249,7 @@ def batched_master(
         deess_i=arr(lambda c, m: c.deesser.intensity if c.deesser.enabled else 0.0),
         nf_db=arr(lambda c, m: c.noise_reduction.afftdn_noise_floor
                   if c.noise_reduction.afftdn_noise_floor != 0.0 else -50.0),
+        nr_db=arr(lambda c, m: c.noise_reduction.afftdn_noise_reduction),
         band_shape=jnp.asarray(np.asarray(
             [np.asarray(c.noise_reduction.afftdn_band_noise, np.float32)
              if (c.noise_reduction.afftdn_noise_type == "custom"
@@ -270,8 +271,8 @@ def batched_master(
 
     return _batched_master_impl(
         x, ops["gate_thr"], ops["gate_ratio"], ops["gate_range"],
-        ops["comp_thr_lin"], ops["deess_i"], ops["nf_db"], ops["band_shape"],
-        ops["noise_bounds"], ops["speech_bounds"],
+        ops["comp_thr_lin"], ops["deess_i"], ops["nf_db"], ops["nr_db"],
+        ops["band_shape"], ops["noise_bounds"], ops["speech_bounds"],
         chain_ir, kw_ir, tp_bank, deess_k, sample_rate, out_rate,
     )
 

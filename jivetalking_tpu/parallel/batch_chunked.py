@@ -62,17 +62,31 @@ BATCH_NLM_BLOCK = 262144
 # bucketing
 # ---------------------------------------------------------------------------
 
+def _dsp_flags(cfg) -> tuple[bool, bool, bool]:
+    """The per-file adaptive enable flags that are STATIC in the vmapped
+    chunk programs (nlm, afftdn, declick).  Files with different flags must
+    land in different buckets — collapsing them across a bucket would let
+    one file's adaptation (e.g. afftdn OFF on a voice_activated file,
+    adapt.py:133-136) silently change every other file's audio."""
+    nlm = bool(cfg.noise_reduction.enabled)
+    return (nlm, nlm and bool(cfg.noise_reduction.afftdn_enabled),
+            bool(cfg.adeclick.enabled))
+
+
 def bucket_files(entries: list[dict], chunk_len_for: dict[int, int]) -> list[list[int]]:
-    """Group file indices by (sample_rate, n_chunks) so one padded batch
-    never pads a file by more than one chunk (VERDICT r2: bucket by
-    length instead of pad-to-longest).  `entries[i]` needs keys
-    "sample_rate" and "n_samples"; `chunk_len_for` maps rate -> C."""
-    buckets: dict[tuple[int, int], list[int]] = {}
+    """Group file indices by (sample_rate, n_chunks, dsp-enable flags) so
+    one padded batch never pads a file by more than one chunk (VERDICT r2:
+    bucket by length instead of pad-to-longest) and never mixes files whose
+    adapted configs need different static chunk programs.  `entries[i]`
+    needs keys "sample_rate" and "n_samples" (plus "eff", the adapted
+    config, when available); `chunk_len_for` maps rate -> C."""
+    buckets: dict[tuple, list[int]] = {}
     for i, e in enumerate(entries):
         sr = e["sample_rate"]
         C = chunk_len_for[sr]
         n_chunks = max(1, -(-e["n_samples"] // C))
-        buckets.setdefault((sr, n_chunks), []).append(i)
+        flags = _dsp_flags(e["eff"]) if e.get("eff") is not None else None
+        buckets.setdefault((sr, n_chunks, flags), []).append(i)
     return [buckets[k] for k in sorted(buckets)]
 
 
@@ -194,6 +208,24 @@ def batched_analysis(
         return out
     C, hm, il, w = FC._analysis_geometry(sr, chunk_secs)
     lengths = [int(np.shape(p)[-1]) for p in pcm_list]
+
+    # sub-bucket by chunk count (the master's bucket_files discipline): a
+    # 5-min file grouped with 45-min episodes must not upload ~40 min of
+    # dense zero slabs through the tunnel nor dispatch chunk programs whose
+    # rows are entirely masked out
+    groups: dict[int, list[int]] = {}
+    for i, n_i in enumerate(lengths):
+        groups.setdefault(max(1, -(-n_i // C)), []).append(i)
+    if len(groups) > 1:
+        out_by_idx: dict[int, AudioMeasurements] = {}
+        for nc in sorted(groups):
+            idxs = groups[nc]
+            sub = batched_analysis([pcm_list[i] for i in idxs], sr,
+                                   target_i, measure_bands, chunk_secs, mesh)
+            for i, m in zip(idxs, sub):
+                out_by_idx[i] = m
+        return [out_by_idx[i] for i in range(len(pcm_list))]
+
     n_chunks = max(1, max(-(-n // C) for n in lengths))
 
     # one dtype for the batch: all-mono-int16 keeps the half-width upload
@@ -326,10 +358,15 @@ def batched_master_chunked(
         [region_bounds(m, "speech") for m in measurements])), shard)
     n_tot = dput(jnp.asarray(np.asarray(lengths, np.int32)), shard1)
 
-    nlm_enabled = all(c.noise_reduction.enabled for c in cfgs)
-    afftdn_enabled = nlm_enabled and all(
-        c.noise_reduction.afftdn_enabled for c in cfgs)
-    declick_enabled = all(c.adeclick.enabled for c in cfgs)
+    # per-bucket statics: bucket_files keys on _dsp_flags, so every file in
+    # the bucket shares them — reject a mis-bucketed call rather than
+    # silently master one file with another's flags
+    flag_set = {_dsp_flags(c) for c in cfgs}
+    if len(flag_set) != 1:
+        raise ValueError(
+            f"bucket mixes dsp-enable flags {sorted(flag_set)}; "
+            "bucket_files must key on _dsp_flags")
+    nlm_enabled, afftdn_enabled, declick_enabled = next(iter(flag_set))
     target_i = np.asarray([c.loudnorm.target_i for c in cfgs], np.float64)
     target_tp_db = np.asarray([c.loudnorm.target_tp for c in cfgs], np.float64)
 

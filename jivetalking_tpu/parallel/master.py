@@ -51,7 +51,6 @@ from ..ops.spectral_gate import afftdn_ext, noise_profile_ingraph
 from ..pipeline.fused import (
     _fft_convolve_full,
     _loudness_from_bp,
-    _tp_oversampled_max,
 )
 from ..pipeline.normalise import (
     BRICKWALL_TRUE_PEAK_HEADROOM_DB,
@@ -178,14 +177,23 @@ def sharded_loudness(x: jnp.ndarray, kw_ir: jnp.ndarray, tp_bank: jnp.ndarray,
     bp_all = jax.lax.all_gather(bp, axis_name, axis=-1, tiled=True)
     out = jax.vmap(_loudness_from_bp)(bp_all) if bp_all.ndim == 2 else _loudness_from_bp(bp_all)
 
-    # true peak: halo'd local oversample max (overlapping windows double-
-    # counted — harmless under max), then pmax over the mesh axis
+    # true peak, window-END discipline: each shard evaluates only the
+    # 4x-oversample windows ENDING in its local span (left halo only;
+    # shard 0's zero halo is the file-start pad) plus the file-end ring on
+    # the last shard.  Running _tp_oversampled_max on a both-sides-padded
+    # local ext manufactured interpolations at interior shard seams — the
+    # same +0.175 dB overshoot class `_tp_window_end_max` fixed in the
+    # chunked master — and fed the limiter plan a wrong ceiling.
+    from ..pipeline.fused_chunked import _tp_window_end_max
+
     taps = int(tp_bank.shape[1])
-    ext = jnp.concatenate(
-        [_halo_left(x, taps - 1, axis_name), x, _halo_right(x, taps - 1, axis_name)],
-        axis=-1,
-    )
-    tp_local = jax.vmap(lambda r: _tp_oversampled_max(r, tp_bank))(ext)
+    sp = _axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    tail = jnp.concatenate([_halo_left(x, taps - 1, axis_name), x], axis=-1)
+    k0 = idx * n_local
+    tp_local = jax.vmap(
+        lambda r: _tp_window_end_max(r, tp_bank, n_local, k0, sp * n_local)
+    )(tail)
     sp_local = jnp.max(jnp.abs(x), axis=-1)
     out["sample_peak"] = jax.lax.pmax(sp_local, axis_name)
     out["true_peak"] = jnp.maximum(jax.lax.pmax(tp_local, axis_name), out["sample_peak"])

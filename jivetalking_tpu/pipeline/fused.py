@@ -800,9 +800,16 @@ def fused_master(
     ma = _unpack_all(np.asarray(packed_a), shapes_a, dtypes_a, treedef_a)
     if on_filtered_levels is not None:
         try:
+            # anchor at the FINAL encode level: filtered momentary + the
+            # pre-limiter gain (when the plan engaged) + the linear-mode
+            # offset — one convention shared with fused_master_chunked so
+            # the meter reads the same whichever master route a file takes
+            anchor = float(ma["plan"]["offset_db"]) + (
+                float(ma["plan"]["pre_gain_db"])
+                if bool(ma["plan"]["needed"]) else 0.0)
             on_filtered_levels(
                 np.asarray(ma["filtered"]["momentary"], dtype=np.float64)
-                + float(ma["plan"]["offset_db"]),
+                + anchor,
                 0.1,
             )
         except Exception:

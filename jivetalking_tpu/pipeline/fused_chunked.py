@@ -82,7 +82,6 @@ from .fused import (
     _fft_convolve_full,
     _loudness_from_bp,
     _pack_all,
-    _tp_oversampled_max,
     _unpack_all,
 )
 from .normalise import (
@@ -349,14 +348,28 @@ def _stage_partials_tree(
         return out
 
     # region masked partials (regions are small; they just span chunks)
+    taps = int(tp_bank.shape[1])
+    tp_tail_gpos = k0 + jnp.arange(-(taps - 1), C)
+    tp_tail = ext[hm - (taps - 1):]
+
     def region(bounds, tag):
         rmask = valid & (gpos >= bounds[0]) & (gpos < bounds[1])
         xm = jnp.where(rmask, x, 0.0)
         out[f"r_{tag}_sumsq"] = jnp.sum(xm * xm)
         out[f"r_{tag}_count"] = jnp.sum(rmask)
         out[f"r_{tag}_peak"] = jnp.max(jnp.abs(xm))
+        # region tp must reproduce the whole-file mask-then-oversample
+        # (fused._region_sample_ingraph): mask the HALO'D tail by global
+        # position and take only the windows ENDING in this chunk —
+        # running _tp_oversampled_max on the chunk-masked body zero-padded
+        # both seam edges and overshot by up to +0.175 dB for an
+        # oscillation crossing a chunk boundary inside the region
+        tmask = ((tp_tail_gpos >= bounds[0]) & (tp_tail_gpos < bounds[1])
+                 & (tp_tail_gpos < n_total))
         out[f"r_{tag}_tp"] = jnp.maximum(
-            _tp_oversampled_max(xm, tp_bank), out[f"r_{tag}_peak"])
+            _tp_window_end_max(jnp.where(tmask, tp_tail, 0.0), tp_bank,
+                               C, k0, n_total),
+            out[f"r_{tag}_peak"])
         fmask = f_valid & (s_global >= bounds[0]) & (s_global < bounds[1])
         out[f"r_{tag}_spec"] = {
             k: jnp.sum(jnp.where(fmask, v, 0.0)) for k, v in spec.items()
@@ -958,21 +971,6 @@ def fused_master_chunked(
     ceiling_db = float(hp["ceiling_db"])
     gain_required = float(hp["gain_db"])
 
-    # truthful VU meter: the filtered momentary series + the coming linear
-    # offset is what the LIMIT/B passes will encode (the plan offset lands
-    # below; feed the pre-offset series now and let the caller re-anchor,
-    # or simply ship it after the pass-3 sync — the remaining ~45% of the
-    # wall is the LIMIT/B chunk stream this series narrates)
-    if on_filtered_levels is not None:
-        try:
-            on_filtered_levels(
-                np.asarray(loud_f["momentary"], dtype=np.float64)
-                + (pre_gain_db if needed else 0.0),
-                0.1,
-            )
-        except Exception:
-            pass
-
     # ---- filtered astats (+ flat pass over the live y stream) ----
     ast_f = _run_flat_over(ychunks, _combine_astats(parts_f, n, w), n, C)
 
@@ -1007,6 +1005,21 @@ def fused_master_chunked(
     _, effective_i, offset_db = linear_mode_scalars(m_i, m_tp_db, target_i, xp=np)
     effective_i = float(effective_i)
     offset_db = float(offset_db)
+
+    # truthful VU meter for the remaining B/delivery chunk stream (~40% of
+    # the wall): filtered momentary anchored at the FINAL encode level —
+    # pre-limiter gain (when the plan engaged) + the linear-mode offset,
+    # the same convention as fused_master's emission so the meter reads
+    # the same whichever master route a file takes
+    if on_filtered_levels is not None:
+        try:
+            on_filtered_levels(
+                np.asarray(loud_f["momentary"], dtype=np.float64)
+                + offset_db + (pre_gain_db if needed else 0.0),
+                0.1,
+            )
+        except Exception:
+            pass
 
     # ---- PASS B + final metering + delivery ----
     g = math.gcd(sr, out_rate)

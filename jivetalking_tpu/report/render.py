@@ -338,11 +338,10 @@ def _render_interval_summary(rec: dict) -> str:
     if not s:
         return ""
 
-    def row(key, value, unit_override=None):
+    def row(key, value):
         label, definition, unit = define(key)
-        shown = unit_override if unit_override is not None else unit
         return [label, f"{definition} ({unit})" if unit else definition,
-                _fmt(value, shown) if not isinstance(value, str) else value]
+                _fmt(value, unit) if not isinstance(value, str) else value]
 
     rows = [row("interval_count", str(int(s.get("count", 0))))]
     dist = s.get("rms_distribution")

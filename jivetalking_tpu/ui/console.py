@@ -29,9 +29,20 @@ def _fmt_db(v: float | None, unit: str = "") -> str:
     return f"{v:.1f}{unit}"
 
 
-def _fmt_wall(secs: float) -> str:
-    m, s = divmod(int(round(secs)), 60)
+def format_elapsed(secs: float) -> str:
+    """MM:SS clock, growing to HH:MM:SS past an hour, rounded to the
+    second (ref: formatElapsed, analysis_model.go:223-235).  The one
+    duration formatter for both the live Time block and the done box —
+    hour-scale walls must read the same in both."""
+    total = int(round(max(0.0, secs)))
+    h, rem = divmod(total, 3600)
+    m, s = divmod(rem, 60)
+    if h > 0:
+        return f"{h:02d}:{m:02d}:{s:02d}"
     return f"{m:02d}:{s:02d}"
+
+
+_fmt_wall = format_elapsed
 
 
 # Column widths for the before→after rows so the →, unit, and Δ line up

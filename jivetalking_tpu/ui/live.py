@@ -31,7 +31,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
-from .console import render_analysis_summary, render_done_box
+from .console import format_elapsed, render_analysis_summary, render_done_box
 from .statusbox import render_analysis_box, render_filter_chain_box
 from .summary import AdaptedSummary
 
@@ -88,15 +88,8 @@ def _bar(fraction: float) -> str:
     return "█" * filled + "░" * (_BAR_WIDTH - filled)
 
 
-def format_elapsed(secs: float) -> str:
-    """MM:SS clock, growing to HH:MM:SS past an hour, rounded to the
-    second (ref: formatElapsed, analysis_model.go:223-235)."""
-    total = int(round(max(0.0, secs)))
-    h, rem = divmod(total, 3600)
-    m, s = divmod(rem, 60)
-    if h > 0:
-        return f"{h:02d}:{m:02d}:{s:02d}"
-    return f"{m:02d}:{s:02d}"
+# the shared duration formatter lives in console.py (one clock for the
+# live Time block and the done box); imported above for callers/tests
 
 
 def render_timeline(row: FileRow, elapsed: float) -> str:

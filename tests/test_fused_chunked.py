@@ -361,3 +361,57 @@ class TestReaderAnalysisStereo:
                                    atol=1e-7)
         assert float(out_r["loudness"]["integrated"]) == pytest.approx(
             float(out_a["loudness"]["integrated"]), abs=1e-3)
+
+
+class TestRegionTpSeamExact:
+    """Adversarial seam pin for the region true peak: an alternating-sign
+    oscillation straddling a chunk boundary inside the region.  The old
+    per-chunk `_tp_oversampled_max` zero-padded both seam edges and
+    overshot by up to +0.175 dB; the window-END form must reproduce the
+    whole-file mask-then-oversample EXACTLY."""
+
+    def test_alternating_oscillation_at_chunk_seam(self):
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.pipeline.fused import (
+            _constants_for_rate,
+            _tp_oversampled_max,
+        )
+        from jivetalking_tpu.pipeline.fused_chunked import _stage_partials_tree
+
+        sr = 8000
+        C, hm = 8192, 4096
+        n = 2 * C
+        w = max(2, int(round(0.05 * sr)))
+        _, kw_ir, tp_bank, _ = _constants_for_rate(sr, 80.0, 3500.0)
+
+        rng = np.random.default_rng(5)
+        x = (1e-3 * rng.standard_normal(n)).astype(np.float32)
+        # alternating full-scale-ish samples right across the chunk seam:
+        # the 4x interpolation peaks BETWEEN samples at the boundary
+        seam = C
+        for j, v in enumerate([0.5, -0.5, 0.5, -0.5, 0.5, -0.5]):
+            x[seam - 3 + j] = v
+
+        nb = jnp.asarray([seam - 2000, seam + 2000], jnp.int32)
+        sb = jnp.asarray([0, 1], jnp.int32)
+        xj = jnp.asarray(x)
+
+        tp_chunks = []
+        for k in range(2):
+            k0 = k * C
+            left = (jnp.zeros(hm, jnp.float32) if k == 0
+                    else xj[k0 - hm:k0])
+            ext = jnp.concatenate([left, xj[k0:k0 + C]])
+            tree = _stage_partials_tree(
+                ext, jnp.int32(k0), jnp.int32(n), nb, sb,
+                kw_ir, tp_bank, sr, C, hm, w)
+            tp_chunks.append(float(tree["r_noise_tp"]))
+        got = max(tp_chunks)
+
+        mask = (np.arange(n) >= int(nb[0])) & (np.arange(n) < int(nb[1]))
+        xm = jnp.asarray(np.where(mask, x, 0.0).astype(np.float32))
+        want = max(float(_tp_oversampled_max(xm, tp_bank)),
+                   float(jnp.max(jnp.abs(xm))))
+        assert want > 0.5  # the inter-sample excess is actually exercised
+        assert got == pytest.approx(want, rel=1e-6)

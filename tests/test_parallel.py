@@ -275,6 +275,43 @@ class TestConfig5BatchChunked:
         # 42 s both ceil to 9 x 5 s); file 3 -> its own rate bucket
         assert sorted(map(sorted, buckets)) == [[0], [1, 2], [3]]
 
+    def test_buckets_split_on_dsp_flags(self):
+        """Files whose adapted configs disable NLM/afftdn/declick must not
+        share a bucket with normal files: the flags are STATIC in the
+        vmapped chunk programs, and collapsing them let one
+        voice_activated file switch off spectral denoising for every
+        other file in its bucket (code-review r3 finding #1)."""
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.parallel.batch_chunked import (
+            batched_master_chunked,
+            bucket_files,
+        )
+
+        on = default_filter_config()
+        off = default_filter_config()
+        off.noise_reduction.afftdn_enabled = False
+        entries = [
+            {"sample_rate": 8000, "n_samples": 8000 * 4, "eff": on},
+            {"sample_rate": 8000, "n_samples": 8000 * 4, "eff": off},
+            {"sample_rate": 8000, "n_samples": 8000 * 4, "eff": on},
+        ]
+        buckets = bucket_files(entries, {8000: 8000 * 5})
+        assert sorted(map(sorted, buckets)) == [[0, 2], [1]]
+
+        # and the master refuses a mis-bucketed mixed-flag call outright
+        import numpy as np
+        import pytest
+
+        from jivetalking_tpu.analysis.analyser import AudioMeasurements
+
+        ms = []
+        for _ in range(2):
+            m = AudioMeasurements()
+            m.device_pcm = np.zeros(8000, np.float32)
+            ms.append(m)
+        with pytest.raises(ValueError, match="dsp-enable flags"):
+            batched_master_chunked(ms, [on, off], 8000)
+
     def test_mixed_rates_end_to_end(self, tmp_path):
         from jivetalking_tpu.io.flac import read_flac, write_flac
         from jivetalking_tpu.metering.ebur128 import measure_loudness

@@ -410,3 +410,49 @@ class TestShardedStageMetrics:
                 float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))), rel=1e-4)
             assert float(got["regions"]["noise"]["peak"][i]) == pytest.approx(
                 float(np.max(np.abs(seg))), rel=1e-5)
+
+
+class TestShardedTruePeakSeam:
+    """Adversarial seam pin for the sharded true peak: an alternating-sign
+    oscillation straddling each interior shard boundary.  The old
+    both-sides-padded local `_tp_oversampled_max` manufactured interpolated
+    values at the seams (the +0.175 dB class); the window-END form must
+    equal the single-device whole-file value exactly."""
+
+    def test_seam_oscillation_matches_whole_file(self):
+        from jivetalking_tpu.parallel.master import sharded_loudness
+        from jivetalking_tpu.pipeline.fused import (
+            _constants_for_rate,
+            _tp_oversampled_max,
+        )
+
+        mesh = _mesh(2, 4)
+        sr = 8000
+        n_local = 4800          # multiple of sr // 10
+        n = 4 * n_local
+        _, kw_ir, tp_bank, _ = _constants_for_rate(sr, 80.0, 3500.0)
+
+        rng = np.random.default_rng(9)
+        x = (1e-3 * rng.standard_normal((2, n))).astype(np.float32)
+        for row in range(2):
+            for seam in (n_local, 2 * n_local, 3 * n_local):
+                for j, v in enumerate([0.5, -0.5, 0.5, -0.5, 0.5, -0.5]):
+                    x[row, seam - 3 + j] = v
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=P("dp", "sp"), out_specs=P("dp"),
+            check_vma=False,
+        )
+        def run(xs):
+            return sharded_loudness(xs, kw_ir, tp_bank, sr, "sp")
+
+        got = run(jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P("dp", "sp"))))
+
+        for i in range(2):
+            xi = jnp.asarray(x[i])
+            want = max(float(_tp_oversampled_max(xi, tp_bank)),
+                       float(jnp.max(jnp.abs(xi))))
+            assert want > 0.5
+            assert float(got["true_peak"][i]) == pytest.approx(want, rel=1e-6)

@@ -345,6 +345,18 @@ class TestDoneBoxReferenceInvariants:
         time_line = next(l for l in box.splitlines() if "Time" in l)
         assert "⚡ —×" in time_line and "00:00" in time_line
 
+    def test_time_row_hour_scale_clock(self):
+        # hour-scale walls (the chunked master's workload) read HH:MM:SS,
+        # the SAME clock as the live Time block — not "92:35"
+        from jivetalking_tpu.ui import console, live
+
+        box = render_done_box(
+            self._outcome(wall_secs=5555.0, realtime_factor=29.0))
+        time_line = next(l for l in box.splitlines() if "Time" in l)
+        assert "01:32:35" in time_line and "92:35" not in time_line
+        # one duration formatter serves both surfaces
+        assert console.format_elapsed is live.format_elapsed
+
     def test_noise_floor_no_delta(self):
         # (ref: TestDoneBoxNoiseFloorBeforeAfter): input→output arrow, the
         # values, and NO reduction delta (a Δ over '< -96' would mislead)
