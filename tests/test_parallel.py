@@ -137,6 +137,10 @@ class TestBatchedMaster:
             m = analyse_audio(x, sr)
             cfg, _ = adapt_config(default_filter_config(), m)
             cfg.resample.enabled = False   # keep both paths at sr
+            if i == 1:
+                # per-file afftdn depth must ride the batch (review r3
+                # finding #4: the batch path hardcoded 12 dB)
+                cfg.noise_reduction.afftdn_noise_reduction = 20.0
             files.append(x)
             cfgs.append(cfg)
             metas.append(m)
