@@ -165,27 +165,26 @@ def process_files_data_parallel(
 # batched fused master (the 64-episode back-catalogue configuration)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("sr", "out_rate"))
+@functools.partial(jax.jit, static_argnames=(
+    "sr", "out_rate", "nlm_enabled", "afftdn_enabled", "declick_enabled"))
 def _batched_master_impl(
     x, gate_thr, gate_ratio, gate_range, comp_thr_lin, deess_i, nf_db,
-    nr_db, band_shape, noise_bounds, speech_bounds,
+    nr_db, band_shape, noise_bounds, speech_bounds, target_i, ttp_lin,
     chain_ir, kw_ir, tp_bank, deess_k, sr, out_rate,
+    nlm_enabled, afftdn_enabled, declick_enabled,
 ):
     from ..pipeline.fused import _master_stage_a_tree, _master_stage_b_tree
 
-    target_i = jnp.float32(-16.0)
-    ttp_lin = jnp.float32(10.0 ** (-1.0 / 20.0))
-
-    def one_file(xi, gt, gr, grange, ct, di, nf, nr, shape, nb, sb):
+    def one_file(xi, gt, gr, grange, ct, di, nf, nr, shape, nb, sb, ti, ttp):
         prefixed, offset_db, ma = _master_stage_a_tree(
             xi, gt, gr, grange, ct, di, nf, nr, shape,
-            target_i, ttp_lin,
+            ti, ttp,
             nb, sb, chain_ir, kw_ir, tp_bank, deess_k,
-            sr=sr, nlm_enabled=True, afftdn_enabled=True,
+            sr=sr, nlm_enabled=nlm_enabled, afftdn_enabled=afftdn_enabled,
         )
         z_chunks, mb = _master_stage_b_tree(
-            prefixed, offset_db, ttp_lin, nb, sb, kw_ir, tp_bank,
-            sr=sr, out_rate=out_rate, declick_enabled=True,
+            prefixed, offset_db, ttp, nb, sb, kw_ir, tp_bank,
+            sr=sr, out_rate=out_rate, declick_enabled=declick_enabled,
         )
         z = jnp.concatenate(z_chunks)
         return z, {
@@ -197,7 +196,7 @@ def _batched_master_impl(
 
     return jax.vmap(one_file)(
         x, gate_thr, gate_ratio, gate_range, comp_thr_lin, deess_i, nf_db,
-        nr_db, band_shape, noise_bounds, speech_bounds,
+        nr_db, band_shape, noise_bounds, speech_bounds, target_i, ttp_lin,
     )
 
 
@@ -260,7 +259,21 @@ def batched_master(
             [region_bounds(m, "noise") for m in measurements])),
         speech_bounds=jnp.asarray(np.stack(
             [region_bounds(m, "speech") for m in measurements])),
+        target_i=arr(lambda c, m: c.loudnorm.target_i),
+        ttp_lin=arr(lambda c, m: 10.0 ** (c.loudnorm.target_tp / 20.0)),
     )
+
+    # per-file DSP enable flags are jit statics: require a homogeneous
+    # batch (the chunked path's bucket_files splits on _dsp_flags; callers
+    # of this whole-file path must do the same)
+    from .batch_chunked import _dsp_flags
+
+    flag_set = {_dsp_flags(c) for c in configs}
+    if len(flag_set) != 1:
+        raise ValueError(
+            f"batched_master mixes dsp-enable flags {sorted(flag_set)}; "
+            "split the batch by _dsp_flags")
+    nlm_enabled, afftdn_enabled, declick_enabled = next(iter(flag_set))
 
     x = jnp.asarray(x_batch, dtype=jnp.float32)
     if mesh is not None:
@@ -273,7 +286,9 @@ def batched_master(
         x, ops["gate_thr"], ops["gate_ratio"], ops["gate_range"],
         ops["comp_thr_lin"], ops["deess_i"], ops["nf_db"], ops["nr_db"],
         ops["band_shape"], ops["noise_bounds"], ops["speech_bounds"],
+        ops["target_i"], ops["ttp_lin"],
         chain_ir, kw_ir, tp_bank, deess_k, sample_rate, out_rate,
+        nlm_enabled, afftdn_enabled, declick_enabled,
     )
 
 

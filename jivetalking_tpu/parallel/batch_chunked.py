@@ -87,7 +87,12 @@ def bucket_files(entries: list[dict], chunk_len_for: dict[int, int]) -> list[lis
         n_chunks = max(1, -(-e["n_samples"] // C))
         flags = _dsp_flags(e["eff"]) if e.get("eff") is not None else None
         buckets.setdefault((sr, n_chunks, flags), []).append(i)
-    return [buckets[k] for k in sorted(buckets)]
+    # None (no "eff") and tuple flags can share a (rate, n_chunks) pair —
+    # order the flagless bucket first rather than let sorted() compare
+    # None against a tuple
+    return [buckets[k] for k in
+            sorted(buckets, key=lambda k: (k[0], k[1], k[2] is not None,
+                                           k[2] or ()))]
 
 
 # ---------------------------------------------------------------------------
@@ -217,11 +222,14 @@ def batched_analysis(
     for i, n_i in enumerate(lengths):
         groups.setdefault(max(1, -(-n_i // C)), []).append(i)
     if len(groups) > 1:
+        from .batch import _shrink_mesh_for
+
         out_by_idx: dict[int, AudioMeasurements] = {}
         for nc in sorted(groups):
             idxs = groups[nc]
-            sub = batched_analysis([pcm_list[i] for i in idxs], sr,
-                                   target_i, measure_bands, chunk_secs, mesh)
+            sub = batched_analysis(
+                [pcm_list[i] for i in idxs], sr, target_i, measure_bands,
+                chunk_secs, _shrink_mesh_for(mesh, len(idxs)))
             for i, m in zip(idxs, sub):
                 out_by_idx[i] = m
         return [out_by_idx[i] for i in range(len(pcm_list))]
