@@ -194,7 +194,9 @@ def main(argv: list[str] | None = None) -> int:
             from ..ui.live import AnalysisLiveUI, LiveUI
 
             ui_cls = AnalysisLiveUI if args.analyse else LiveUI
-            with ui_cls(args.files) as live:
+            # q in the live view cancels the pool, same as ctrl-C
+            # (ref: the Bubble Tea quit keys -> ctx cancel, main.go)
+            with ui_cls(args.files, on_quit=cancel.set) as live:
                 events = PoolEvents(
                     on_file_start=live.on_file_start,
                     on_duration=live.on_duration,

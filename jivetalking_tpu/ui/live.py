@@ -77,6 +77,7 @@ class LiveModel:
     verb: str = "Processing"     # the -a view says "Analysing"
     glyph: str = ""              # fixed active-row glyph; "" = spinner
                                  # (the -a view's ∿ wave, analysis_model_test.go)
+    scroll_offset: int = 0       # lines scrolled up from the tail (0 = follow)
 
     def __post_init__(self):
         for f in self.files:
@@ -204,25 +205,121 @@ def render_frame(model: LiveModel, tick: int) -> str:
     return "\n".join(lines)
 
 
-def clip_to_viewport(frame: str, height: int | None = None) -> str:
+def clip_to_viewport(frame: str, height: int | None = None,
+                     offset: int = 0) -> str:
     """Keep the repaint inside the terminal: when the frame outgrows the
-    viewport, show the TAIL (the active rows accumulate below completed
-    boxes) with a one-line scroll indicator (ref: the Bubble Tea model's
+    viewport, show a window `offset` lines above the TAIL (0 = follow the
+    active rows, which accumulate below completed boxes) with scroll
+    indicators on the hidden side(s) (ref: the Bubble Tea model's
     viewport scrolling, internal/ui/model.go)."""
     import shutil
 
     rows = height or (shutil.get_terminal_size(fallback=(80, 24)).lines - 1)
+    rows = max(3, rows)
     lines = frame.splitlines()
-    if len(lines) <= max(2, rows):
+    if len(lines) <= rows:
         return frame
-    hidden = len(lines) - (rows - 1)
-    return "\n".join([f"… {hidden} earlier line(s) …"] + lines[hidden:])
+    visible = rows - 1
+    offset = max(0, min(int(offset), len(lines) - visible))
+    if offset == 0:
+        hidden = len(lines) - visible
+        return "\n".join([f"… {hidden} earlier line(s) …"] + lines[hidden:])
+    end = len(lines) - offset
+    if end <= visible:
+        # scrolled to the very top: no earlier indicator
+        parts = list(lines[:end])
+    else:
+        start = end - (rows - 2)
+        parts = [f"… {start} earlier line(s) …"] + lines[start:end]
+    parts.append(f"… {offset} later line(s) … (↓/End follows)")
+    return "\n".join(parts)
+
+
+def handle_key(model: LiveModel, key: str, page: int = 10) -> str | None:
+    """Scroll/quit key semantics on the model (ref: the viewport keymap,
+    TestScrollKeysForwardedToViewport + TestMouseWheelMovesOffset +
+    TestQuitKeysStillQuitWithViewport, model_routing_test.go).  Returns
+    "quit" for the quit keys, else None."""
+    if key in ("q", "ctrl_c", "esc"):
+        return "quit"
+    if key in ("up", "k", "wheel_up"):
+        model.scroll_offset += 1
+    elif key in ("down", "j", "wheel_down"):
+        model.scroll_offset -= 1
+    elif key == "pgup":
+        model.scroll_offset += page
+    elif key == "pgdn":
+        model.scroll_offset -= page
+    elif key in ("home", "g"):
+        model.scroll_offset = 1 << 30   # clip_to_viewport clamps to content
+    elif key in ("end", "G"):
+        model.scroll_offset = 0
+    model.scroll_offset = max(0, model.scroll_offset)
+    return None
+
+
+def _decode_keys(buf: bytes) -> tuple[list[str], bytes]:
+    """Terminal byte stream -> key names; returns (keys, undecoded rest).
+    Understands plain chars, CSI arrows/page keys, and SGR mouse wheel
+    (buttons 64/65)."""
+    keys: list[str] = []
+    i = 0
+    while i < len(buf):
+        b = buf[i]
+        if b != 0x1B:
+            ch = chr(b)
+            if ch == "\x03":
+                keys.append("ctrl_c")
+            elif ch in ("q", "k", "j", "g", "G"):
+                keys.append(ch)
+            i += 1
+            continue
+        # ESC sequence
+        seq = buf[i:]
+        if len(seq) == 1:
+            break            # partial: wait for more bytes
+        if seq[1:2] != b"[":
+            keys.append("esc")
+            i += 1
+            continue
+        if seq[2:3] == b"<":  # SGR mouse: ESC [ < b ; x ; y (M|m)
+            j = 3
+            while j < len(seq) and seq[j:j + 1] not in (b"M", b"m"):
+                j += 1
+            if j >= len(seq):
+                break        # partial
+            fields = seq[3:j].split(b";")
+            if seq[j:j + 1] == b"M" and fields and fields[0].isdigit():
+                btn = int(fields[0])
+                if btn == 64:
+                    keys.append("wheel_up")
+                elif btn == 65:
+                    keys.append("wheel_down")
+            i += j + 1
+            continue
+        m = {b"A": "up", b"B": "down", b"H": "home", b"F": "end"}
+        if seq[2:3] in m:
+            keys.append(m[seq[2:3]])
+            i += 3
+            continue
+        if seq[2:3] in (b"5", b"6"):
+            if len(seq) < 4:
+                break        # partial
+            if seq[3:4] == b"~":
+                keys.append("pgup" if seq[2:3] == b"5" else "pgdn")
+                i += 4
+                continue
+            i += 4
+            continue
+        i += 3 if len(seq) >= 3 else len(seq)
+    return keys, buf[i:]
 
 
 class LiveUI:
     """Ticker-driven ANSI repaint loop; the PoolEvents adapter."""
 
-    def __init__(self, files: list[str], out=None, fps: float = 15.0):
+    def __init__(self, files: list[str], out=None, fps: float = 15.0,
+                 on_quit=None):
         self.model = LiveModel(files=files)
         self._out = out or sys.stdout
         self._period = 1.0 / fps
@@ -231,6 +328,8 @@ class LiveUI:
         self._last_height = 0
         self._tick = 0
         self._thread: threading.Thread | None = None
+        self._key_thread: threading.Thread | None = None
+        self._on_quit = on_quit
 
     # --- pool event handlers (the message types) ---
     # Every handler routes by path and tolerates an unknown one: a message
@@ -294,7 +393,8 @@ class LiveUI:
                 if not row.done:
                     _advance_meter(row, now)
             frame = render_frame(self.model, self._tick)
-        frame = clip_to_viewport(frame)
+            offset = self.model.scroll_offset
+        frame = clip_to_viewport(frame, offset=offset)
         lines = frame.count("\n") + 1
         if self._last_height:
             self._out.write(f"\x1b[{self._last_height}A\x1b[J")
@@ -311,16 +411,65 @@ class LiveUI:
             time.sleep(self._period)
         self._paint()
 
+    # --- keyboard/mouse input (viewport scrolling + quit keys) ---
+
+    def _handle_key(self, key: str) -> None:
+        with self._lock:
+            action = handle_key(self.model, key)
+        if action == "quit" and self._on_quit is not None:
+            self._on_quit()
+
+    def _key_loop(self) -> None:
+        """cbreak stdin reader: arrows/PgUp/PgDn/Home/End/vi keys scroll
+        the viewport, SGR mouse wheel scrolls, q quits (-> the pool's
+        cancel event; ref: the Bubble Tea keymap + mouse support)."""
+        import os
+        import select
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+        self._out.write("\x1b[?1000h\x1b[?1006h")  # SGR mouse reporting
+        self._out.flush()
+        buf = b""
+        try:
+            while not self._stop.is_set():
+                r, _, _ = select.select([fd], [], [], 0.1)
+                if not r:
+                    continue
+                chunk = os.read(fd, 64)
+                if not chunk:
+                    return
+                buf += chunk
+                keys, buf = _decode_keys(buf)
+                for k in keys:
+                    self._handle_key(k)
+        finally:
+            self._out.write("\x1b[?1006l\x1b[?1000l")
+            self._out.flush()
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
     def __enter__(self):
         self._out.write("\x1b[?25l")  # hide cursor
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        try:
+            if sys.stdin.isatty():
+                self._key_thread = threading.Thread(
+                    target=self._key_loop, daemon=True)
+                self._key_thread.start()
+        except Exception:
+            self._key_thread = None
         return self
 
     def __exit__(self, *exc):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+        if self._key_thread is not None:
+            self._key_thread.join(timeout=1.0)
         self._out.write("\x1b[?25h")  # show cursor
         self._out.flush()
         return False
@@ -333,8 +482,8 @@ class AnalysisLiveUI(LiveUI):
     carry the ∿ wave glyph and the footer says 'Analysing'
     (analysis_model_test.go:265-345)."""
 
-    def __init__(self, files, out=None, fps: float = 15.0):
-        super().__init__(files, out=out, fps=fps)
+    def __init__(self, files, out=None, fps: float = 15.0, on_quit=None):
+        super().__init__(files, out=out, fps=fps, on_quit=on_quit)
         self.model.verb = "Analysing"
         self.model.glyph = "∿"
 

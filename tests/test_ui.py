@@ -1001,3 +1001,103 @@ class TestAnalysisViewGlyphs:
         ui.on_progress("a.flac", "processing", 0.2)
         frame = render_frame(ui.model, tick=0)
         assert "∿" not in frame
+
+
+class TestViewportScrollKeys:
+    """Viewport scrolling + quit keys (ref: TestScrollKeysForwardedToViewport,
+    TestMouseWheelMovesOffset, TestQuitKeysStillQuitWithViewport,
+    TestBuildScrollbar* — adapted to the offset-from-tail viewport)."""
+
+    def _model(self):
+        from jivetalking_tpu.ui.live import LiveModel
+
+        return LiveModel(files=["a.wav"])
+
+    def test_scroll_keys_move_offset(self):
+        from jivetalking_tpu.ui.live import handle_key
+
+        m = self._model()
+        for key, want in (("up", 1), ("k", 2), ("wheel_up", 3),
+                          ("pgup", 13), ("down", 12), ("j", 11),
+                          ("wheel_down", 10), ("pgdn", 0)):
+            assert handle_key(m, key) is None
+            assert m.scroll_offset == want, key
+
+    def test_offset_never_negative(self):
+        from jivetalking_tpu.ui.live import handle_key
+
+        m = self._model()
+        handle_key(m, "down")
+        assert m.scroll_offset == 0
+
+    def test_home_end(self):
+        from jivetalking_tpu.ui.live import handle_key
+
+        m = self._model()
+        handle_key(m, "home")
+        assert m.scroll_offset > 1000
+        handle_key(m, "end")
+        assert m.scroll_offset == 0
+
+    def test_quit_keys(self):
+        from jivetalking_tpu.ui.live import handle_key
+
+        m = self._model()
+        for key in ("q", "ctrl_c"):
+            assert handle_key(m, key) == "quit"
+        assert m.scroll_offset == 0   # quit keys do not scroll
+
+    def test_quit_key_fires_on_quit_callback(self):
+        import io
+
+        from jivetalking_tpu.ui.live import LiveUI
+
+        fired = []
+        ui = LiveUI(["a.wav"], out=io.StringIO(), on_quit=lambda: fired.append(1))
+        ui._handle_key("up")
+        assert fired == []
+        ui._handle_key("q")
+        assert fired == [1]
+
+    def test_clip_scrolled_window_and_indicators(self):
+        from jivetalking_tpu.ui.live import clip_to_viewport
+
+        frame = "\n".join(f"line{i}" for i in range(30))
+        # follow mode: tail + earlier indicator
+        tail = clip_to_viewport(frame, height=10, offset=0)
+        lines = tail.splitlines()
+        assert lines[0] == "… 21 earlier line(s) …"
+        assert lines[-1] == "line29" and len(lines) == 10
+        # scrolled: window ends `offset` above the tail, both indicators
+        mid = clip_to_viewport(frame, height=10, offset=5)
+        lines = mid.splitlines()
+        assert lines[-1].startswith("… 5 later line(s) …")
+        assert lines[-2] == "line24"
+        assert lines[0].startswith("…") and "earlier" in lines[0]
+        assert len(lines) <= 10
+        # offset clamps to the content: scrolled to the very top
+        top = clip_to_viewport(frame, height=10, offset=999)
+        assert top.splitlines()[0] == "line0"
+        # short content never scrolls or decorates
+        assert clip_to_viewport("a\nb", height=10, offset=3) == "a\nb"
+
+    def test_decode_keys_sequences(self):
+        from jivetalking_tpu.ui.live import _decode_keys
+
+        keys, rest = _decode_keys(
+            b"\x1b[A\x1b[B\x1b[5~\x1b[6~\x1b[H\x1b[Fqkj\x03")
+        assert keys == ["up", "down", "pgup", "pgdn", "home", "end",
+                        "q", "k", "j", "ctrl_c"]
+        assert rest == b""
+
+    def test_decode_keys_sgr_wheel_and_partial(self):
+        from jivetalking_tpu.ui.live import _decode_keys
+
+        keys, rest = _decode_keys(b"\x1b[<64;10;5M\x1b[<65;10;5M\x1b[<0;3;3M")
+        assert keys == ["wheel_up", "wheel_down"]
+        assert rest == b""
+        # a partial CSI stays buffered for the next read
+        keys, rest = _decode_keys(b"\x1b[<64;10")
+        assert keys == [] and rest == b"\x1b[<64;10"
+        keys, rest = _decode_keys(b"\x1b")
+        assert keys == [] and rest == b"\x1b"
