@@ -78,6 +78,7 @@ class LiveModel:
     glyph: str = ""              # fixed active-row glyph; "" = spinner
                                  # (the -a view's ∿ wave, analysis_model_test.go)
     scroll_offset: int = 0       # lines scrolled up from the tail (0 = follow)
+    title: str = ""              # app header line ("" = none; set by LiveUI)
 
     def __post_init__(self):
         for f in self.files:
@@ -182,6 +183,11 @@ def render_frame(model: LiveModel, tick: int) -> str:
     (ref: per-file association, statusboxes.go:269-396); the overall
     totals footer closes the frame when more than one file runs."""
     lines: list[str] = []
+    if model.title:
+        # the app header (ref: the gradient wordmark atop the Bubble Tea
+        # view, TestHeaderIsGradient / TestHeaderHasNoSubtitle)
+        lines.append(model.title)
+        lines.append("")
     spin = model.glyph or _SPINNER[tick % len(_SPINNER)]
 
     for f in model.files:
@@ -330,6 +336,9 @@ class LiveUI:
         self._thread: threading.Thread | None = None
         self._key_thread: threading.Thread | None = None
         self._on_quit = on_quit
+        from ..cli.styles import _want_color, render_title
+
+        self.model.title = render_title(_want_color(self._out)) + " 🕺"
 
     # --- pool event handlers (the message types) ---
     # Every handler routes by path and tolerates an unknown one: a message

@@ -1101,3 +1101,29 @@ class TestViewportScrollKeys:
         assert keys == [] and rest == b"\x1b[<64;10"
         keys, rest = _decode_keys(b"\x1b")
         assert keys == [] and rest == b"\x1b"
+
+
+class TestAppHeader:
+    """The gradient wordmark atop the live view (ref: TestHeaderIsGradient,
+    TestHeaderHasNoSubtitle, TestRenderTitleIsStable/DownsamplesNoColor)."""
+
+    def test_frame_leads_with_title(self):
+        model = LiveModel(files=["a.flac"])
+        model.title = "jivetalking-tpu 🕺"
+        lines = render_frame(model, tick=0).splitlines()
+        assert lines[0] == "jivetalking-tpu 🕺"
+        assert lines[1] == ""            # no subtitle
+        # untitled models render no header (pure view tests stay stable)
+        assert "🕺" not in render_frame(LiveModel(files=["a.flac"]), tick=0)
+
+    def test_live_ui_title_plain_on_non_tty(self):
+        ui = LiveUI(["a.flac"], out=io.StringIO())
+        assert ui.model.title == "jivetalking-tpu 🕺"   # no ANSI when piped
+
+    def test_title_gradient_and_stability(self):
+        from jivetalking_tpu.cli.styles import render_title
+
+        t1, t2 = render_title(True), render_title(True)
+        assert t1 == t2                                  # stable across calls
+        assert t1.count("\x1b[38;2;") == len("jivetalking-tpu")
+        assert render_title(False) == "jivetalking-tpu"  # downsampled plain
