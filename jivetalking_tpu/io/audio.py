@@ -1,9 +1,11 @@
 """Unified audio open/save facade (the `internal/audio` equivalent).
 
 The reference opens any container FFmpeg can demux (ref:
-internal/audio/reader.go:29-170); this rebuild supports the two formats the
-tool actually targets — FLAC in/out and WAV in — via the host-side codecs in
-this package.  Decoded audio is float32, shape (channels, n).
+internal/audio/reader.go:29-170); this rebuild covers the podcast-workflow
+containers — FLAC in/out, WAV/AIFF PCM in, and the two lossy source formats
+episodes actually arrive in (MP3 via the system libmpg123, Ogg Vorbis via
+libvorbisfile) — via the host-side codecs in this package.  Decoded audio
+is float32, shape (channels, n).
 """
 
 from __future__ import annotations
@@ -84,13 +86,41 @@ def open_audio_file(
             bit_depth=bits,
         )
         return samples, meta
+    if ext == ".mp3":
+        from . import mp3 as _mp3
+
+        samples, rate, bits = _mp3.read_mp3(path, raw_int16=raw_int16)
+        meta = AudioMetadata(
+            sample_rate=rate,
+            channels=samples.shape[0],
+            num_samples=samples.shape[1],
+            duration_secs=samples.shape[1] / rate,
+            format_name="mp3",
+            codec_name="mp3",
+            bit_depth=bits,  # 0: lossy, no container quantisation depth
+        )
+        return samples, meta
+    if ext in (".ogg", ".oga"):
+        from . import ogg as _ogg
+
+        samples, rate, bits = _ogg.read_ogg(path, raw_int16=raw_int16)
+        meta = AudioMetadata(
+            sample_rate=rate,
+            channels=samples.shape[0],
+            num_samples=samples.shape[1],
+            duration_secs=samples.shape[1] / rate,
+            format_name="ogg",
+            codec_name="vorbis",
+            bit_depth=bits,
+        )
+        return samples, meta
     # the reference demuxes anything FFmpeg opens (reader.go:29-170); this
     # rebuild covers the podcast-workflow containers — name the restriction
     # so the error is actionable (VERDICT r2 missing #4)
     raise ValueError(
         f"unsupported audio format: {path!r} "
-        "(supported: .wav, .flac, .aiff/.aif/.aifc — transcode other "
-        "containers to WAV or FLAC first)"
+        "(supported: .wav, .flac, .aiff/.aif/.aifc, .mp3, .ogg/.oga — "
+        "transcode other containers to WAV or FLAC first)"
     )
 
 

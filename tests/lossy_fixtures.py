@@ -1,0 +1,239 @@
+"""Test-only lossy-codec fixture encoders (libmp3lame / libvorbisenc via
+ctypes).  Product code never encodes lossy audio — the output contract is
+FLAC s16 (ref: internal/processor/encoder.go:54-99) — these exist so the
+MP3/OGG *read* paths can be exercised against known signals without
+shipping binary fixtures.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+
+def _try_load(*names):
+    for name in names:
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
+
+
+def lame_available() -> bool:
+    return _try_load("libmp3lame.so.0", "libmp3lame.so") is not None
+
+
+def encode_mp3(path: str, samples: np.ndarray, rate: int) -> None:
+    """Encode float32 (channels, n) -> CBR 128k MP3 with a LAME info tag
+    (the tag carries encoder delay/padding so gapless decoders recover the
+    exact sample count)."""
+    lib = _try_load("libmp3lame.so.0", "libmp3lame.so")
+    if lib is None:
+        raise RuntimeError("libmp3lame not found")
+    lib.lame_init.restype = ctypes.c_void_p
+    for fn in (
+        "lame_set_in_samplerate",
+        "lame_set_out_samplerate",
+        "lame_set_num_channels",
+        "lame_set_brate",
+        "lame_set_quality",
+        "lame_set_mode",
+        "lame_set_bWriteVbrTag",
+    ):
+        getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int]
+        getattr(lib, fn).restype = ctypes.c_int
+    lib.lame_init_params.argtypes = [ctypes.c_void_p]
+    lib.lame_init_params.restype = ctypes.c_int
+    lib.lame_encode_buffer.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_short),
+        ctypes.POINTER(ctypes.c_short),
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.lame_encode_buffer.restype = ctypes.c_int
+    lib.lame_encode_flush.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.lame_encode_flush.restype = ctypes.c_int
+    lib.lame_get_lametag_frame.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
+    lib.lame_get_lametag_frame.restype = ctypes.c_size_t
+    lib.lame_close.argtypes = [ctypes.c_void_p]
+
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    ch, n = x.shape
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+    left = np.ascontiguousarray(pcm[0])
+    right = np.ascontiguousarray(pcm[1] if ch > 1 else pcm[0])
+
+    gfp = lib.lame_init()
+    try:
+        lib.lame_set_in_samplerate(gfp, rate)
+        lib.lame_set_out_samplerate(gfp, rate)
+        lib.lame_set_num_channels(gfp, ch)
+        lib.lame_set_brate(gfp, 128)
+        lib.lame_set_quality(gfp, 2)
+        lib.lame_set_mode(gfp, 3 if ch == 1 else 1)  # MONO=3, JOINT=1
+        lib.lame_set_bWriteVbrTag(gfp, 1)
+        if lib.lame_init_params(gfp) < 0:
+            raise RuntimeError("lame_init_params failed")
+        outsz = int(1.25 * n) + 7200
+        out = ctypes.create_string_buffer(outsz)
+        wrote = lib.lame_encode_buffer(
+            gfp,
+            left.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            right.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            n,
+            out,
+            outsz,
+        )
+        if wrote < 0:
+            raise RuntimeError(f"lame_encode_buffer failed ({wrote})")
+        data = bytearray(out.raw[:wrote])
+        wrote = lib.lame_encode_flush(gfp, out, outsz)
+        if wrote < 0:
+            raise RuntimeError(f"lame_encode_flush failed ({wrote})")
+        data += out.raw[:wrote]
+        # the info tag is a placeholder frame at the stream head; rewrite
+        # it now that totals are known (this is what makes decode gapless)
+        tag = ctypes.create_string_buffer(7200)
+        tagsz = lib.lame_get_lametag_frame(gfp, tag, 7200)
+        if 0 < tagsz <= len(data):
+            data[:tagsz] = tag.raw[:tagsz]
+        with open(path, "wb") as f:
+            f.write(bytes(data))
+    finally:
+        lib.lame_close(gfp)
+
+
+# --- Ogg Vorbis fixture encoder -------------------------------------------
+
+_OPAQUE = 8192  # generous over-allocation for opaque libvorbis/libogg structs
+
+
+class _OggPacket(ctypes.Structure):
+    _fields_ = [
+        ("packet", ctypes.c_void_p),
+        ("bytes", ctypes.c_long),
+        ("b_o_s", ctypes.c_long),
+        ("e_o_s", ctypes.c_long),
+        ("granulepos", ctypes.c_int64),
+        ("packetno", ctypes.c_int64),
+    ]
+
+
+class _OggPage(ctypes.Structure):
+    _fields_ = [
+        ("header", ctypes.c_void_p),
+        ("header_len", ctypes.c_long),
+        ("body", ctypes.c_void_p),
+        ("body_len", ctypes.c_long),
+    ]
+
+
+def vorbis_available() -> bool:
+    return (
+        _try_load("libvorbisenc.so.2", "libvorbisenc.so") is not None
+        and _try_load("libvorbis.so.0", "libvorbis.so") is not None
+        and _try_load("libogg.so.0", "libogg.so") is not None
+    )
+
+
+def encode_ogg(path: str, samples: np.ndarray, rate: int, q: float = 0.6) -> None:
+    """Encode float32 (channels, n) -> Ogg Vorbis VBR at quality `q`."""
+    ogg = _try_load("libogg.so.0", "libogg.so")
+    vor = _try_load("libvorbis.so.0", "libvorbis.so")
+    enc = _try_load("libvorbisenc.so.2", "libvorbisenc.so")
+    if not (ogg and vor and enc):
+        raise RuntimeError("libvorbis/libogg not found")
+
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    ch, n = x.shape
+
+    vi = ctypes.create_string_buffer(_OPAQUE)
+    vc = ctypes.create_string_buffer(_OPAQUE)
+    vd = ctypes.create_string_buffer(_OPAQUE)
+    vb = ctypes.create_string_buffer(_OPAQUE)
+    os_ = ctypes.create_string_buffer(_OPAQUE)
+
+    vor.vorbis_info_init(vi)
+    enc.vorbis_encode_init_vbr.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_float,
+    ]
+    if enc.vorbis_encode_init_vbr(vi, ch, rate, ctypes.c_float(q)) != 0:
+        raise RuntimeError("vorbis_encode_init_vbr failed")
+    vor.vorbis_comment_init(vc)
+    vor.vorbis_analysis_init(vd, vi)
+    vor.vorbis_block_init(vd, vb)
+    ogg.ogg_stream_init(os_, 1)
+
+    vor.vorbis_analysis_buffer.restype = ctypes.POINTER(
+        ctypes.POINTER(ctypes.c_float)
+    )
+    vor.vorbis_analysis_buffer.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+    h1, h2, h3 = _OggPacket(), _OggPacket(), _OggPacket()
+    vor.vorbis_analysis_headerout(
+        vd, vc, ctypes.byref(h1), ctypes.byref(h2), ctypes.byref(h3)
+    )
+    page = _OggPage()
+
+    with open(path, "wb") as f:
+
+        def _write_page() -> None:
+            f.write(ctypes.string_at(page.header, page.header_len))
+            f.write(ctypes.string_at(page.body, page.body_len))
+
+        for hp in (h1, h2, h3):
+            ogg.ogg_stream_packetin(os_, ctypes.byref(hp))
+        while ogg.ogg_stream_flush(os_, ctypes.byref(page)) != 0:
+            _write_page()
+
+        op = _OggPacket()
+        pos = 0
+        block = 4096
+        eos_written = False
+        while not eos_written:
+            take = min(block, n - pos)
+            if take > 0:
+                bufs = vor.vorbis_analysis_buffer(vd, take)
+                for c in range(ch):
+                    ctypes.memmove(
+                        bufs[c],
+                        np.ascontiguousarray(x[c, pos : pos + take]).ctypes.data,
+                        take * 4,
+                    )
+                pos += take
+            vor.vorbis_analysis_wrote(vd, take)
+            while vor.vorbis_analysis_blockout(vd, vb) == 1:
+                vor.vorbis_analysis(vb, None)
+                vor.vorbis_bitrate_addblock(vb)
+                while vor.vorbis_bitrate_flushpacket(vd, ctypes.byref(op)) == 1:
+                    ogg.ogg_stream_packetin(os_, ctypes.byref(op))
+                    while ogg.ogg_stream_pageout(os_, ctypes.byref(page)) != 0:
+                        _write_page()
+                        if ogg.ogg_page_eos(ctypes.byref(page)):
+                            eos_written = True
+            if take == 0 and not eos_written:
+                # analysis drained without an EOS page: flush remainder
+                while ogg.ogg_stream_flush(os_, ctypes.byref(page)) != 0:
+                    _write_page()
+                eos_written = True
+
+    ogg.ogg_stream_clear(os_)
+    vor.vorbis_block_clear(vb)
+    vor.vorbis_dsp_clear(vd)
+    vor.vorbis_comment_clear(vc)
+    vor.vorbis_info_clear(vi)

@@ -144,7 +144,7 @@ class TestAiff:
     def test_unsupported_format_names_restriction(self, tmp_path):
         from jivetalking_tpu.io.audio import open_audio_file
 
-        p = str(tmp_path / "x.mp3")
-        open(p, "wb").write(b"ID3\x00")
+        p = str(tmp_path / "x.m4a")
+        open(p, "wb").write(b"\x00\x00\x00\x20ftypM4A ")
         with pytest.raises(ValueError, match="transcode"):
             open_audio_file(p)

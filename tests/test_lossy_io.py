@@ -1,0 +1,167 @@
+"""MP3 (libmpg123) and Ogg Vorbis (libvorbisfile) read paths.
+
+The reference opens anything FFmpeg demuxes (ref: internal/audio/
+reader.go:29-170); these pin the rebuild's lossy-source coverage.
+Fixtures are synthesised in-process through the system encoders
+(tests/lossy_fixtures.py) so no binary blobs live in the repo — the
+same strategy as the reference's generateTestAudio WAVs (ref:
+internal/processor/testutil_test.go:11-135).
+"""
+
+import numpy as np
+import pytest
+
+from lossy_fixtures import (
+    encode_mp3,
+    encode_ogg,
+    lame_available,
+    vorbis_available,
+)
+
+RATE = 44100
+
+
+def _sine(secs: float = 2.0, freq: float = 440.0, rate: int = RATE) -> np.ndarray:
+    t = np.arange(int(rate * secs)) / rate
+    return (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+needs_lame = pytest.mark.skipif(not lame_available(), reason="libmp3lame absent")
+needs_vorbis = pytest.mark.skipif(
+    not vorbis_available(), reason="libvorbis absent"
+)
+
+
+@needs_lame
+class TestMp3Read:
+    def test_gapless_roundtrip_mono(self, tmp_path):
+        from jivetalking_tpu.io.mp3 import read_mp3
+
+        x = _sine()
+        p = str(tmp_path / "a.mp3")
+        encode_mp3(p, x, RATE)
+        s, rate, bits = read_mp3(p)
+        assert rate == RATE and bits == 0
+        assert s.shape == (1, x.shape[0])  # LAME tag makes decode gapless
+        assert s.dtype == np.float32
+        # 128k CBR on a pure sine is near-transparent
+        assert np.corrcoef(s[0], x)[0, 1] > 0.999
+        assert abs(float(np.abs(s).max()) - 0.5) < 0.1
+
+    def test_stereo_shape(self, tmp_path):
+        from jivetalking_tpu.io.mp3 import read_mp3
+
+        x = _sine()
+        p = str(tmp_path / "st.mp3")
+        encode_mp3(p, np.stack([x, -x]), 48000)
+        s, rate, _ = read_mp3(p)
+        assert rate == 48000
+        assert s.shape[0] == 2
+
+    def test_raw_int16_path(self, tmp_path):
+        from jivetalking_tpu.io.mp3 import read_mp3
+
+        p = str(tmp_path / "a.mp3")
+        encode_mp3(p, _sine(), RATE)
+        s, _, _ = read_mp3(p, raw_int16=True)
+        assert s.dtype == np.int16
+        assert 14000 < int(np.abs(s).max()) < 18000  # ~0.5 fs
+
+    def test_open_audio_file_dispatch(self, tmp_path):
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        p = str(tmp_path / "a.mp3")
+        encode_mp3(p, _sine(), RATE)
+        s, meta = open_audio_file(p)
+        assert meta.format_name == "mp3" and meta.codec_name == "mp3"
+        # lossy: no container quantisation depth -> the <=16-bit noise
+        # floor display clamp downstream must stay off
+        assert meta.bit_depth == 0
+        assert meta.sample_rate == RATE
+        assert meta.num_samples == s.shape[1]
+
+    def test_garbage_raises(self, tmp_path):
+        from jivetalking_tpu.io.mp3 import read_mp3
+
+        p = str(tmp_path / "junk.mp3")
+        open(p, "wb").write(b"ID3\x00\x00\x00 not audio")
+        with pytest.raises((ValueError, RuntimeError)):
+            read_mp3(p)
+
+    def test_missing_file_raises(self):
+        from jivetalking_tpu.io.mp3 import read_mp3
+
+        with pytest.raises(FileNotFoundError):
+            read_mp3("/nonexistent/x.mp3")
+
+
+@needs_vorbis
+class TestOggRead:
+    def test_exact_roundtrip_mono(self, tmp_path):
+        from jivetalking_tpu.io.ogg import read_ogg
+
+        x = _sine()
+        p = str(tmp_path / "a.ogg")
+        encode_ogg(p, x, RATE)
+        s, rate, bits = read_ogg(p)
+        assert rate == RATE and bits == 0
+        assert s.shape == (1, x.shape[0])  # granulepos gives exact length
+        assert np.corrcoef(s[0], x)[0, 1] > 0.999
+        assert abs(float(np.abs(s).max()) - 0.5) < 0.1
+
+    def test_stereo_shape(self, tmp_path):
+        from jivetalking_tpu.io.ogg import read_ogg
+
+        x = _sine()
+        p = str(tmp_path / "st.ogg")
+        encode_ogg(p, np.stack([x, -x]), 48000)
+        s, rate, _ = read_ogg(p)
+        assert rate == 48000
+        assert s.shape[0] == 2
+        assert np.corrcoef(s[0], -s[1])[0, 1] > 0.999
+
+    def test_open_audio_file_dispatch(self, tmp_path):
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        p = str(tmp_path / "a.oga")
+        encode_ogg(p, _sine(), RATE)
+        s, meta = open_audio_file(p)
+        assert meta.format_name == "ogg" and meta.codec_name == "vorbis"
+        assert meta.bit_depth == 0
+        assert meta.num_samples == s.shape[1]
+
+    def test_garbage_raises(self, tmp_path):
+        from jivetalking_tpu.io.ogg import read_ogg
+
+        p = str(tmp_path / "junk.ogg")
+        open(p, "wb").write(b"OggS\x00 not a stream")
+        with pytest.raises(ValueError):
+            read_ogg(p)
+
+
+@needs_lame
+def test_mp3_masters_end_to_end(tmp_path):
+    """An MP3 source runs the full product path: open -> downmix -> the
+    unfused per-op master (the unit-tested reference path) -> FLAC out."""
+    from jivetalking_tpu.io.audio import downmix_mono, open_audio_file
+    from jivetalking_tpu.pipeline.process import process_audio
+
+    rng = np.random.default_rng(7)
+    x = 0.25 * np.sin(2 * np.pi * 220 * np.arange(RATE * 4) / RATE).astype(
+        np.float32
+    ) + 0.01 * rng.standard_normal(RATE * 4).astype(np.float32)
+    src = str(tmp_path / "ep.mp3")
+    encode_mp3(src, x.astype(np.float32), RATE)
+
+    samples, meta = open_audio_file(src)
+    mono = downmix_mono(samples)
+    res = process_audio(mono, meta.sample_rate, fused=False)
+    out = np.asarray(res.output_audio)
+    assert out.ndim == 1 and out.size > 0
+    assert np.isfinite(out).all()
+    assert res.output_rate == 44100
+    # the -16 LUFS +/- 0.5 LU contract holds for lossy sources too
+    assert (
+        abs(res.final.loudness.integrated_lufs - res.normalisation.effective_target_i)
+        <= 0.5
+    )
