@@ -63,6 +63,36 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+    # backend watchdog: when the axon tunnel is down, backend init hangs
+    # 25-55 min inside jax.devices() (observed 2026-08-17).  Probe it from a
+    # daemon thread and emit an explicit failure line instead of hanging the
+    # harness — a flagged outage is a recordable result, a hang is not.
+    import threading
+
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_SECS", "900"))
+    ready = threading.Event()
+
+    def _probe() -> None:
+        import jax.numpy as jnp
+
+        float(jnp.ones(8).sum())
+        ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(init_timeout):
+        print(
+            json.dumps(
+                {
+                    "metric": "process_audio_realtime_factor_BACKEND_UNAVAILABLE",
+                    "value": 0.0,
+                    "unit": "x_realtime (TPU backend init timed out; no measurement)",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)  # the hung init thread would block a normal exit
+
     from jivetalking_tpu.pipeline import process_audio
 
     x = make_fixture(duration, sr)
