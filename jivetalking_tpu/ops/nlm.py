@@ -19,6 +19,7 @@ the classic NLM form; the weighted average runs over the same batched axis.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,15 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
 # -> 1862 ms, traced 2026-08-17) — do NOT enlarge without a trace.
 _NLM_BLOCK = 524288
 
+# Opt-in symmetric-distance formulation (JT_NLM_SYMMETRIC=1): computes the
+# patch-distance field for non-negative offsets only and recovers the
+# negative rows from D(t, -d) = D(t-d, +d) — halving the diff^2 traffic and
+# the banded-matmul MXU passes (the NLM block scan's dominant terms).
+# Default OFF until traced on device: it changes the stage-A program (cold
+# compile) and the negative rows' box sums re-frame, so f32 accumulation
+# order differs microscopically from the direct form.
+_NLM_SYMMETRIC = os.environ.get("JT_NLM_SYMMETRIC", "0") == "1"
+
 
 def _nlm_core(
     x: jnp.ndarray,
@@ -105,7 +115,7 @@ def _nlm_core(
     O(n_offsets * log n)."""
     n = int(x.shape[0])
     P, R = patch_radius, research_radius
-    halo = P + R
+    halo = (P + 2 * R) if _NLM_SYMMETRIC else (P + R)
     # callers that vmap this over a file batch pass a smaller block so the
     # (batch, n_offsets, block) intermediates stay within HBM
     block = block or _NLM_BLOCK
@@ -116,19 +126,46 @@ def _nlm_core(
     w_box = 2 * P + 1
     offs = np.arange(-R, R + 1)
 
-    def body(_, i):
-        s = i * block
-        win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+    def _distance_field_direct(win):
+        """(n_offs, block) patch distances, one diff^2 + box-sum row per
+        research offset."""
         centre = win[R : R + width]                       # [s-P, s+block+P)
         shifted = jnp.stack([win[R + d : R + d + width] for d in offs])
         diff2 = (centre[None, :] - shifted) ** 2
-        dist = _sliding_sum_matmul(diff2, w_box)          # (n_offs, block)
+        return _sliding_sum_matmul(diff2, w_box), shifted[:, P : P + block]
+
+    def _distance_field_symmetric(win):
+        """Same field from non-negative offsets only: D(t, -d) = D(t-d, +d),
+        so the negative rows are shifted reads of the positive rows.  Halves
+        the diff^2 traffic and the banded-matmul MXU passes; needs the
+        positive rows over the widened range [s-R, s+block+R)."""
+        ext = block + 2 * R + 2 * P                       # [s-R-P, s+block+R+P)
+        centre = win[R : R + ext]
+        shifted_pos = jnp.stack([win[R + d : R + d + ext] for d in range(R + 1)])
+        diff2 = (centre[None, :] - shifted_pos) ** 2
+        dist_pos = _sliding_sum_matmul(diff2, w_box)      # (R+1, block + 2R)
+        rows = [
+            dist_pos[d, R : R + block]
+            if d >= 0
+            else dist_pos[-d, R + d : R + d + block]
+            for d in offs
+        ]
+        mid = jnp.stack([win[halo + d : halo + d + block] for d in offs])
+        return jnp.stack(rows), mid
+
+    def body(_, i):
+        s = i * block
+        win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+        dist, mid = (
+            _distance_field_symmetric(win)
+            if _NLM_SYMMETRIC
+            else _distance_field_direct(win)
+        )
         t_global = s + jnp.arange(block)
         valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
             (t_global[None, :] + offs[:, None]) < n
         )
         w = jnp.exp(-dist / h2) * valid
-        mid = shifted[:, P : P + block]
         y = jnp.sum(w * mid, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-12)
         return None, y
 

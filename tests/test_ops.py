@@ -341,3 +341,48 @@ class TestMatmulPrecision:
             / float(np.sqrt(np.mean(y_ref**2)))
         )
         assert drift_db < -40.0, drift_db
+
+
+class TestNlmSymmetricParity:
+    """The opt-in symmetric-distance NLM (JT_NLM_SYMMETRIC) must reproduce
+    the direct formulation: D(t, -d) = D(t-d, +d) is an identity of the
+    padded signal, so only box-sum accumulation order may differ."""
+
+    def test_matches_direct_across_blocks(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.ops import nlm as nlm_mod
+
+        rng = np.random.default_rng(5)
+        sr = 44100
+        n = 4096
+        x = (sine(300, -18.0, n / sr) + 0.02 * rng.standard_normal(n)).astype(
+            np.float32
+        )
+        P = max(1, int(round(0.0060 * sr / 2.0)))
+        R = max(1, int(round(0.0020 * sr / 2.0)))
+        h2 = jnp.float32((0.00001 * 10000.0) ** 2 / 3.0)
+
+        # small block forces multiple scan iterations: block seams exercise
+        # the widened halo and the negative rows' reframed reads
+        monkeypatch.setattr(nlm_mod, "_NLM_SYMMETRIC", False)
+        y_direct = np.asarray(nlm_mod._nlm_core(jnp.asarray(x), h2, P, R, block=1024))
+        monkeypatch.setattr(nlm_mod, "_NLM_SYMMETRIC", True)
+        y_sym = np.asarray(nlm_mod._nlm_core(jnp.asarray(x), h2, P, R, block=1024))
+
+        assert y_sym.shape == y_direct.shape
+        np.testing.assert_allclose(y_sym, y_direct, atol=2e-5, rtol=0)
+
+    def test_single_block_short_signal(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.ops import nlm as nlm_mod
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(700).astype(np.float32) * 0.1
+        h2 = jnp.float32(1.0)
+        monkeypatch.setattr(nlm_mod, "_NLM_SYMMETRIC", False)
+        a = np.asarray(nlm_mod._nlm_core(jnp.asarray(x), h2, 8, 5, block=1024))
+        monkeypatch.setattr(nlm_mod, "_NLM_SYMMETRIC", True)
+        b = np.asarray(nlm_mod._nlm_core(jnp.asarray(x), h2, 8, 5, block=1024))
+        np.testing.assert_allclose(b, a, atol=2e-5, rtol=0)
