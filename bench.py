@@ -70,28 +70,39 @@ def main() -> None:
     import threading
 
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_SECS", "900"))
-    ready = threading.Event()
+    done = threading.Event()
+    probe_err: list[BaseException] = []
 
     def _probe() -> None:
-        import jax.numpy as jnp
+        try:
+            import jax.numpy as jnp
 
-        float(jnp.ones(8).sum())
-        ready.set()
+            float(jnp.ones(8).sum())
+        except BaseException as exc:  # a fast init error is also an outage
+            probe_err.append(exc)
+        finally:
+            done.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    if not ready.wait(init_timeout):
+    timed_out = not done.wait(init_timeout)
+    if timed_out or probe_err:
+        why = (
+            "TPU backend init timed out"
+            if timed_out
+            else f"TPU backend init failed: {probe_err[0]!r:.200}"
+        )
         print(
             json.dumps(
                 {
                     "metric": "process_audio_realtime_factor_BACKEND_UNAVAILABLE",
                     "value": 0.0,
-                    "unit": "x_realtime (TPU backend init timed out; no measurement)",
+                    "unit": f"x_realtime ({why}; no measurement)",
                     "vs_baseline": 0.0,
                 }
             ),
             flush=True,
         )
-        os._exit(2)  # the hung init thread would block a normal exit
+        os._exit(2)  # a hung init thread would block a normal exit
 
     from jivetalking_tpu.pipeline import process_audio
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 
 import numpy as np
 
@@ -38,39 +39,49 @@ class _VorbisInfo(ctypes.Structure):
 
 
 _lib = None
+_load_lock = threading.Lock()
 
 
 def _load() -> ctypes.CDLL:
+    # the global is published only AFTER prototypes are set (the CLI pool
+    # opens files from worker threads; a half-initialised library would
+    # hand a second thread a c_int-truncated _VorbisInfo pointer)
     global _lib
     if _lib is not None:
         return _lib
-    for name in ("libvorbisfile.so.3", "libvorbisfile.so", "vorbisfile"):
-        try:
-            _lib = ctypes.CDLL(name)
-            break
-        except OSError:
-            continue
-    else:  # pragma: no cover - depends on system
-        raise RuntimeError(
-            "libvorbisfile not found - Ogg Vorbis decode unavailable on this host"
-        )
-    lib = _lib
-    lib.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
-    lib.ov_fopen.restype = ctypes.c_int
-    lib.ov_clear.argtypes = [ctypes.c_void_p]
-    lib.ov_clear.restype = ctypes.c_int
-    lib.ov_info.argtypes = [ctypes.c_void_p, ctypes.c_int]
-    lib.ov_info.restype = ctypes.POINTER(_VorbisInfo)
-    lib.ov_pcm_total.argtypes = [ctypes.c_void_p, ctypes.c_int]
-    lib.ov_pcm_total.restype = ctypes.c_int64
-    lib.ov_read_float.argtypes = [
-        ctypes.c_void_p,
-        ctypes.POINTER(ctypes.POINTER(ctypes.POINTER(ctypes.c_float))),
-        ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.ov_read_float.restype = ctypes.c_long
-    return lib
+    with _load_lock:
+        if _lib is not None:
+            return _lib
+        lib = None
+        for name in ("libvorbisfile.so.3", "libvorbisfile.so", "vorbisfile"):
+            try:
+                lib = ctypes.CDLL(name)
+                break
+            except OSError:
+                continue
+        if lib is None:  # pragma: no cover - depends on system
+            raise RuntimeError(
+                "libvorbisfile not found - Ogg Vorbis decode unavailable on this host"
+            )
+        lib.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.ov_fopen.restype = ctypes.c_int
+        lib.ov_clear.argtypes = [ctypes.c_void_p]
+        lib.ov_clear.restype = ctypes.c_int
+        lib.ov_info.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ov_info.restype = ctypes.POINTER(_VorbisInfo)
+        lib.ov_streams.argtypes = [ctypes.c_void_p]
+        lib.ov_streams.restype = ctypes.c_long
+        lib.ov_pcm_total.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ov_pcm_total.restype = ctypes.c_int64
+        lib.ov_read_float.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.POINTER(ctypes.c_float))),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ov_read_float.restype = ctypes.c_long
+        _lib = lib
+        return lib
 
 
 def is_available() -> bool:
@@ -86,9 +97,11 @@ def read_ogg(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]:
 
     bit_depth is 0: lossy sources carry no container quantisation depth,
     so the 16-bit noise-floor display clamp downstream stays off.
-    `raw_int16` is accepted for reader-signature parity but ignored —
-    Vorbis decodes to float natively and quantising to s16 here would
-    only lose precision.
+    `raw_int16` is accepted for reader-signature parity but ignored: the
+    flag's contract is "keep 16-bit PCM STREAMS as int16" (a lossless
+    transport saving) — Vorbis is not a 16-bit PCM stream, its decode is
+    float-native, and quantising here would saturate codec overshoot the
+    input true-peak measurement must see (same contract as read_mp3).
     """
     if not os.path.exists(path):
         raise FileNotFoundError(path)
@@ -98,6 +111,16 @@ def read_ogg(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]:
     if rc != 0:
         raise ValueError(f"not a decodable Ogg Vorbis stream: {path!r} (ov_fopen {rc})")
     try:
+        # chained Ogg (concatenated logical streams) may change channel
+        # count/rate across links, which would make the fixed (ch, n)
+        # layout below read wild channel pointers — reject it up front,
+        # like the MP3 reader's locked format table
+        n_streams = int(lib.ov_streams(vf))
+        if n_streams != 1:
+            raise ValueError(
+                f"chained Ogg with {n_streams} logical streams is not "
+                f"supported: {path!r} (re-encode as a single stream)"
+            )
         info = lib.ov_info(vf, -1)
         if not info:
             raise ValueError(f"ov_info failed for {path!r}")
@@ -126,7 +149,8 @@ def read_ogg(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]:
         samples = np.concatenate(chunks, axis=1)
         if 0 < total < samples.shape[1]:
             samples = samples[:, :total]
-        samples = np.clip(samples, -1.0, 1.0)
+        # no clipping: codec overshoot above full scale is real signal
+        # the input true-peak measurement must see
         return np.ascontiguousarray(samples), rate, 0
     finally:
         lib.ov_clear(vf)

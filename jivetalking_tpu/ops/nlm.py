@@ -126,14 +126,6 @@ def _nlm_core(
     w_box = 2 * P + 1
     offs = np.arange(-R, R + 1)
 
-    def _distance_field_direct(win):
-        """(n_offs, block) patch distances, one diff^2 + box-sum row per
-        research offset."""
-        centre = win[R : R + width]                       # [s-P, s+block+P)
-        shifted = jnp.stack([win[R + d : R + d + width] for d in offs])
-        diff2 = (centre[None, :] - shifted) ** 2
-        return _sliding_sum_matmul(diff2, w_box), shifted[:, P : P + block]
-
     def _distance_field_symmetric(win):
         """Same field from non-negative offsets only: D(t, -d) = D(t-d, +d),
         so the negative rows are shifted reads of the positive rows.  Halves
@@ -156,16 +148,25 @@ def _nlm_core(
     def body(_, i):
         s = i * block
         win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
-        dist, mid = (
-            _distance_field_symmetric(win)
-            if _NLM_SYMMETRIC
-            else _distance_field_direct(win)
-        )
+        if _NLM_SYMMETRIC:
+            dist, mid = _distance_field_symmetric(win)
+        else:
+            # primitive-emission order here matches the pre-flag body
+            # exactly (mid sliced AFTER the weights) so the flag-off jaxpr
+            # — and with it the persistent-compile-cache key of every
+            # master program that inlines this — is byte-identical
+            centre = win[R : R + width]                   # [s-P, s+block+P)
+            shifted = jnp.stack([win[R + d : R + d + width] for d in offs])
+            diff2 = (centre[None, :] - shifted) ** 2
+            dist = _sliding_sum_matmul(diff2, w_box)      # (n_offs, block)
+            mid = None
         t_global = s + jnp.arange(block)
         valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
             (t_global[None, :] + offs[:, None]) < n
         )
         w = jnp.exp(-dist / h2) * valid
+        if mid is None:
+            mid = shifted[:, P : P + block]
         y = jnp.sum(w * mid, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-12)
         return None, y
 

@@ -146,8 +146,12 @@ def vorbis_available() -> bool:
     )
 
 
-def encode_ogg(path: str, samples: np.ndarray, rate: int, q: float = 0.6) -> None:
-    """Encode float32 (channels, n) -> Ogg Vorbis VBR at quality `q`."""
+def encode_ogg(
+    path: str, samples: np.ndarray, rate: int, q: float = 0.6, serial: int = 1
+) -> None:
+    """Encode float32 (channels, n) -> Ogg Vorbis VBR at quality `q`.
+    Chained-file fixtures need distinct `serial` numbers per link (the
+    Ogg spec requires it; same-serial concatenation is not a valid chain)."""
     ogg = _try_load("libogg.so.0", "libogg.so")
     vor = _try_load("libvorbis.so.0", "libvorbis.so")
     enc = _try_load("libvorbisenc.so.2", "libvorbisenc.so")
@@ -177,7 +181,7 @@ def encode_ogg(path: str, samples: np.ndarray, rate: int, q: float = 0.6) -> Non
     vor.vorbis_comment_init(vc)
     vor.vorbis_analysis_init(vd, vi)
     vor.vorbis_block_init(vd, vb)
-    ogg.ogg_stream_init(os_, 1)
+    ogg.ogg_stream_init(os_, int(serial))
 
     vor.vorbis_analysis_buffer.restype = ctypes.POINTER(
         ctypes.POINTER(ctypes.c_float)

@@ -58,14 +58,17 @@ class TestMp3Read:
         assert rate == 48000
         assert s.shape[0] == 2
 
-    def test_raw_int16_path(self, tmp_path):
+    def test_raw_int16_ignored_stays_float(self, tmp_path):
+        # raw_int16's contract is "keep 16-bit PCM STREAMS as int16"; a
+        # lossy decode is float-native and must not be quantised (that
+        # would saturate codec overshoot the input TP measurement needs)
         from jivetalking_tpu.io.mp3 import read_mp3
 
         p = str(tmp_path / "a.mp3")
         encode_mp3(p, _sine(), RATE)
         s, _, _ = read_mp3(p, raw_int16=True)
-        assert s.dtype == np.int16
-        assert 14000 < int(np.abs(s).max()) < 18000  # ~0.5 fs
+        assert s.dtype == np.float32
+        assert abs(float(np.abs(s).max()) - 0.5) < 0.1
 
     def test_open_audio_file_dispatch(self, tmp_path):
         from jivetalking_tpu.io.audio import open_audio_file
@@ -138,6 +141,42 @@ class TestOggRead:
         with pytest.raises(ValueError):
             read_ogg(p)
 
+    def test_chained_stream_rejected(self, tmp_path):
+        # `cat a.ogg b.ogg` is a valid chained Ogg whose links may change
+        # channel layout mid-file; the reader rejects it by name instead
+        # of reading wild channel pointers
+        from jivetalking_tpu.io.ogg import read_ogg
+
+        a = str(tmp_path / "a.ogg")
+        b = str(tmp_path / "b.ogg")
+        encode_ogg(a, _sine(1.0), RATE, serial=1)
+        x = _sine(1.0)
+        encode_ogg(b, np.stack([x, -x]), RATE, serial=2)
+        chained = str(tmp_path / "chained.ogg")
+        with open(chained, "wb") as f:
+            f.write(open(a, "rb").read())
+            f.write(open(b, "rb").read())
+        with pytest.raises(ValueError, match="chained"):
+            read_ogg(chained)
+
+
+def _speechlike(dbfs: float, secs: float, seed: int = 3) -> np.ndarray:
+    """Note-hopping stand-in for speech (a pure sine is a degenerate VAD
+    fixture — zero flux reads as room tone; see tests/test_analysis.py)."""
+    rng = np.random.default_rng(seed)
+    n_notes = int(secs / 0.25)
+    freqs = rng.choice([400.0, 700.0, 1100.0, 1600.0, 2200.0], size=n_notes)
+    levels = dbfs + rng.uniform(-3.0, 1.0, size=n_notes)
+    note_len = int(0.25 * RATE)
+    t = np.arange(note_len) / RATE
+    out = np.concatenate(
+        [
+            (10.0 ** (lv / 20.0)) * np.sin(2 * np.pi * f * t)
+            for f, lv in zip(freqs, levels)
+        ]
+    )
+    return out[: int(secs * RATE)].astype(np.float32)
+
 
 @needs_lame
 def test_mp3_masters_end_to_end(tmp_path):
@@ -147,9 +186,9 @@ def test_mp3_masters_end_to_end(tmp_path):
     from jivetalking_tpu.pipeline.process import process_audio
 
     rng = np.random.default_rng(7)
-    x = 0.25 * np.sin(2 * np.pi * 220 * np.arange(RATE * 4) / RATE).astype(
+    x = _speechlike(-22.0, 4.0) + 0.002 * rng.standard_normal(RATE * 4).astype(
         np.float32
-    ) + 0.01 * rng.standard_normal(RATE * 4).astype(np.float32)
+    )
     src = str(tmp_path / "ep.mp3")
     encode_mp3(src, x.astype(np.float32), RATE)
 
