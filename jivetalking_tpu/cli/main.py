@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(pass-boundary resume for batch runs)")
     p.add_argument("--profile", metavar="DIR", default="",
                    help="write a jax.profiler trace of the run to DIR")
-    p.add_argument("files", nargs="*", help="audio files (.wav / .flac / .aiff / .mp3 / .ogg)")
+    p.add_argument("files", nargs="*", help="audio files (.wav / .flac / .aiff / .mp3 / .ogg / .opus)")
     return p
 
 

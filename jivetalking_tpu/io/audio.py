@@ -100,17 +100,33 @@ def open_audio_file(
             bit_depth=bits,  # 0: lossy, no container quantisation depth
         )
         return samples, meta
-    if ext in (".ogg", ".oga"):
-        from . import ogg as _ogg
+    if ext in (".ogg", ".oga", ".opus"):
+        codec = "opus" if ext == ".opus" else "vorbis"
+        if codec == "vorbis":
+            from . import ogg as _ogg
 
-        samples, rate, bits = _ogg.read_ogg(path, raw_int16=raw_int16)
+            try:
+                samples, rate, bits = _ogg.read_ogg(path, raw_int16=raw_int16)
+            except ValueError as vorbis_err:
+                # .ogg sometimes carries Opus; try that before failing
+                from . import opus as _opus
+
+                try:
+                    samples, rate, bits = _opus.read_opus(path, raw_int16=raw_int16)
+                    codec = "opus"
+                except ValueError:
+                    raise vorbis_err from None
+        else:
+            from . import opus as _opus
+
+            samples, rate, bits = _opus.read_opus(path, raw_int16=raw_int16)
         meta = AudioMetadata(
             sample_rate=rate,
             channels=samples.shape[0],
             num_samples=samples.shape[1],
             duration_secs=samples.shape[1] / rate,
             format_name="ogg",
-            codec_name="vorbis",
+            codec_name=codec,
             bit_depth=bits,
         )
         return samples, meta
@@ -119,7 +135,7 @@ def open_audio_file(
     # so the error is actionable (VERDICT r2 missing #4)
     raise ValueError(
         f"unsupported audio format: {path!r} "
-        "(supported: .wav, .flac, .aiff/.aif/.aifc, .mp3, .ogg/.oga — "
+        "(supported: .wav, .flac, .aiff/.aif/.aifc, .mp3, .ogg/.oga, .opus — "
         "transcode other containers to WAV or FLAC first)"
     )
 

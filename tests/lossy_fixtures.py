@@ -138,6 +138,135 @@ class _OggPage(ctypes.Structure):
     ]
 
 
+def opus_available() -> bool:
+    return (
+        _try_load("libopus.so.0", "libopus.so") is not None
+        and _try_load("libogg.so.0", "libogg.so") is not None
+    )
+
+
+def encode_opus(path: str, samples: np.ndarray, rate: int = 48000) -> None:
+    """Encode float32 (channels, n) 48 kHz -> Ogg Opus (20 ms frames).
+
+    Opus encodes at 48 kHz only; callers must resample first.  Writes
+    OpusHead (with the encoder's real pre-skip) + OpusTags + audio pages,
+    end-trim signalled by the final granulepos per RFC 7845.
+    """
+    if rate != 48000:
+        raise ValueError("encode_opus fixture takes 48 kHz input only")
+    ogg = _try_load("libogg.so.0", "libogg.so")
+    opus = _try_load("libopus.so.0", "libopus.so")
+    if not (ogg and opus):
+        raise RuntimeError("libopus/libogg not found")
+    opus.opus_encoder_create.argtypes = [
+        ctypes.c_int32,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    opus.opus_encoder_create.restype = ctypes.c_void_p
+    opus.opus_encoder_destroy.argtypes = [ctypes.c_void_p]
+    opus.opus_encode_float.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int32,
+    ]
+    opus.opus_encode_float.restype = ctypes.c_int32
+    opus.opus_encoder_ctl.restype = ctypes.c_int
+
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    ch, n = x.shape
+    frame = 960  # 20 ms @ 48 kHz
+    err = ctypes.c_int(0)
+    enc = opus.opus_encoder_create(48000, ch, 2049, ctypes.byref(err))  # AUDIO
+    if not enc or err.value != 0:
+        raise RuntimeError(f"opus_encoder_create failed ({err.value})")
+    try:
+        # OPUS_GET_LOOKAHEAD_REQUEST = 4027: the encoder's real priming.
+        # opus_encoder_ctl is variadic — the handle MUST be wrapped in
+        # c_void_p or ctypes passes it as a truncated 32-bit int
+        lookahead = ctypes.c_int32(0)
+        opus.opus_encoder_ctl(
+            ctypes.c_void_p(enc), ctypes.c_int(4027), ctypes.byref(lookahead)
+        )
+        pre_skip = int(lookahead.value)
+
+        head = (
+            b"OpusHead"
+            + bytes([1, ch])
+            + pre_skip.to_bytes(2, "little")
+            + (48000).to_bytes(4, "little")
+            + (0).to_bytes(2, "little")
+            + bytes([0])
+        )
+        vendor = b"jivetalking-test"
+        tags = b"OpusTags" + len(vendor).to_bytes(4, "little") + vendor + (0).to_bytes(4, "little")
+
+        os_ = ctypes.create_string_buffer(_OPAQUE)
+        ogg.ogg_stream_init(os_, 4711)
+        page = _OggPage()
+        # the encoder delays output by its lookahead (= pre_skip); encode
+        # enough padding frames that the delayed tail flushes, and let the
+        # final granulepos trim the decode back to exactly n
+        n_frames = -(-(n + pre_skip) // frame)
+        padded = np.zeros((ch, n_frames * frame), np.float32)
+        padded[:, :n] = x
+        inter = np.ascontiguousarray(padded.T.reshape(-1))
+        outbuf = ctypes.create_string_buffer(8192)
+
+        with open(path, "wb") as f:
+
+            def _write_page() -> None:
+                f.write(ctypes.string_at(page.header, page.header_len))
+                f.write(ctypes.string_at(page.body, page.body_len))
+
+            def _packetin(data: bytes, no: int, granule: int, eos: int) -> None:
+                op = _OggPacket()
+                buf = ctypes.create_string_buffer(data, len(data))
+                op.packet = ctypes.cast(buf, ctypes.c_void_p)
+                op.bytes = len(data)
+                op.b_o_s = 1 if no == 0 else 0
+                op.e_o_s = eos
+                op.granulepos = granule
+                op.packetno = no
+                ogg.ogg_stream_packetin(os_, ctypes.byref(op))
+
+            _packetin(head, 0, 0, 0)
+            while ogg.ogg_stream_flush(os_, ctypes.byref(page)) != 0:
+                _write_page()
+            _packetin(tags, 1, 0, 0)
+            while ogg.ogg_stream_flush(os_, ctypes.byref(page)) != 0:
+                _write_page()
+
+            for i in range(n_frames):
+                seg = inter[i * frame * ch : (i + 1) * frame * ch]
+                wrote = opus.opus_encode_float(
+                    enc,
+                    seg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    frame,
+                    outbuf,
+                    8192,
+                )
+                if wrote < 0:
+                    raise RuntimeError(f"opus_encode_float failed ({wrote})")
+                last = i == n_frames - 1
+                # final granulepos = pre_skip + real length: signals the
+                # end-trim of the zero-padded tail (RFC 7845 §4.5)
+                granule = pre_skip + (n if last else (i + 1) * frame)
+                _packetin(outbuf.raw[:wrote], 2 + i, granule, 1 if last else 0)
+                while ogg.ogg_stream_pageout(os_, ctypes.byref(page)) != 0:
+                    _write_page()
+            while ogg.ogg_stream_flush(os_, ctypes.byref(page)) != 0:
+                _write_page()
+        ogg.ogg_stream_clear(os_)
+    finally:
+        opus.opus_encoder_destroy(enc)
+
+
 def vorbis_available() -> bool:
     return (
         _try_load("libvorbisenc.so.2", "libvorbisenc.so") is not None

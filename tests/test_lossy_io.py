@@ -204,3 +204,85 @@ def test_mp3_masters_end_to_end(tmp_path):
         abs(res.final.loudness.integrated_lufs - res.normalisation.effective_target_i)
         <= 0.5
     )
+
+
+needs_opus = pytest.mark.skipif(
+    not __import__("lossy_fixtures").opus_available(), reason="libopus absent"
+)
+
+
+@needs_opus
+class TestOpusRead:
+    def test_exact_roundtrip_mono(self, tmp_path):
+        from lossy_fixtures import encode_opus
+
+        from jivetalking_tpu.io.opus import read_opus
+
+        x = _sine(2.0, rate=48000)
+        p = str(tmp_path / "a.opus")
+        encode_opus(p, x)
+        s, rate, bits = read_opus(p)
+        assert rate == 48000 and bits == 0
+        # pre-skip dropped, granulepos end-trim applied -> exact length
+        assert s.shape == (1, x.shape[0])
+        assert np.corrcoef(s[0], x)[0, 1] > 0.999
+        assert abs(float(np.abs(s).max()) - 0.5) < 0.1
+
+    def test_stereo_shape(self, tmp_path):
+        from lossy_fixtures import encode_opus
+
+        from jivetalking_tpu.io.opus import read_opus
+
+        x = _sine(1.0, rate=48000)
+        p = str(tmp_path / "st.opus")
+        encode_opus(p, np.stack([x, -x]))
+        s, rate, _ = read_opus(p)
+        assert rate == 48000 and s.shape[0] == 2
+        assert np.corrcoef(s[0], -s[1])[0, 1] > 0.999
+
+    def test_open_audio_file_dispatch(self, tmp_path):
+        from lossy_fixtures import encode_opus
+
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        p = str(tmp_path / "a.opus")
+        encode_opus(p, _sine(1.0, rate=48000))
+        s, meta = open_audio_file(p)
+        assert meta.format_name == "ogg" and meta.codec_name == "opus"
+        assert meta.sample_rate == 48000 and meta.bit_depth == 0
+        assert meta.num_samples == s.shape[1]
+
+    def test_ogg_extension_fallback(self, tmp_path):
+        # podcasts do ship Opus in .ogg; the dispatcher tries Vorbis then
+        # falls back to Opus
+        from lossy_fixtures import encode_opus
+
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        p = str(tmp_path / "op.ogg")
+        encode_opus(p, _sine(1.0, rate=48000))
+        s, meta = open_audio_file(p)
+        assert meta.codec_name == "opus"
+        assert s.shape[0] == 1
+
+    def test_chained_rejected(self, tmp_path):
+        from lossy_fixtures import encode_opus
+
+        from jivetalking_tpu.io.opus import read_opus
+
+        a = str(tmp_path / "a.opus")
+        encode_opus(a, _sine(0.5, rate=48000))
+        chained = str(tmp_path / "chained.opus")
+        with open(chained, "wb") as f:
+            f.write(open(a, "rb").read())
+            f.write(open(a, "rb").read())
+        with pytest.raises(ValueError, match="chained"):
+            read_opus(chained)
+
+    def test_garbage_raises(self, tmp_path):
+        from jivetalking_tpu.io.opus import read_opus
+
+        p = str(tmp_path / "junk.opus")
+        open(p, "wb").write(b"OggS junk that is not a stream")
+        with pytest.raises(ValueError):
+            read_opus(p)
