@@ -130,14 +130,29 @@ def open_audio_file(
             bit_depth=bits,
         )
         return samples, meta
-    # the reference demuxes anything FFmpeg opens (reader.go:29-170); this
-    # rebuild covers the podcast-workflow containers — name the restriction
-    # so the error is actionable (VERDICT r2 missing #4)
-    raise ValueError(
-        f"unsupported audio format: {path!r} "
-        "(supported: .wav, .flac, .aiff/.aif/.aifc, .mp3, .ogg/.oga, .opus — "
-        "transcode other containers to WAV or FLAC first)"
+    # anything else falls back to the generic reader (native/avio.cpp over
+    # the system FFmpeg libs) — the same "opens anything FFmpeg demuxes"
+    # surface as the reference (reader.go:29-170), container I/O only
+    from . import generic as _generic
+
+    try:
+        samples, rate, bits, codec = _generic.read_generic(path, raw_int16=raw_int16)
+    except ValueError as exc:
+        raise ValueError(
+            f"unsupported audio format: {path!r} "
+            "(dedicated readers: .wav, .flac, .aiff/.aif/.aifc, .mp3, "
+            f".ogg/.oga, .opus; the generic FFmpeg fallback said: {exc})"
+        ) from None
+    meta = AudioMetadata(
+        sample_rate=rate,
+        channels=samples.shape[0],
+        num_samples=samples.shape[1],
+        duration_secs=samples.shape[1] / rate,
+        format_name=ext.lstrip(".") or "unknown",
+        codec_name=codec,
+        bit_depth=bits,
     )
+    return samples, meta
 
 
 def save_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:

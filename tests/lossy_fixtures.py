@@ -370,3 +370,45 @@ def encode_ogg(
     vor.vorbis_dsp_clear(vd)
     vor.vorbis_comment_clear(vc)
     vor.vorbis_info_clear(vi)
+
+
+# --- m4a/AAC fixture encoder (via the package's own avio shim) -------------
+
+
+def m4a_available() -> bool:
+    try:
+        from jivetalking_tpu.io import generic
+
+        return generic.is_available()
+    except Exception:
+        return False
+
+
+def encode_m4a(path: str, samples: np.ndarray, rate: int) -> None:
+    """Encode float32 (channels, n) -> m4a/AAC through the test-support
+    export of the package's FFmpeg shim (native AAC encoder, mp4 mux)."""
+    from jivetalking_tpu.io import generic
+
+    lib = generic._load()
+    lib.jt_av_encode_test_m4a.restype = ctypes.c_int
+    lib.jt_av_encode_test_m4a.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    ch, n = x.shape
+    inter = np.ascontiguousarray(x.T.reshape(-1))
+    rc = lib.jt_av_encode_test_m4a(
+        path.encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        ch,
+        rate,
+    )
+    if rc != 0:
+        raise RuntimeError(f"jt_av_encode_test_m4a failed ({rc})")

@@ -286,3 +286,69 @@ class TestOpusRead:
         open(p, "wb").write(b"OggS junk that is not a stream")
         with pytest.raises(ValueError):
             read_opus(p)
+
+
+needs_m4a = pytest.mark.skipif(
+    not __import__("lossy_fixtures").m4a_available(),
+    reason="FFmpeg fallback shim unavailable",
+)
+
+
+@needs_m4a
+class TestGenericFallbackRead:
+    """m4a/AAC (and any other FFmpeg-demuxable container) through the
+    generic fallback reader (io/generic.py + native/avio.cpp)."""
+
+    def test_m4a_roundtrip_mono(self, tmp_path):
+        from lossy_fixtures import encode_m4a
+
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        x = _sine()
+        p = str(tmp_path / "a.m4a")
+        encode_m4a(p, x, RATE)
+        s, meta = open_audio_file(p)
+        assert meta.format_name == "m4a" and meta.codec_name == "aac"
+        assert meta.sample_rate == RATE
+        assert meta.bit_depth == 0  # lossy: no container depth
+        # AAC keeps frame-padding at the tail; priming is edit-list trimmed
+        assert abs(s.shape[1] - x.shape[0]) < 2048
+        n = min(s.shape[1], x.shape[0])
+        assert np.corrcoef(s[0, :n], x[:n])[0, 1] > 0.99
+
+    def test_m4a_stereo(self, tmp_path):
+        from lossy_fixtures import encode_m4a
+
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        x = _sine(1.0)
+        p = str(tmp_path / "st.m4a")
+        encode_m4a(p, np.stack([x, -x]), 48000)
+        s, meta = open_audio_file(p)
+        assert meta.sample_rate == 48000
+        assert s.shape[0] == 2
+
+    def test_read_generic_matches_dedicated_mp3(self, tmp_path):
+        from lossy_fixtures import encode_mp3
+
+        from jivetalking_tpu.io.generic import read_generic
+        from jivetalking_tpu.io.mp3 import read_mp3
+
+        if not lame_available():
+            pytest.skip("libmp3lame absent")
+        x = _sine()
+        p = str(tmp_path / "x.mp3")
+        encode_mp3(p, x, RATE)
+        a, rate_a, _ = read_mp3(p)
+        b, rate_b, _, codec = read_generic(p)
+        assert rate_a == rate_b and codec.startswith("mp3")
+        n = min(a.shape[1], b.shape[1])
+        assert np.corrcoef(a[0, :n], b[0, :n])[0, 1] > 0.9999
+
+    def test_unsupported_names_fallback_error(self, tmp_path):
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        p = str(tmp_path / "x.m4a")
+        open(p, "wb").write(b"\x00\x00\x00\x20ftypM4A garbage")
+        with pytest.raises(ValueError, match="fallback|unsupported"):
+            open_audio_file(p)
