@@ -141,10 +141,13 @@ class TestAiff:
         with pytest.raises(ValueError, match="ulaw"):
             read_aiff(p)
 
-    def test_unsupported_format_names_restriction(self, tmp_path):
+    def test_undecodable_file_names_fallback(self, tmp_path):
+        # an extension without a dedicated reader routes to the generic
+        # FFmpeg fallback; when that also fails, the error names both the
+        # dedicated readers and the fallback's reason
         from jivetalking_tpu.io.audio import open_audio_file
 
         p = str(tmp_path / "x.m4a")
         open(p, "wb").write(b"\x00\x00\x00\x20ftypM4A ")
-        with pytest.raises(ValueError, match="transcode"):
+        with pytest.raises(ValueError, match="unsupported audio format"):
             open_audio_file(p)
