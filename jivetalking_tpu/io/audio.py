@@ -108,14 +108,23 @@ def open_audio_file(
             try:
                 samples, rate, bits = _ogg.read_ogg(path, raw_int16=raw_int16)
             except ValueError as vorbis_err:
-                # .ogg sometimes carries Opus; try that before failing
+                # the Ogg container also carries Opus, FLAC and Speex; try
+                # the Opus reader, then the generic FFmpeg fallback, and
+                # only then surface the original Vorbis diagnostic
                 from . import opus as _opus
 
                 try:
                     samples, rate, bits = _opus.read_opus(path, raw_int16=raw_int16)
                     codec = "opus"
-                except ValueError:
-                    raise vorbis_err from None
+                except (ValueError, RuntimeError):
+                    from . import generic as _generic
+
+                    try:
+                        samples, rate, bits, codec = _generic.read_generic(
+                            path, raw_int16=raw_int16
+                        )
+                    except (ValueError, RuntimeError):
+                        raise vorbis_err from None
         else:
             from . import opus as _opus
 

@@ -10,74 +10,56 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 
 import numpy as np
 
+from .native_loader import make_native_loader
+
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libflacio.so")
-_SRC_PATH = os.path.join(_NATIVE_DIR, "flacio.cpp")
-
-_lib = None
-_lock = threading.Lock()
 
 
-def _build() -> None:
-    subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", _SRC_PATH, "-o", _SO_PATH],
-        check=True,
-        capture_output=True,
-    )
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.flac_decode_file.restype = ctypes.c_long
+    lib.flac_decode_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.flac_encode_file.restype = ctypes.c_int
+    lib.flac_encode_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.flac_free.restype = None
+    lib.flac_free.argtypes = [ctypes.c_void_p]
+    lib.flac_open_stream.restype = ctypes.c_void_p
+    lib.flac_open_stream.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.flac_read_stream.restype = ctypes.c_long
+    lib.flac_read_stream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long,
+    ]
+    lib.flac_close_stream.restype = None
+    lib.flac_close_stream.argtypes = [ctypes.c_void_p]
 
 
-def _load() -> ctypes.CDLL:
-    global _lib
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if not os.path.exists(_SO_PATH) or (
-            os.path.exists(_SRC_PATH)
-            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
-        ):
-            _build()
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.flac_decode_file.restype = ctypes.c_long
-        lib.flac_decode_file.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.flac_encode_file.restype = ctypes.c_int
-        lib.flac_encode_file.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int16),
-            ctypes.c_long,
-            ctypes.c_int,
-            ctypes.c_int,
-        ]
-        lib.flac_free.restype = None
-        lib.flac_free.argtypes = [ctypes.c_void_p]
-        lib.flac_open_stream.restype = ctypes.c_void_p
-        lib.flac_open_stream.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_long),
-        ]
-        lib.flac_read_stream.restype = ctypes.c_long
-        lib.flac_read_stream.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_long,
-        ]
-        lib.flac_close_stream.restype = None
-        lib.flac_close_stream.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return lib
+_load = make_native_loader(
+    os.path.join(_NATIVE_DIR, "flacio.cpp"),
+    os.path.join(_NATIVE_DIR, "libflacio.so"),
+    _configure,
+)
 
 
 def read_flac(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]:

@@ -15,70 +15,42 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import threading
 
 import numpy as np
 
+from .native_loader import make_native_loader
+
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libavio.so")
-_SRC_PATH = os.path.join(_NATIVE_DIR, "avio.cpp")
-
-_lib = None
-_lock = threading.Lock()
 
 
-def _build() -> None:
-    subprocess.run(
-        [
-            "g++",
-            "-O2",
-            "-shared",
-            "-fPIC",
-            _SRC_PATH,
-            "-o",
-            _SO_PATH,
-            "-lavformat",
-            "-lavcodec",
-            "-lavutil",
-        ],
-        check=True,
-        capture_output=True,
-    )
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.jt_av_open.restype = ctypes.c_void_p
+    lib.jt_av_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.jt_av_read.restype = ctypes.c_long
+    lib.jt_av_read.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
+    lib.jt_av_codec_name.restype = ctypes.c_char_p
+    lib.jt_av_codec_name.argtypes = [ctypes.c_void_p]
+    lib.jt_av_close.restype = None
+    lib.jt_av_close.argtypes = [ctypes.c_void_p]
 
 
-def _load() -> ctypes.CDLL:
-    global _lib
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if not os.path.exists(_SO_PATH) or (
-            os.path.exists(_SRC_PATH)
-            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
-        ):
-            _build()
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.jt_av_open.restype = ctypes.c_void_p
-        lib.jt_av_open.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.c_char_p,
-            ctypes.c_int,
-        ]
-        lib.jt_av_read.restype = ctypes.c_long
-        lib.jt_av_read.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_long,
-        ]
-        lib.jt_av_codec_name.restype = ctypes.c_char_p
-        lib.jt_av_codec_name.argtypes = [ctypes.c_void_p]
-        lib.jt_av_close.restype = None
-        lib.jt_av_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+_load = make_native_loader(
+    os.path.join(_NATIVE_DIR, "avio.cpp"),
+    os.path.join(_NATIVE_DIR, "libavio.so"),
+    _configure,
+    link_args=("-lavformat", "-lavcodec", "-lavutil"),
+)
 
 
 def is_available() -> bool:
@@ -113,14 +85,12 @@ def read_generic(
         ) from exc
     rate = ctypes.c_int(0)
     channels = ctypes.c_int(0)
-    est = ctypes.c_int64(0)
     bits = ctypes.c_int(0)
     err = ctypes.create_string_buffer(512)
     handle = lib.jt_av_open(
         path.encode(),
         ctypes.byref(rate),
         ctypes.byref(channels),
-        ctypes.byref(est),
         ctypes.byref(bits),
         err,
         len(err),

@@ -52,6 +52,9 @@ std::string av_msg(int code) {
 // convert one decoded AVFrame (any common sample format, packed or planar)
 // to interleaved float32 appended onto out
 bool frame_to_float(const AVFrame *f, int channels, std::vector<float> &out) {
+  // a mid-stream channel-layout change would make the planar loop read
+  // NULL/garbage plane pointers — hard error, not a crash
+  if (f->ch_layout.nb_channels != channels) return false;
   const int n = f->nb_samples;
   const auto fmt = static_cast<AVSampleFormat>(f->format);
   const bool planar = av_sample_fmt_is_planar(fmt) != 0;
@@ -121,11 +124,10 @@ extern "C" {
 
 // Open `path`, pick the best audio stream, ready a decoder.
 // Returns a handle (or nullptr; err filled).  rate/channels are the
-// stream's native decode parameters; est_samples is the container's
-// duration estimate in samples (-1 unknown); bits is
-// bits_per_raw_sample (0 for lossy).
-void *jt_av_open(const char *path, int *rate, int *channels,
-                int64_t *est_samples, int *bits, char *err, int errlen) {
+// stream's native decode parameters; bits is bits_per_raw_sample (0 for
+// lossy codecs).
+void *jt_av_open(const char *path, int *rate, int *channels, int *bits,
+                 char *err, int errlen) {
   av_log_set_level(AV_LOG_ERROR);  // decoder warnings are not for stdout
   auto *r = new AvReader();
   int rc = avformat_open_input(&r->fmt, path, nullptr, nullptr);
@@ -170,15 +172,6 @@ void *jt_av_open(const char *path, int *rate, int *channels,
   *rate = r->dec->sample_rate;
   *channels = ch;
   *bits = st->codecpar->bits_per_raw_sample;
-  if (st->duration > 0 && st->time_base.den > 0) {
-    *est_samples = av_rescale_q(st->duration, st->time_base,
-                                AVRational{1, r->dec->sample_rate});
-  } else if (r->fmt->duration > 0) {
-    *est_samples = av_rescale(r->fmt->duration, r->dec->sample_rate,
-                              AV_TIME_BASE);
-  } else {
-    *est_samples = -1;
-  }
   if (*rate <= 0 || ch <= 0) {
     set_err(err, errlen, "stream reports no rate/channels");
     av_frame_free(&r->frame);

@@ -109,12 +109,17 @@ def is_available() -> bool:
         return False
 
 
-def _demux_opus_packets(path: str, ogg) -> tuple[list[bytes], int, int, int]:
-    """Ogg demux -> (audio packets, channels, pre_skip, total_samples).
+def _demux_opus_packets(
+    path: str, ogg
+) -> tuple[list[bytes], int, int, int, float]:
+    """Ogg demux -> (audio packets, channels, pre_skip, total_samples,
+    output_gain_scale).
 
     Follows the FIRST logical stream whose BOS packet is OpusHead; other
     grouped streams' pages are skipped by serialno.  A second Opus BOS
     after data starts (chained file) raises, mirroring the Vorbis reader.
+    A packet hole (lost/corrupt page) raises — the package-wide hard
+    mid-stream-error contract (flacio, ogg.py OV_HOLE handling).
     """
     sync = ctypes.create_string_buffer(_OPAQUE)
     stream = ctypes.create_string_buffer(_OPAQUE)
@@ -124,6 +129,7 @@ def _demux_opus_packets(path: str, ogg) -> tuple[list[bytes], int, int, int]:
     stream_open = False
     serial = None
     channels = pre_skip = None
+    gain_scale = 1.0
     header_pkts = 0
     packets: list[bytes] = []
     last_granule = -1
@@ -162,19 +168,35 @@ def _demux_opus_packets(path: str, ogg) -> tuple[list[bytes], int, int, int]:
                     g = int(ogg.ogg_page_granulepos(ctypes.byref(page)))
                     if g >= 0:
                         last_granule = g
-                    while ogg.ogg_stream_packetout(stream, ctypes.byref(packet)) == 1:
+                    while True:
+                        rc = ogg.ogg_stream_packetout(stream, ctypes.byref(packet))
+                        if rc == 0:
+                            break
+                        if rc < 0:
+                            # a hole (lost/corrupt page) is a hard error,
+                            # never a silent audio gap
+                            raise ValueError(
+                                f"corrupt Ogg Opus stream (packet hole): {path!r}"
+                            )
                         raw = ctypes.string_at(packet.packet, packet.bytes)
                         if header_pkts == 0:
                             if not raw.startswith(b"OpusHead") or len(raw) < 19:
                                 raise ValueError(
                                     f"malformed OpusHead in {path!r}"
                                 )
-                            if raw[8] != 1:
+                            if raw[8] >> 4 != 0:
+                                # RFC 7845 §5.1: only the major nibble
+                                # signals incompatibility; 0-15 decode fine
                                 raise ValueError(
-                                    f"unsupported Opus version {raw[8]} in {path!r}"
+                                    f"incompatible Opus version {raw[8]} in {path!r}"
                                 )
                             channels = raw[9]
                             pre_skip = int.from_bytes(raw[10:12], "little")
+                            # output gain (Q7.8 dB, signed): RFC 7845 §5.1
+                            # says it MUST be applied when decoding
+                            gain_q78 = int.from_bytes(raw[16:18], "little", signed=True)
+                            if gain_q78:
+                                gain_scale = float(10.0 ** (gain_q78 / (20.0 * 256.0)))
                             if raw[18] != 0:
                                 raise ValueError(
                                     "Opus mapping family "
@@ -193,7 +215,7 @@ def _demux_opus_packets(path: str, ogg) -> tuple[list[bytes], int, int, int]:
     if channels is None:
         raise ValueError(f"not a decodable Ogg Opus stream: {path!r}")
     total = max(0, last_granule - pre_skip) if last_granule >= 0 else -1
-    return packets, channels, pre_skip, total
+    return packets, channels, pre_skip, total, gain_scale
 
 
 def read_opus(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]:
@@ -209,7 +231,7 @@ def read_opus(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     ogg, opus = _load()
-    packets, ch, pre_skip, total = _demux_opus_packets(path, ogg)
+    packets, ch, pre_skip, total, gain_scale = _demux_opus_packets(path, ogg)
     if not packets:
         raise ValueError(f"no audio packets in {path!r}")
     err = ctypes.c_int(0)
@@ -219,20 +241,39 @@ def read_opus(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]
     try:
         out = np.empty((_MAX_FRAME * ch,), np.float32)
         out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        # the final granulepos bounds the decode length up front — write
+        # interleaved decode output straight into one buffer (a 1 h file
+        # is ~180k packets; per-packet arrays + a giant concatenate would
+        # double peak memory)
+        cap = (total + pre_skip + _MAX_FRAME) if total >= 0 else None
+        flat = np.empty(((cap or 0) * ch,), np.float32)
         chunks: list[np.ndarray] = []
+        pos = 0
         for raw in packets:
             got = opus.opus_decode_float(dec, raw, len(raw), out_p, _MAX_FRAME, 0)
             if got < 0:
                 raise ValueError(f"opus_decode_float failed ({got}) for {path!r}")
-            if got:
-                chunks.append(
-                    out[: got * ch].reshape(got, ch).T.copy()
-                )  # interleaved -> (ch, n)
+            if not got:
+                continue
+            if cap is not None:
+                if pos + got > cap:  # stream longer than granulepos claims
+                    grown = np.empty(((cap + max(got, cap // 2)) * ch,), np.float32)
+                    grown[: pos * ch] = flat[: pos * ch]
+                    flat, cap = grown, cap + max(got, cap // 2)
+                flat[pos * ch : (pos + got) * ch] = out[: got * ch]
+                pos += got
+            else:
+                chunks.append(out[: got * ch].reshape(got, ch).T.copy())
     finally:
         opus.opus_decoder_destroy(dec)
-    if not chunks:
-        raise ValueError(f"no audio decoded from {path!r}")
-    samples = np.concatenate(chunks, axis=1)
+    if cap is not None:
+        if pos == 0:
+            raise ValueError(f"no audio decoded from {path!r}")
+        samples = flat[: pos * ch].reshape(pos, ch).T
+    else:
+        if not chunks:
+            raise ValueError(f"no audio decoded from {path!r}")
+        samples = np.concatenate(chunks, axis=1)
     # RFC 7845: drop the encoder priming samples; the final granulepos
     # bounds the real length (end-trim of the last partial frame)
     samples = samples[:, pre_skip:]
@@ -240,6 +281,10 @@ def read_opus(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int, int]
         samples = samples[:, :total]
     if samples.shape[1] == 0:
         raise ValueError(f"no audio decoded from {path!r}")
+    samples = np.ascontiguousarray(samples)
+    if gain_scale != 1.0:
+        # RFC 7845 §5.1 output gain MUST be applied (R128 header gain)
+        samples = samples * np.float32(gain_scale)
     # no clipping: codec overshoot above full scale is real signal the
     # input true-peak measurement must see
-    return np.ascontiguousarray(samples), _OPUS_RATE, 0
+    return samples, _OPUS_RATE, 0

@@ -145,12 +145,19 @@ def opus_available() -> bool:
     )
 
 
-def encode_opus(path: str, samples: np.ndarray, rate: int = 48000) -> None:
+def encode_opus(
+    path: str,
+    samples: np.ndarray,
+    rate: int = 48000,
+    output_gain_db: float = 0.0,
+) -> None:
     """Encode float32 (channels, n) 48 kHz -> Ogg Opus (20 ms frames).
 
     Opus encodes at 48 kHz only; callers must resample first.  Writes
     OpusHead (with the encoder's real pre-skip) + OpusTags + audio pages,
     end-trim signalled by the final granulepos per RFC 7845.
+    `output_gain_db` writes the OpusHead output-gain field (Q7.8 dB) that
+    compliant decoders MUST apply — the loudgain/opusgain R128 mechanism.
     """
     if rate != 48000:
         raise ValueError("encode_opus fixture takes 48 kHz input only")
@@ -195,12 +202,13 @@ def encode_opus(path: str, samples: np.ndarray, rate: int = 48000) -> None:
         )
         pre_skip = int(lookahead.value)
 
+        gain_q78 = int(round(output_gain_db * 256.0))
         head = (
             b"OpusHead"
             + bytes([1, ch])
             + pre_skip.to_bytes(2, "little")
             + (48000).to_bytes(4, "little")
-            + (0).to_bytes(2, "little")
+            + gain_q78.to_bytes(2, "little", signed=True)
             + bytes([0])
         )
         vendor = b"jivetalking-test"

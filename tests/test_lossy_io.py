@@ -352,3 +352,22 @@ class TestGenericFallbackRead:
         open(p, "wb").write(b"\x00\x00\x00\x20ftypM4A garbage")
         with pytest.raises(ValueError, match="fallback|unsupported"):
             open_audio_file(p)
+
+
+@needs_opus
+def test_opus_header_output_gain_applied(tmp_path):
+    """RFC 7845 §5.1: the OpusHead output gain MUST be applied when
+    decoding — it is how loudgain/opusgain tag R128 normalisation."""
+    from lossy_fixtures import encode_opus
+
+    from jivetalking_tpu.io.opus import read_opus
+
+    x = _sine(1.0, rate=48000)
+    plain = str(tmp_path / "plain.opus")
+    gained = str(tmp_path / "gained.opus")
+    encode_opus(plain, x)
+    encode_opus(gained, x, output_gain_db=-6.0)
+    a, _, _ = read_opus(plain)
+    b, _, _ = read_opus(gained)
+    ratio = float(np.abs(b).max() / np.abs(a).max())
+    assert abs(ratio - 10.0 ** (-6.0 / 20.0)) < 0.01
