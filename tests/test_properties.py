@@ -205,3 +205,67 @@ class TestLoudnessProperties:
         tp = float(true_peak_linear(jnp.asarray(x)))
         assert tp >= sp - 1e-6
         assert tp <= sp * 10 ** (1.2 / 20.0)
+
+
+class TestFilterProperties:
+    """Frequency-selective ops: algebraic behaviour on constructed tones."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.floats(40.0, 120.0), st.integers(0, 2**31 - 1))
+    def test_highpass_rejects_dc_passes_speech(self, corner, seed):
+        from jivetalking_tpu.ops.iir import design_highpass, sosfilt_scan
+
+        rng = np.random.default_rng(seed)
+        n = SR // 2
+        dc = np.full(n, 0.4, np.float32)
+        sos = design_highpass(corner, SR)
+        y_dc = np.asarray(sosfilt_scan(sos, jnp.asarray(dc)))
+        # DC fully rejected after settling
+        assert np.abs(y_dc[SR // 4 :]).max() < 0.01
+        # 1 kHz (a decade and change above any corner here) passes ~unity
+        t = np.arange(n) / SR
+        tone = (0.3 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+        y_tone = np.asarray(sosfilt_scan(sos, jnp.asarray(tone)))
+        body = y_tone[SR // 4 :]
+        assert np.abs(np.abs(body).max() - 0.3) < 0.02
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.floats(0.2, 0.85))
+    def test_deesser_attenuates_sibilance_not_body(self, seed, intensity):
+        from jivetalking_tpu.ops.deesser import apply_deesser
+
+        n = SR // 2
+        t = np.arange(n) / SR
+        body = (0.2 * np.sin(2 * np.pi * 500.0 * t)).astype(np.float32)
+        sib = (0.2 * np.sin(2 * np.pi * 8000.0 * t)).astype(np.float32)
+        y_body = np.asarray(apply_deesser(jnp.asarray(body), SR, intensity=intensity))
+        y_sib = np.asarray(apply_deesser(jnp.asarray(sib), SR, intensity=intensity))
+        core = slice(n // 4, -n // 4)
+        body_ratio = float(
+            np.sqrt(np.mean(y_body[core] ** 2) / np.mean(body[core] ** 2))
+        )
+        sib_ratio = float(
+            np.sqrt(np.mean(y_sib[core] ** 2) / np.mean(sib[core] ** 2))
+        )
+        assert body_ratio > 0.9          # speech body essentially untouched
+        assert sib_ratio <= body_ratio + 1e-6  # sibilance never LESS reduced
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def test_declick_preserves_clean_repairs_impulse(self, seed):
+        from jivetalking_tpu.ops.declick import apply_declick
+
+        rng = np.random.default_rng(seed)
+        n = SR // 2
+        t = np.arange(n) / SR
+        clean = (0.2 * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)
+        y_clean = np.asarray(apply_declick(jnp.asarray(clean), SR))
+        assert (
+            np.sqrt(np.mean((y_clean - clean) ** 2)) < 0.01
+        )  # click-free audio passes
+        clicked = clean.copy()
+        pos = int(rng.integers(n // 4, 3 * n // 4))
+        clicked[pos] = 0.99
+        y = np.asarray(apply_declick(jnp.asarray(clicked), SR))
+        # the impulse is attenuated toward the local waveform
+        assert abs(y[pos] - clean[pos]) < abs(clicked[pos] - clean[pos]) * 0.5
