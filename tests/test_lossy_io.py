@@ -8,6 +8,7 @@ same strategy as the reference's generateTestAudio WAVs (ref:
 internal/processor/testutil_test.go:11-135).
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -371,3 +372,48 @@ def test_opus_header_output_gain_applied(tmp_path):
     b, _, _ = read_opus(gained)
     ratio = float(np.abs(b).max() / np.abs(a).max())
     assert abs(ratio - 10.0 ** (-6.0 / 20.0)) < 0.01
+
+
+class TestTruncationRobustness:
+    """Every reader must survive arbitrary truncation of a valid file:
+    either decode what exists or raise a clean ValueError/RuntimeError —
+    never crash the process (the pool's per-file isolation depends on
+    catchable errors, ref: pool.go:210-216)."""
+
+    @pytest.mark.parametrize("frac", [0.02, 0.1, 0.35, 0.7, 0.97])
+    def test_truncated_files_never_crash(self, tmp_path, frac):
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        x = _sine(1.0, rate=48000)
+        fixtures = []
+        if lame_available():
+            p = str(tmp_path / "t.mp3")
+            encode_mp3(p, x, 48000)
+            fixtures.append(p)
+        if vorbis_available():
+            p = str(tmp_path / "t.ogg")
+            encode_ogg(p, x, 48000)
+            fixtures.append(p)
+        from lossy_fixtures import encode_opus, m4a_available, opus_available
+
+        if opus_available():
+            p = str(tmp_path / "t.opus")
+            encode_opus(p, x)
+            fixtures.append(p)
+        if m4a_available():
+            from lossy_fixtures import encode_m4a
+
+            p = str(tmp_path / "t.m4a")
+            encode_m4a(p, x, 48000)
+            fixtures.append(p)
+
+        for path in fixtures:
+            data = open(path, "rb").read()
+            cut = str(tmp_path / ("cut_" + os.path.basename(path)))
+            open(cut, "wb").write(data[: max(4, int(len(data) * frac))])
+            try:
+                s, meta = open_audio_file(cut)
+                # partial decode is fine, but it must be sane audio
+                assert s.ndim == 2 and np.isfinite(s).all()
+            except (ValueError, RuntimeError):
+                pass  # clean rejection is equally acceptable
