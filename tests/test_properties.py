@@ -269,3 +269,21 @@ class TestFilterProperties:
         y = np.asarray(apply_declick(jnp.asarray(clicked), SR))
         # the impulse is attenuated toward the local waveform
         assert abs(y[pos] - clean[pos]) < abs(clicked[pos] - clean[pos]) * 0.5
+
+
+class TestNlmProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.floats(0.05, 2.0))
+    def test_output_is_convex_combination(self, seed, h):
+        """NLM output is a weighted average of research-window neighbours,
+        so it can never leave [min, max] of the (zero-padded) input."""
+        from jivetalking_tpu.ops.nlm import _nlm_core
+
+        rng = np.random.default_rng(seed)
+        x = (0.5 * rng.standard_normal(2000)).astype(np.float32)
+        y = np.asarray(
+            _nlm_core(jnp.asarray(x), jnp.float32(h * h), 8, 5, block=1024)
+        )
+        lo, hi = min(float(x.min()), 0.0), max(float(x.max()), 0.0)
+        assert y.min() >= lo - 1e-5
+        assert y.max() <= hi + 1e-5
