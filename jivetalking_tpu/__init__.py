@@ -11,7 +11,9 @@ de-esser) and normalises to -16 LUFS / -1 dBTP.
 
 Layer map (bottom-up), mirroring SURVEY.md section 1:
 
-    io/        host audio I/O: WAV (numpy) + FLAC (native C++ codec), chunk streaming
+    io/        host audio I/O: WAV/AIFF (numpy) + FLAC (native C++ codec, chunk
+               streaming) + MP3/Vorbis/Opus (system codec ctypes bindings) +
+               a generic FFmpeg-library fallback for every other container
     ops/       DSP kernels: biquads (associative-scan IIR), STFT, spectral gate,
                NLM denoise, envelope-follower dynamics, limiters, resampler
     metering/  ground-truth measurement: EBU R128, true peak, astats, spectral stats
