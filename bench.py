@@ -121,14 +121,18 @@ def main() -> None:
         # per-direction wire time hides behind neighbouring files)
         from concurrent.futures import ThreadPoolExecutor
 
-        rng = np.random.default_rng(7)
-        files = [
-            np.clip(np.round(
-                (make_fixture(duration, sr)
-                 + rng.uniform(-1e-4, 1e-4, size=x.shape).astype(np.float32))
-                * 32768.0), -32768, 32767).astype(np.int16)
-            for _ in range(n_files)
-        ]
+        def fresh_files(seed: int):
+            # fresh content per timed round: the tunnel memoizes
+            # execute/pull by content, so reruns on identical bytes
+            # would read ~0
+            rng = np.random.default_rng(seed)
+            return [
+                np.clip(np.round(
+                    (make_fixture(duration, sr)
+                     + rng.uniform(-1e-4, 1e-4, size=x.shape).astype(np.float32))
+                    * 32768.0), -32768, 32767).astype(np.int16)
+                for _ in range(n_files)
+            ]
         # 2 compute workers + ONE dedicated puller thread measured fastest
         # (2026-08-17: pipe2 134.9x / pipe3 137.7x vs pool2 113.2x, seq
         # 111.4x, same hour; scripts/bench_aggregate_experiment.py): the
@@ -144,34 +148,44 @@ def main() -> None:
         from jivetalking_tpu.pipeline.process import finish_output_pull
 
         workers = int(os.environ.get("BENCH_WORKERS", "2"))
-        pullq: "queue.Queue" = queue.Queue()
-        pulled = []
 
-        def puller():
-            while True:
-                item = pullq.get()
-                if item is None:
-                    return
-                finish_output_pull(item)
-                pulled.append(item)
+        def timed_round(seed: int) -> tuple[float, object]:
+            files = fresh_files(seed)
+            pullq: "queue.Queue" = queue.Queue()
+            pulled = []
 
-        t0 = time.perf_counter()
-        pt = threading.Thread(target=puller)
-        pt.start()
+            def puller():
+                while True:
+                    item = pullq.get()
+                    if item is None:
+                        return
+                    finish_output_pull(item)
+                    pulled.append(item)
 
-        def work(f):
-            r = process_audio(f, sr, defer_output_pull=True)
-            pullq.put(r)
-            return r
+            t0 = time.perf_counter()
+            pt = threading.Thread(target=puller)
+            pt.start()
 
-        with ThreadPoolExecutor(max_workers=min(workers, n_files)) as ex:
-            results = list(ex.map(work, files))
-        pullq.put(None)
-        pt.join()
-        wall = time.perf_counter() - t0
-        res = results[-1]
-        rt_factor = duration * n_files / wall
-        emit(duration, sr, n_files, rt_factor, res)
+            def work(f):
+                r = process_audio(f, sr, defer_output_pull=True)
+                pullq.put(r)
+                return r
+
+            with ThreadPoolExecutor(max_workers=min(workers, n_files)) as ex:
+                results = list(ex.map(work, files))
+            pullq.put(None)
+            pt.join()
+            return time.perf_counter() - t0, results[-1]
+
+        # best of 3 timed rounds, same rationale as the single-file path
+        # (tunnel bandwidth swings ~2x minute to minute); fixture content
+        # is regenerated per round so the tunnel's content memoization
+        # cannot fake a fast rerun.  Best-so-far prints after every round.
+        wall = float("inf")
+        for seed in (7, 8, 9):
+            w, res = timed_round(seed)
+            wall = min(wall, w)
+            emit(duration, sr, n_files, duration * n_files / wall, res)
     else:
         # best of 3 timed runs: the remote tunnel's per-direction bandwidth
         # swings ~2x minute to minute (measured 51-95x on identical runs,

@@ -351,6 +351,12 @@ def process_back_catalogue(
     )
     from ..pipeline.fused_chunked import chunk_length
 
+    if out_dir is not None:
+        # the encoder opens a sibling dot-temp under out_dir; create it up
+        # front so a missing directory fails here (clearly) rather than as
+        # a per-file "failed to encode FLAC" after the device passes ran
+        os.makedirs(out_dir, exist_ok=True)
+
     base = base_config or default_filter_config()
     t_all = _time.perf_counter()
 

@@ -201,6 +201,25 @@ class TestBackCatalogue:
             # file lengths trimmed per episode (no shared pad tail)
             assert abs(samples.shape[1] - int(round(44100 * secs))) < 200
 
+    def test_out_dir_created_if_missing(self, tmp_path):
+        # regression (found on the real-TPU batch bench 2026-08-18): a
+        # non-existent out_dir made every file fail at FLAC encode AFTER
+        # its device passes ran; process_back_catalogue must create it
+        from jivetalking_tpu.io.flac import write_flac
+        from jivetalking_tpu.parallel.batch import process_back_catalogue
+        from tests.test_parallel_master import _speechlike
+
+        sr = 8000
+        x = _speechlike(int(4.0 * sr), sr, seed=77)
+        xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+        p = str(tmp_path / "ep.flac")
+        write_flac(p, xi, sr)
+
+        out_dir = tmp_path / "nested" / "out"  # does not exist yet
+        results = process_back_catalogue([p], out_dir=str(out_dir))
+        assert "error" not in results[0], results[0]
+        assert os.path.isfile(results[0]["output_path"])
+
 
 class TestConfig5BatchChunked:
     """The config-5 composition (VERDICT r2 #2): the chunked fused passes
