@@ -231,3 +231,44 @@ class TestGroundedScoring:
         assert best is not None
         assert best.duration == pytest.approx(GOLDEN_SPEECH_WINDOW_DURATION)
         assert candidates[0].was_refined
+
+
+class TestSplitInputSelection:
+    """The level set feeding the histogram/Otsu split: floored intervals
+    are skipped and the axis switch reads the other field
+    (ref: TestBuildLevelHistogram, analyser_vad_test.go:46-104)."""
+
+    @staticmethod
+    def _bimodal(extra=()):
+        # low cluster around -50, empty valley, high cluster around -20
+        low = [-50.0 + (i % 3) for i in range(30)]
+        high = [-20.0 + (i % 3) for i in range(30)]
+        return np.asarray(low + high + list(extra), dtype=np.float64)
+
+    def test_floored_interval_does_not_shift_split(self):
+        from jivetalking_tpu.analysis.vad import detect_voice_activity
+
+        clean = make_intervals(self._bimodal())
+        with_floored = make_intervals(self._bimodal(extra=[-130.0]))
+        seed = -80.0
+        a = detect_voice_activity(clean, seed)
+        b = detect_voice_activity(with_floored, seed)
+        # the -130 interval is below the -115 measurement floor: it must be
+        # excluded from the split input, the percentile floor and the p75
+        # clamp bound, so every split-derived number is unchanged
+        assert b.split == pytest.approx(a.split)
+        assert b.floor == pytest.approx(a.floor)
+        assert b.margin == pytest.approx(a.margin)
+        # and the split still falls in the empty valley between the modes
+        assert -48.0 <= a.split <= -23.0
+
+    def test_axis_rms_reads_rms_field(self):
+        from jivetalking_tpu.analysis.vad import detect_voice_activity
+
+        # momentary pinned loud (-10) while RMS carries the bimodal shape:
+        # on the rms axis every level statistic must come from the RMS field
+        rms = self._bimodal()
+        iv = make_intervals(np.full(rms.size, -10.0), rms=rms)
+        r = detect_voice_activity(iv, -80.0, axis="rms")
+        assert -48.0 <= r.split <= -23.0   # in the RMS valley, not near -10
+        assert r.floor <= -40.0            # p10 of the RMS set
