@@ -272,3 +272,57 @@ class TestSplitInputSelection:
         r = detect_voice_activity(iv, -80.0, axis="rms")
         assert -48.0 <= r.split <= -23.0   # in the RMS valley, not near -10
         assert r.floor <= -40.0            # p10 of the RMS set
+
+
+class TestExtractNoiseProfileSpectralFields:
+    """The room-tone profile carries the arithmetic mean of each spectral
+    field over its intervals, and the astats Entropy field carries the
+    spectral-entropy mean (ref: TestExtractNoiseProfileSpectralFields,
+    analyser_vad_test.go:886-948)."""
+
+    def test_per_field_means(self):
+        from jivetalking_tpu.analysis.vad import extract_noise_profile
+
+        hop = 0.25
+        vals = {  # (interval 0, interval 1) -> clean per-field means
+            "mean": (1.0, 3.0), "variance": (2.0, 4.0),
+            "centroid": (1400.0, 1600.0), "spread": (300.0, 500.0),
+            "skewness": (0.5, 1.5), "kurtosis": (2.0, 4.0),
+            "entropy": (0.4, 0.6), "flatness": (0.3, 0.5),
+            "crest": (6.0, 10.0), "flux": (0.02, 0.06),
+            "slope": (-0.4, -0.2), "decrease": (0.10, 0.14),
+            "rolloff": (6000.0, 8000.0),
+        }
+        spectral = {k: np.asarray(v, dtype=np.float64) for k, v in vals.items()}
+        iv = Intervals(
+            timestamp=np.asarray([0.0, hop]),
+            rms_level=np.asarray([-60.0, -58.0]),
+            peak_level=np.asarray([-50.0, -48.0]),
+            momentary_lufs=np.asarray([-55.0, -53.0]),
+            short_term_lufs=np.asarray([-55.0, -53.0]),
+            true_peak=np.asarray([-50.0, -48.0]),
+            sample_peak=np.asarray([-50.0, -48.0]),
+            spectral=spectral,
+            spectral_found=np.ones(2, dtype=bool),
+            hop=hop,
+        )
+        region = Region(0.0, 2 * hop)
+
+        p = extract_noise_profile(region, iv)
+        assert p is not None
+        # astats Entropy carries the spectral-entropy mean
+        assert p.entropy == pytest.approx(0.5, abs=1e-3)
+        want = {
+            "mean": 2.0, "variance": 3.0, "centroid": 1500.0, "spread": 400.0,
+            "skewness": 1.0, "kurtosis": 3.0, "entropy": 0.5, "flatness": 0.4,
+            "crest": 8.0, "flux": 0.04, "slope": -0.3, "decrease": 0.12,
+            "rolloff": 7000.0,
+        }
+        for k, w in want.items():
+            assert getattr(p.spectral, k) == pytest.approx(w, abs=1e-3), k
+        # amplitude carries: RMS mean, peak max, crest = peak - rms
+        assert p.peak_level == pytest.approx(-48.0)
+        assert p.crest_factor == pytest.approx(11.0)
+        # a 0.5 s room tone is well under the 8 s ideal: warning attached
+        assert p.extraction_warning is not None
+        assert "short room tone region" in p.extraction_warning
