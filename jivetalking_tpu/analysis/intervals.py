@@ -65,9 +65,16 @@ class Intervals:
         if not mask.any():
             return None
         # spectral averages use only intervals that HAVE spectral frames —
-        # unfound rows never dilute the mean (ref: SpectralAccumulator
-        # skips Found=false frames, analyser_metrics.go; pinned by
-        # TestSpectralAccumulator_MixedFoundAndUnfound).  With none found
+        # unfound rows never dilute the mean.  DELIBERATE DIVERGENCE from
+        # the reference's region-level accumulateIntervalMetrics
+        # (analyser_candidates_shared.go:132-158), which zero-dilutes:
+        # Found=false rows contribute zero-valued fields to a sum divided
+        # by the FULL count.  This rebuild extends the reference's own
+        # frame-level convention (SpectralAccumulator skips Found=false
+        # frames, analyser_metrics.go:249-258) to the region level; on
+        # all-found regions both conventions agree exactly.  Pinned by
+        # tests/test_vad_primitives.py::TestExtractNoiseProfileSpectralFields
+        # ::test_mixed_found_unfound_uses_found_only_mean.  With none found
         # the metrics stay zero-valued, found=False.
         smask = mask & self.spectral_found
         if smask.any():

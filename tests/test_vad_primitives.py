@@ -326,3 +326,70 @@ class TestExtractNoiseProfileSpectralFields:
         # a 0.5 s room tone is well under the 8 s ideal: warning attached
         assert p.extraction_warning is not None
         assert "short room tone region" in p.extraction_warning
+
+    def test_mixed_found_unfound_uses_found_only_mean(self):
+        """DELIBERATE DIVERGENCE, pinned: on mixed found/unfound regions the
+        profile's spectral fields are the mean over FOUND intervals only.
+
+        The reference's extractNoiseProfileFromIntervals sums every
+        interval's Spectral (Found=false rows contribute zero-valued
+        fields) and divides by the full count
+        (accumulateIntervalMetrics, analyser_candidates_shared.go:132-158)
+        — a zero-diluted mean that drags centroid/rolloff toward 0 Hz when
+        any interval lacked spectral frames.  This rebuild extends the
+        reference's own FRAME-level convention (SpectralAccumulator skips
+        Found=false frames, analyser_metrics.go:249-258) to the region
+        level instead: unfound intervals never dilute the mean.  On the
+        all-found regions the two conventions agree exactly (the case the
+        ported vector table above pins)."""
+        from jivetalking_tpu.analysis.vad import extract_noise_profile
+
+        hop = 0.25
+        names = [
+            "mean", "variance", "centroid", "spread", "skewness", "kurtosis",
+            "entropy", "flatness", "crest", "flux", "slope", "decrease",
+            "rolloff",
+        ]
+        # interval 0 found (centroid 1400 etc.), interval 1 UNFOUND with
+        # zero-valued fields (what the frame extractor emits), interval 2
+        # found (centroid 1600 etc.)
+        spectral = {
+            "mean": [1.0, 0.0, 3.0], "variance": [2.0, 0.0, 4.0],
+            "centroid": [1400.0, 0.0, 1600.0], "spread": [300.0, 0.0, 500.0],
+            "skewness": [0.5, 0.0, 1.5], "kurtosis": [2.0, 0.0, 4.0],
+            "entropy": [0.4, 0.0, 0.6], "flatness": [0.3, 0.0, 0.5],
+            "crest": [6.0, 0.0, 10.0], "flux": [0.02, 0.0, 0.06],
+            "slope": [-0.4, 0.0, -0.2], "decrease": [0.10, 0.0, 0.14],
+            "rolloff": [6000.0, 0.0, 8000.0],
+        }
+        spectral = {k: np.asarray(v, dtype=np.float64) for k, v in spectral.items()}
+        iv = Intervals(
+            timestamp=np.asarray([0.0, hop, 2 * hop]),
+            rms_level=np.asarray([-60.0, -59.0, -58.0]),
+            peak_level=np.asarray([-50.0, -49.0, -48.0]),
+            momentary_lufs=np.asarray([-55.0, -54.0, -53.0]),
+            short_term_lufs=np.asarray([-55.0, -54.0, -53.0]),
+            true_peak=np.asarray([-50.0, -49.0, -48.0]),
+            sample_peak=np.asarray([-50.0, -49.0, -48.0]),
+            spectral=spectral,
+            spectral_found=np.asarray([True, False, True]),
+            hop=hop,
+        )
+        p = extract_noise_profile(Region(0.0, 3 * hop), iv)
+        assert p is not None
+        # found-only means: the same clean midpoints as the all-found table
+        want = {
+            "mean": 2.0, "variance": 3.0, "centroid": 1500.0, "spread": 400.0,
+            "skewness": 1.0, "kurtosis": 3.0, "entropy": 0.5, "flatness": 0.4,
+            "crest": 8.0, "flux": 0.04, "slope": -0.3, "decrease": 0.12,
+            "rolloff": 7000.0,
+        }
+        for k in names:
+            assert getattr(p.spectral, k) == pytest.approx(want[k], abs=1e-3), k
+        # the reference's zero-diluted mean would read 2/3 of these values
+        # (e.g. centroid 1000.0) — pin that we did NOT do that
+        assert p.spectral.centroid != pytest.approx(1000.0, abs=1.0)
+        # amplitude fields still average over ALL intervals (no found gate
+        # exists on the amplitude axis — parity with the reference there)
+        assert p.peak_level == pytest.approx(-48.0)
+        assert p.crest_factor == pytest.approx(-48.0 - (-59.0))
