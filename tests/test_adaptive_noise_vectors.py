@@ -213,3 +213,127 @@ class TestSanitizeConfigVectors:
         cfg.noise_reduction.afftdn_band_noise = []
         sanitize_config(cfg)
         assert cfg.noise_reduction.afftdn_noise_type == "w"
+
+    def test_every_float_field_non_finite_resets_to_defaults(self):
+        """The full non-finite matrix: every sanitised float field of every
+        typed family set NaN/+Inf/-Inf must come back at its family default
+        (ref: 'typed family non-finite values get defaults',
+        adaptive_test.go:1295-1366)."""
+        from jivetalking_tpu.adaptive.adapt import (
+            COMP_DEFAULT_THRESHOLD,
+            GATE_DEFAULT_THRESHOLD,
+            sanitize_config,
+        )
+        from jivetalking_tpu.adaptive.config import (
+            BANDLIMIT_LP_FREQ,
+            RUMBLE_HP_FREQ,
+            LevellingCompressorConfig,
+            NoiseReductionConfig,
+            SpeechGateConfig,
+        )
+
+        bad = [math.nan, math.inf, -math.inf]
+        cfg = default_filter_config()
+        cfg.rumble_highpass.frequency = bad[0]
+        cfg.rumble_highpass.width = bad[1]
+        cfg.rumble_highpass.mix = bad[2]
+        cfg.bandlimit_lowpass.frequency = bad[1]
+        cfg.bandlimit_lowpass.width = bad[0]
+        cfg.bandlimit_lowpass.mix = bad[2]
+        nr = cfg.noise_reduction
+        nr.strength, nr.patch_sec, nr.research_sec = bad
+        nr.smooth, nr.afftdn_noise_reduction = bad[0], bad[1]
+        nr.afftdn_noise_floor = bad[2]
+        g = cfg.speech_gate
+        g.threshold, g.ratio, g.attack = bad
+        g.release, g.range, g.knee = bad
+        g.makeup = bad[0]
+        lc = cfg.levelling_compressor
+        lc.threshold, lc.ratio, lc.attack = bad
+        lc.release, lc.makeup, lc.knee = bad
+
+        sanitize_config(cfg)
+
+        assert cfg.rumble_highpass.frequency == RUMBLE_HP_FREQ
+        assert cfg.rumble_highpass.width == 0.707
+        assert cfg.rumble_highpass.mix == 1.0
+        assert cfg.bandlimit_lowpass.frequency == BANDLIMIT_LP_FREQ
+        assert cfg.bandlimit_lowpass.width == 0.707
+        assert cfg.bandlimit_lowpass.mix == 1.0
+        nr_d = NoiseReductionConfig()
+        assert nr.strength == nr_d.strength
+        assert nr.patch_sec == nr_d.patch_sec
+        assert nr.research_sec == nr_d.research_sec
+        assert nr.smooth == nr_d.smooth
+        assert nr.afftdn_noise_reduction == nr_d.afftdn_noise_reduction
+        assert nr.afftdn_noise_floor == nr_d.afftdn_noise_floor
+        g_d = SpeechGateConfig()
+        assert g.threshold == GATE_DEFAULT_THRESHOLD
+        assert g.ratio == g_d.ratio
+        assert g.attack == g_d.attack
+        assert g.release == g_d.release
+        assert g.range == g_d.range
+        assert g.knee == g_d.knee
+        assert g.makeup == g_d.makeup
+        lc_d = LevellingCompressorConfig()
+        assert lc.threshold == COMP_DEFAULT_THRESHOLD
+        assert lc.ratio == lc_d.ratio
+        assert lc.attack == lc_d.attack
+        assert lc.release == lc_d.release
+        assert lc.makeup == lc_d.makeup
+        assert lc.knee == lc_d.knee
+
+    @pytest.mark.parametrize("threshold", [
+        math.nan, math.inf, -math.inf, 0.0, -0.5])
+    def test_gate_threshold_zero_and_negative_clamp(self, threshold):
+        """Gate threshold is a LINEAR amplitude: zero and negative inputs
+        are as invalid as non-finite ones and take the default
+        (ref: 'gate threshold keeps existing zero and negative clamp
+        behaviour', adaptive_test.go:1368-1378)."""
+        from jivetalking_tpu.adaptive.adapt import (
+            GATE_DEFAULT_THRESHOLD,
+            sanitize_config,
+        )
+
+        cfg = default_filter_config()
+        cfg.speech_gate.threshold = threshold
+        sanitize_config(cfg)
+        assert cfg.speech_gate.threshold == GATE_DEFAULT_THRESHOLD
+
+    def test_zero_values_for_non_gate_fields_pass_through(self):
+        """Zeros are valid for every non-gate float (disabled filters carry
+        zeros); only the gate threshold special-cases them
+        (ref: adaptive_test.go:1380-1402)."""
+        from jivetalking_tpu.adaptive.adapt import sanitize_config
+
+        cfg = default_filter_config()
+        cfg.rumble_highpass.frequency = 0.0
+        cfg.rumble_highpass.width = 0.0
+        cfg.rumble_highpass.mix = 0.0
+        cfg.deesser.intensity = 0.0
+        cfg.levelling_compressor.ratio = 0.0
+        cfg.levelling_compressor.threshold = 0.0
+        cfg.speech_gate.threshold = 1e-10
+        sanitize_config(cfg)
+        assert cfg.rumble_highpass.frequency == 0.0
+        assert cfg.rumble_highpass.width == 0.0
+        assert cfg.rumble_highpass.mix == 0.0
+        assert cfg.deesser.intensity == 0.0
+        assert cfg.levelling_compressor.ratio == 0.0
+        assert cfg.levelling_compressor.threshold == 0.0
+        # tiny-but-positive gate threshold is legal and survives
+        assert cfg.speech_gate.threshold == 1e-10
+
+    def test_negative_compressor_threshold_passes_through(self):
+        """The compressor threshold is in dB — negative is its NORMAL
+        range and must never be 'repaired'
+        (ref: adaptive_test.go:1404-1415)."""
+        from jivetalking_tpu.adaptive.adapt import sanitize_config
+
+        cfg = default_filter_config()
+        cfg.levelling_compressor.threshold = -40.0
+        cfg.levelling_compressor.ratio = 3.0
+        cfg.speech_gate.threshold = 0.02
+        sanitize_config(cfg)
+        assert cfg.levelling_compressor.threshold == -40.0
+        assert cfg.speech_gate.threshold == 0.02
