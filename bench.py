@@ -53,7 +53,20 @@ def make_fixture(duration_secs: float, sr: int) -> np.ndarray:
 def main() -> None:
     duration = float(os.environ.get("BENCH_DURATION_SECS", "300"))
     sr = int(os.environ.get("BENCH_SAMPLE_RATE", "48000"))
-    n_files = int(os.environ.get("BENCH_FILES", "1"))
+    # DEFAULT: 3-file aggregate through the pipelined pool (the deployment
+    # shape, and the reference's own headline is 3 files in parallel —
+    # README.md:105-127).  Round-3 shoot-out: pipe3 137.7x vs single-file
+    # ~116x same hour; the single-file wire (29 MB up + 26 MB down,
+    # half-duplex tunnel) cannot overlap itself within one file, so the
+    # aggregate is the honest throughput number.  BENCH_FILES=1 recovers
+    # the single-file latency mode.
+    n_files_env = os.environ.get("BENCH_FILES")
+    if n_files_env is not None:
+        n_files = int(n_files_env)
+    else:
+        # hour-scale episodes route through the chunked master; measure the
+        # single-file flagship there unless explicitly overridden
+        n_files = 1 if duration > 900 else 3
 
     # persistent compile cache: kernel compiles for the fixture shapes are
     # reused across bench invocations (first-ever run pays them once)
@@ -133,13 +146,14 @@ def main() -> None:
                     * 32768.0), -32768, 32767).astype(np.int16)
                 for _ in range(n_files)
             ]
-        # 2 compute workers + ONE dedicated puller thread measured fastest
-        # (2026-08-17: pipe2 134.9x / pipe3 137.7x vs pool2 113.2x, seq
-        # 111.4x, same hour; scripts/bench_aggregate_experiment.py): the
-        # delivery pulls are DEFERRED (process_audio(defer_output_pull=True))
-        # so file N's 26 MB downlink overlaps file N+1's upload/compute
-        # instead of serialising inside its worker.  Deeper pools gain
-        # nothing: the tunnel serialises opposite-direction transfers
+        # 3 compute workers + ONE dedicated puller thread (pipe3) measured
+        # fastest (2026-08-17: pipe3 137.7x / pipe2 134.9x vs pool2 113.2x,
+        # seq 111.4x, same hour; scripts/bench_aggregate_experiment.py):
+        # the delivery pulls are DEFERRED
+        # (process_audio(defer_output_pull=True)) so file N's 26 MB
+        # downlink overlaps file N+1's upload/compute instead of
+        # serialising inside its worker.  Deeper pools gain nothing: the
+        # tunnel serialises opposite-direction transfers
         # (scripts/tunnel_duplex_probe.py), so the wire itself is the
         # aggregate ceiling.
         import queue
@@ -147,7 +161,7 @@ def main() -> None:
 
         from jivetalking_tpu.pipeline.process import finish_output_pull
 
-        workers = int(os.environ.get("BENCH_WORKERS", "2"))
+        workers = int(os.environ.get("BENCH_WORKERS", "3"))
 
         def timed_round(seed: int) -> tuple[float, object]:
             files = fresh_files(seed)
@@ -175,7 +189,7 @@ def main() -> None:
                 results = list(ex.map(work, files))
             pullq.put(None)
             pt.join()
-            return time.perf_counter() - t0, results[-1]
+            return time.perf_counter() - t0, results
 
         # best of 3 timed rounds, same rationale as the single-file path
         # (tunnel bandwidth swings ~2x minute to minute); fixture content
@@ -183,9 +197,9 @@ def main() -> None:
         # cannot fake a fast rerun.  Best-so-far prints after every round.
         wall = float("inf")
         for seed in (7, 8, 9):
-            w, res = timed_round(seed)
+            w, results = timed_round(seed)
             wall = min(wall, w)
-            emit(duration, sr, n_files, duration * n_files / wall, res)
+            emit(duration, sr, n_files, duration * n_files / wall, results)
     else:
         # best of 3 timed runs: the remote tunnel's per-direction bandwidth
         # swings ~2x minute to minute (measured 51-95x on identical runs,
@@ -211,8 +225,12 @@ def emit(duration: float, sr: int, n_files: int, rt_factor: float, res) -> None:
         + (f"_x{n_files}files_aggregate" if n_files > 1 else ""),
         "vs_baseline": round(rt_factor / baseline, 2),
     }
-    # sanity: the run must actually have mastered the audio
-    ok = abs(res.final.loudness.integrated_lufs - res.normalisation.effective_target_i) <= 0.5
+    # sanity: every run must actually have mastered the audio
+    results = res if isinstance(res, list) else [res]
+    ok = all(
+        abs(r.final.loudness.integrated_lufs - r.normalisation.effective_target_i) <= 0.5
+        for r in results
+    )
     if not ok:
         out["metric"] = "process_audio_realtime_factor_FAILED_CONTRACT"
     print(json.dumps(out), flush=True)

@@ -46,9 +46,21 @@ from ..report import (
 from ..report.runrecord import write_candidates_sidecar, write_interval_sidecar
 
 
+# Minimum pipeline depth when several files queue.  The reference bounds
+# jobs by NumCPU because its FFmpeg workers are CPU-bound (main.go:50-52);
+# here the DSP runs on the accelerator and a worker spends its life waiting
+# on uploads/dispatches, so a small host must still keep >=3 files in
+# flight to hide the wire behind neighbouring files (pipe3 measured 137.7x
+# vs sequential 111.4x, scripts/bench_aggregate_experiment.py 2026-08-17).
+_MIN_PIPELINE_JOBS = 3
+
+
 def resolve_jobs(num_files: int, num_cpu: int) -> int:
-    """(ref: resolveJobs, main.go:50-52)."""
-    return max(1, min(num_files, num_cpu))
+    """jobs = max(1, min(files, max(NumCPU, 3))) — the reference's rule
+    (ref: resolveJobs, main.go:50-52) with a pipeline floor: workers are
+    device-I/O-bound, not CPU-bound, so CPU count alone must not throttle
+    the file pipeline on small hosts."""
+    return max(1, min(num_files, max(num_cpu, _MIN_PIPELINE_JOBS)))
 
 
 # stream-decode any FLAC the streamed analysis would chunk anyway (>=60 s):

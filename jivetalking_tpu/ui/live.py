@@ -135,7 +135,10 @@ def render_meter(level_db: float, peak_db: float) -> str:
             chars.append("█")
         else:
             chars.append("░")
-    txt = f"{level_db:6.1f} dB" if level_db > _METER_FLOOR_DB + 0.5 else "    —   "
+    # both branches render exactly 9 display cells so the row never
+    # changes width as the level crosses the floor (pinned by
+    # tests/test_ui_geometry.py::TestMeterGeometry)
+    txt = f"{level_db:6.1f} dB" if level_db > _METER_FLOOR_DB + 0.5 else "     —   "
     return "▐" + "".join(chars) + "▌" + txt
 
 

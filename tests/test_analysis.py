@@ -421,3 +421,77 @@ class TestSpectralAccumulatorSemantics:
                     rolloff=7000.0)
         for k, v in want.items():
             assert getattr(rs.spectral, k) == pytest.approx(v), k
+
+
+class TestMeasureOutputRegions:
+    """(ref: TestMeasureOutputRoomToneRegion :1028 and
+    Test_measureOutputSpeechRegion :1128, analyser_test.go) — the
+    post-pass region re-measure on the known-characteristics fixture:
+    a room-tone gap reads quiet/noisy, a tonal speech region reads loud
+    and tonal, and degenerate regions return None instead of metrics."""
+
+    @pytest.fixture(scope="class")
+    def gap_fixture(self):
+        # 5 s, -23 dBFS 440 Hz tone, -60 dB noise bed, a 1 s gap at 1.5 s
+        rng = np.random.default_rng(11)
+        sr = 44100
+        t = np.arange(5 * sr) / sr
+        x = (10 ** (-23 / 20)) * np.sin(2 * np.pi * 440.0 * t)
+        x += (10 ** (-60 / 20)) * rng.standard_normal(x.size)
+        g0, g1 = int(1.5 * sr), int(2.5 * sr)
+        x[g0:g1] = (10 ** (-60 / 20)) * rng.standard_normal(g1 - g0)
+        return x.astype(np.float32), sr
+
+    def test_room_tone_region_reads_quiet(self, gap_fixture):
+        from jivetalking_tpu.analysis.regions import measure_region
+        from jivetalking_tpu.analysis.types import Region
+
+        x, sr = gap_fixture
+        s = measure_region(x, sr, Region(1.5, 2.5))
+        assert s is not None
+        # -60 dB noise bed: RMS < -40, peak < -30 (the reference's bars)
+        assert s.rms_level < -40.0
+        assert s.peak_level < -30.0
+        # spectral entropy lives in [0, 1] and noise reads entropic
+        assert 0.0 <= s.spectral.entropy <= 1.0
+        assert s.spectral.centroid >= 0.0
+        # LUFS plausible for a near-silent region
+        assert -120.0 <= s.momentary_lufs <= 0.0
+
+    def test_speech_region_reads_tonal_and_loud(self, gap_fixture):
+        from jivetalking_tpu.analysis.regions import measure_region
+        from jivetalking_tpu.analysis.types import Region
+
+        x, sr = gap_fixture
+        s = measure_region(x, sr, Region(3.0, 5.0))  # pure-tone span
+        assert s is not None
+        # -23 dBFS sine RMS ~ -26 dBFS; the reference bars are [-30, -10]
+        # (only RMS and peak are hard Errorf bars in the reference; the
+        # spectral/LUFS/TP checks there are Logf-only observations, so
+        # here they pin just the invariant ranges)
+        assert -30.0 <= s.rms_level <= -10.0
+        assert -25.0 <= s.peak_level <= 0.0
+        assert s.crest_factor == pytest.approx(
+            s.peak_level - s.rms_level, abs=1e-6)
+        # flatness lives in [0, 1] and a tonal signal is not noise-like
+        assert 0.0 <= s.spectral.flatness <= 1.0
+        assert s.spectral.centroid > 0.0
+        # true peak at/above the sample peak, below clipping
+        assert s.peak_level - 0.5 <= s.true_peak <= 0.0
+
+    def test_zero_duration_region_returns_none(self, gap_fixture):
+        from jivetalking_tpu.analysis.regions import measure_region
+        from jivetalking_tpu.analysis.types import Region
+
+        x, sr = gap_fixture
+        assert measure_region(x, sr, Region(1.0, 1.0)) is None
+
+    def test_out_of_bounds_region_returns_none(self, gap_fixture):
+        # the repo has no file paths at this seam (PCM is already
+        # resident); the invalid-input analogue is a region fully past
+        # the signal end
+        from jivetalking_tpu.analysis.regions import measure_region
+        from jivetalking_tpu.analysis.types import Region
+
+        x, sr = gap_fixture
+        assert measure_region(x, sr, Region(99.0, 120.0)) is None

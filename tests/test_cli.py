@@ -41,7 +41,10 @@ def fixture_wav(tmp_path_factory):
 
 
 class TestResolveJobs:
-    """(ref: TestResolveJobs, main_test.go:716-737)."""
+    """(ref: TestResolveJobs, main_test.go:716-737) — plus the pipeline
+    floor: workers are device-I/O-bound here, so a small-CPU host keeps at
+    least 3 files in flight (deliberate divergence from the reference's
+    pure NumCPU bound, documented at resolve_jobs)."""
     def test_bounds(self):
         assert resolve_jobs(3, 8) == 3
         assert resolve_jobs(10, 4) == 4
@@ -57,6 +60,16 @@ class TestResolveJobs:
             ("zero files floors to one", 0, 8, 1),
         ]:
             assert resolve_jobs(nf, ncpu) == want, name
+
+    def test_pipeline_floor_on_small_hosts(self):
+        # a 1-core host still runs pipe3 when >=3 files queue: the workers
+        # wait on the accelerator, not the CPU
+        assert resolve_jobs(3, 1) == 3
+        assert resolve_jobs(10, 1) == 3
+        assert resolve_jobs(2, 1) == 2
+        assert resolve_jobs(1, 1) == 1
+        # many-core hosts keep the reference bound
+        assert resolve_jobs(16, 8) == 8
 
 
 class TestDebugSink:

@@ -402,3 +402,79 @@ class TestCanonicalKeys:
             assert elected[key] == 2.0, key
         assert elected["band_noise_dbfs"] == [-70.0] * 15
         assert elected["band_noise_measured"] is True
+
+
+class TestIntervalSidecarFlatSpectralKeys:
+    """The .intervals.jsonl rows flatten every spectral metric into
+    `spectral_*` keys with NO nested spectral object — the reference's
+    IntervalSample JSON contract (ref:
+    TestIntervalSampleJSON_PreservesFlatSpectralFields,
+    analyser_test.go:29-132)."""
+
+    def _intervals(self):
+        import numpy as np
+
+        from jivetalking_tpu.analysis.intervals import Intervals
+        from jivetalking_tpu.metering.spectral import METRIC_NAMES
+
+        n = 3
+        spectral = {k: np.asarray([i + 1.0, 0.0, i + 3.0])
+                    for i, k in enumerate(METRIC_NAMES)}
+        return Intervals(
+            timestamp=np.asarray([0.0, 0.25, 0.5]),
+            rms_level=np.full(n, -30.0),
+            peak_level=np.full(n, -20.0),
+            momentary_lufs=np.full(n, -28.0),
+            short_term_lufs=np.full(n, -28.0),
+            true_peak=np.full(n, -20.0),
+            sample_peak=np.full(n, -20.0),
+            spectral=spectral,
+            spectral_found=np.asarray([True, False, True]),
+            hop=0.25,
+        )
+
+    def test_rows_carry_thirteen_flat_keys_no_nested_object(self, tmp_path):
+        import json
+
+        from jivetalking_tpu.metering.spectral import METRIC_NAMES
+        from jivetalking_tpu.report.runrecord import (
+            _SPECTRAL_KEY,
+            write_interval_sidecar,
+        )
+
+        path = str(tmp_path / "ep.intervals.jsonl")
+        write_interval_sidecar(path, self._intervals())
+        rows = [json.loads(l) for l in open(path)]
+        assert len(rows) == 3
+        for row in rows:
+            assert "spectral" not in row      # no nested object, ever
+            for k in METRIC_NAMES:
+                assert f"spectral_{_SPECTRAL_KEY[k]}" in row, k
+
+    def test_values_roundtrip_exactly(self, tmp_path):
+        import json
+
+        from jivetalking_tpu.metering.spectral import METRIC_NAMES
+        from jivetalking_tpu.report.runrecord import (
+            _SPECTRAL_KEY,
+            write_interval_sidecar,
+        )
+
+        path = str(tmp_path / "ep.intervals.jsonl")
+        write_interval_sidecar(path, self._intervals())
+        rows = [json.loads(l) for l in open(path)]
+        for i, k in enumerate(METRIC_NAMES):
+            assert rows[0][f"spectral_{_SPECTRAL_KEY[k]}"] == i + 1.0
+            assert rows[2][f"spectral_{_SPECTRAL_KEY[k]}"] == i + 3.0
+        # the no-temp-residue publish contract holds for sidecars too
+        assert rows[0]["timestamp_s"] == 0.0
+
+    def test_atomic_publish_no_temp_residue(self, tmp_path):
+        import os
+
+        from jivetalking_tpu.report.runrecord import write_interval_sidecar
+
+        path = str(tmp_path / "ep.intervals.jsonl")
+        write_interval_sidecar(path, self._intervals())
+        assert os.path.exists(path)
+        assert [f for f in os.listdir(tmp_path) if f.endswith(".tmp")] == []
