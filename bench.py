@@ -119,10 +119,29 @@ def main() -> None:
 
     from jivetalking_tpu.pipeline import process_audio
 
-    x = make_fixture(duration, sr)
-    # s16 transfer (half the tunnel bytes; device converts) — the delivery
-    # contract is s16 anyway
-    x = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    fixture_path = os.environ.get("JT_BENCH_FIXTURE", "")
+    if fixture_path:
+        # real-fixture mode (the reference's JIVETALKING_BENCH_FIXTURE
+        # seam, internal/processor/benchmark_test.go:12-60): bench the
+        # full master on a user-supplied recording instead of the
+        # synthetic fixture.  Duration/rate come from the file; the
+        # single-file path is forced (a real episode is one file).
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        samples, meta = open_audio_file(fixture_path, raw_int16=True)
+        sr = meta.sample_rate
+        if samples.ndim == 2:  # downmix host-side for the transfer budget
+            samples = samples.mean(axis=0)
+        duration = samples.shape[-1] / sr
+        x = (samples if samples.dtype == np.int16
+             else np.clip(np.round(np.asarray(samples, np.float64) * 32768.0),
+                          -32768, 32767).astype(np.int16))
+        n_files = 1
+    else:
+        x = make_fixture(duration, sr)
+        # s16 transfer (half the tunnel bytes; device converts) — the
+        # delivery contract is s16 anyway
+        x = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
 
     # warm-up: compile everything for this shape
     process_audio(x, sr)
@@ -209,7 +228,12 @@ def main() -> None:
         # harness timeout that kills the process mid-loop still leaves the
         # completed runs' number as the last line of output.
         wall = float("inf")
-        for _ in range(3):
+        for run in range(3):
+            if fixture_path:
+                # defeat the tunnel's execute/pull content memoization
+                # without changing the audio: one low-order bit per run
+                x = x.copy()
+                x[run] ^= 1
             t0 = time.perf_counter()
             res = process_audio(x, sr)
             wall = min(wall, time.perf_counter() - t0)
