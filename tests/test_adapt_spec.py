@@ -392,3 +392,95 @@ class TestClampPattern:
     @pytest.mark.parametrize("name,val,lo,hi,want", CASES)
     def test_vectors(self, name, val, lo, hi, want):
         assert clamp(val, lo, hi) == want, name
+
+
+class TestGateFixedParamInvarianceMatrices:
+    """(ref: TestTuneSpeechGate's 'attack is fixed' :668, 'detection is
+    fixed rms' :698, 'knee is fixed' :733, 'release is fixed regardless of
+    flux, ZCR, and LRA' :841 subtables) — the collapsed gate basis: none
+    of the former adaptive inputs (transients, flux, ZCR, room-tone
+    entropy/crest, spectral crest, LRA) moves attack/release/knee/
+    detection any more.  Every reference row reproduced."""
+
+    def _gate(self, m):
+        cfg = default_filter_config()
+        tune_speech_gate(cfg, AdaptiveDiagnostics(), m)
+        return cfg.speech_gate
+
+    @pytest.mark.parametrize("name,max_diff,flux", [
+        ("sharp transients", 0.3, 1.0),
+        ("gentle low flux", 0.05, 0.02),
+        ("moderate flux", 0.15, 0.1),
+    ])
+    def test_attack_fixed_across_transient_profiles(self, name, max_diff, flux):
+        m = AudioMeasurements()
+        m.spectral = SpectralMetrics(flux=flux)
+        m.dynamics.max_difference = max_diff
+        m.noise.floor = -55.0
+        assert self._gate(m).attack == 5.0, name
+
+    @pytest.mark.parametrize("name,entropy,crest", [
+        ("tonal noise", 0.2, 10.0),
+        ("transient bleed", 0.5, 28.0),
+        ("would-be-clean recording", 0.8, 8.0),
+    ])
+    def test_detection_fixed_rms_across_room_tones(self, name, entropy, crest):
+        m = AudioMeasurements()
+        m.noise.floor = -55.0
+        m.vad.noise_profile = NoiseProfile(
+            peak_level=-55.0, crest_factor=crest, entropy=entropy)
+        assert self._gate(m).detection == "rms", name
+
+    @pytest.mark.parametrize("name,crest", [
+        ("high crest", 40.0),
+        ("moderate crest", 25.0),
+        ("low crest", 10.0),
+    ])
+    def test_knee_fixed_across_spectral_crest(self, name, crest):
+        m = AudioMeasurements()
+        m.spectral = SpectralMetrics(crest=crest)
+        m.noise.floor = -55.0
+        m.loudness.input_lra = 15.0
+        assert self._gate(m).knee == 3.0, name
+
+    @pytest.mark.parametrize("name,flux,zcr,lra", [
+        ("sustained speech, wide LRA", 0.005, 0.05, 15.0),
+        ("standard speech, wide LRA", 0.02, 0.20, 15.0),
+        ("sustained speech, very low LRA", 0.005, 0.05, 7.0),
+        ("standard speech, low LRA", 0.02, 0.20, 9.0),
+    ])
+    def test_release_fixed_across_flux_zcr_lra(self, name, flux, zcr, lra):
+        m = AudioMeasurements()
+        m.spectral = SpectralMetrics(flux=flux)
+        m.dynamics.zero_crossings_rate = zcr
+        m.noise.floor = -55.0
+        m.loudness.input_lra = lra
+        m.vad.noise_profile = NoiseProfile(
+            peak_level=-50.0, crest_factor=15.0, entropy=0.005)
+        assert self._gate(m).release == 200.0, name
+
+    def test_no_profile_safety_path_threshold_in_bounds(self):
+        # (ref: TestTuneSpeechGateNewBasis 'no profile: no-profile safety
+        # path cannot place an in-speech threshold' :1106) — with no
+        # voiced population the threshold anchors to the noise floor and
+        # stays inside the global clamps
+        from jivetalking_tpu.adaptive.adapt import (
+            GATE_THRESHOLD_MAX_DB,
+            GATE_THRESHOLD_MIN_DB,
+        )
+
+        m = AudioMeasurements()
+        m.loudness.input_i = -22.0
+        m.loudness.input_lra = 14.0
+        m.noise.floor = -55.0
+        cfg = default_filter_config()
+        diag = AdaptiveDiagnostics()
+        tune_speech_gate(cfg, diag, m)
+        got_db = linear_to_db(cfg.speech_gate.threshold)
+        assert GATE_THRESHOLD_MIN_DB <= got_db <= GATE_THRESHOLD_MAX_DB
+        # voiced-anchored diagnostics stay fresh on the no-profile path
+        assert not diag.speech_gate_narrow_gap
+        assert diag.speech_gate_quiet_speech_estimate == 0.0
+        assert diag.speech_gate_speech_separation == 0.0
+        # the no-profile path keeps the full fixed depth
+        assert diag.speech_gate_depth_db == 14.0
