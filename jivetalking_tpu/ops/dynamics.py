@@ -38,19 +38,19 @@ def envelope_coeff(ms: float, sample_rate: float) -> float:
     return min(1.0, 4000.0 / (ms * sample_rate))
 
 
-_LR_BLOCK = 65536
+_LR_LANE = 128
 
 
 def _ab_prefix(A: jnp.ndarray, B: jnp.ndarray, length: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Inclusive Hillis-Steele prefix of the first-order-recurrence monoid
     (A1,B1)∘(A2,B2) = (A1·A2, A2·B1+B2) along the last axis.
 
-    Deliberately the FLAT form: a work-efficient radix-R recursion (prefix
-    within (…, m, R) groups, recurse on aggregates) reads as ~4.6 HBM
-    passes on paper but a last axis of R=8 wastes 15/16 of every (8, 128)
-    TPU memory tile — measured 2026-08-17 it made the four stage-A
-    followers 1.14 s of device time (~10x the flat form).  Don't
-    "optimise" this without a trace."""
+    Used over SHORT last axes only (the 128-lane rows and the carry
+    recursions of `linear_recurrence`).  A radix-R recursion with a SMALL
+    trailing axis is a TPU layout trap: a last axis of R=8 wastes 15/16 of
+    every (8, 128) memory tile — measured 2026-08-17 it made the four
+    stage-A followers 1.14 s of device time.  The lane-major form below is
+    safe because its trailing axis is exactly the 128-lane tile."""
     s = 1
     pad0 = [(0, 0)] * (A.ndim - 1)
     while s < length:
@@ -63,36 +63,47 @@ def _ab_prefix(A: jnp.ndarray, B: jnp.ndarray, length: int) -> tuple[jnp.ndarray
 
 def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, y0: float | jnp.ndarray = 0.0) -> jnp.ndarray:
     """Solve y[t] = a[t] * y[t-1] + b[t] with y[-1] = y0 along the LAST axis
-    (leading axes batch): two-level parallel prefix — Hillis-Steele inside
-    64k blocks, then a tiny cross-block carry prefix.
+    (leading axes batch): lane-major two-level parallel prefix —
+    Hillis-Steele along 128-sample rows, recursing on the row carries.
 
     Formulation chosen for the TPU AOT compiler as much as the TPU itself:
     a flat `associative_scan` over the full signal unrolls ~2*log2(n)
     full-array HLO stages PER CALL and the compile helper gets OOM-killed
-    on programs with several of them (measured 2026-08-16).  The blocked
-    form keeps the program size O(log block), independent of signal
-    length.  No `lax.scan` over blocks either: on the TPU each while-loop
-    iteration costs ~1 ms of dispatch overhead, so a 220-block scan burnt
-    ~270 ms per follower (profiled 2026-08-16); the cross-block carries
-    are themselves a first-order recurrence over ~220 elements, solved
-    with the same prefix in O(log m) tiny stages."""
+    on programs with several of them (measured 2026-08-16).  No `lax.scan`
+    over blocks either: each while-loop iteration costs ~1 ms of dispatch
+    overhead (a 220-block scan burnt ~270 ms per follower, 2026-08-16).
+
+    Lane-major (round 4): viewing the flat signal as (rows, 128) is a
+    FREE relayout (eight 128-lane rows = exactly one T(1024) tile), the
+    in-row prefix is log2(128)=7 full passes instead of the flat form's
+    log2(65536)=16, and the (rows,) carry recurrence recurses on arrays
+    128x smaller.  Measured on the 300 s follower workload
+    (scripts/bench_follower_variants.py): 205.5 ms -> 133.4 ms (1.54x);
+    outputs differ from the flat form only by f32 association (~2e-7)."""
     n = a.shape[-1]
     lead = a.shape[:-1]
     b = b.at[..., 0].add(a[..., 0] * y0)
-    block = _LR_BLOCK
-    if n <= block:
+    return _lr_lane(a, b)
+
+
+def _lr_lane(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    if n <= _LR_LANE:
         return _ab_prefix(a, b, n)[1]
-    m = -(-n // block)
-    pad = m * block - n
+    m = -(-n // _LR_LANE)
+    pad = m * _LR_LANE - n
     if pad:
         a = jnp.concatenate([a, jnp.ones((*lead, pad), a.dtype)], axis=-1)
         b = jnp.concatenate([b, jnp.zeros((*lead, pad), b.dtype)], axis=-1)
-    A2, B2 = _ab_prefix(a.reshape(*lead, m, block), b.reshape(*lead, m, block), block)
-    # carries: y at each block's end obeys the same recurrence over blocks
-    _, Bc = _ab_prefix(A2[..., -1], B2[..., -1], m)
-    carry = jnp.concatenate([jnp.zeros_like(Bc[..., :1]), Bc[..., :-1]], axis=-1)
+    A2, B2 = _ab_prefix(a.reshape(*lead, m, _LR_LANE),
+                        b.reshape(*lead, m, _LR_LANE), _LR_LANE)
+    # carries: y at each row's end obeys the same recurrence over rows —
+    # recurse on the 128x-smaller carry arrays
+    yc = _lr_lane(A2[..., -1], B2[..., -1])
+    carry = jnp.concatenate([jnp.zeros_like(yc[..., :1]), yc[..., :-1]], axis=-1)
     y = B2 + A2 * carry[..., None]
-    return y.reshape(*lead, m * block)[..., :n]
+    return y.reshape(*lead, m * _LR_LANE)[..., :n]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

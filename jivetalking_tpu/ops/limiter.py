@@ -50,7 +50,7 @@ def _sliding_min_lookahead(x: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.minimum(suffix, prefix).reshape(-1)[:n]
 
 
-_MP_BLOCK = 65536
+_MP_LANE = 128
 
 
 _MP_NEG = -3.0e38
@@ -58,9 +58,9 @@ _MP_NEG = -3.0e38
 
 def _mp_prefix(P: jnp.ndarray, c, length: int) -> jnp.ndarray:
     """Inclusive max-plus prefix w[t] = max(P[t], w[t-1] + c) along the last
-    axis (Hillis-Steele; step s adds s*c).  Deliberately the FLAT form —
-    see dynamics._ab_prefix for why a radix-R recursion is a TPU layout
-    trap (measured 2026-08-17)."""
+    axis (Hillis-Steele; step s adds s*c).  Used over SHORT last axes only
+    (the 128-lane rows / carry recursions below) — see dynamics._ab_prefix
+    for why a SMALL-trailing-axis radix recursion is a TPU layout trap."""
     s = 1
     pad0 = [(0, 0)] * (P.ndim - 1)
     while s < length:
@@ -71,33 +71,39 @@ def _mp_prefix(P: jnp.ndarray, c, length: int) -> jnp.ndarray:
 
 
 def _maxplus_prefix(v: jnp.ndarray, c) -> jnp.ndarray:
-    """w[t] = max(v[t], w[t-1] + c) with w[-1] = -inf: two-level max-plus
-    parallel prefix — Hillis-Steele inside 64k blocks, then a tiny
-    cross-block carry prefix (shift block*c per block step).  The blocked
-    form keeps the program size O(log block) — a flat associative scan
-    over the signal OOM-kills the AOT compile helper — and keeps the
-    additive offsets small (|t_local * c| <= block/release), where the
-    flat log-domain trick pushed t*c to ~3000 at float32's edge.  No
-    `lax.scan` over blocks: TPU while-loop iterations cost ~1 ms each in
-    dispatch overhead (profiled 2026-08-16)."""
-    n = v.shape[0]
-    block = _MP_BLOCK
+    """w[t] = max(v[t], w[t-1] + c) with w[-1] = -inf: lane-major two-level
+    max-plus parallel prefix — Hillis-Steele along 128-sample rows (a FREE
+    relayout: eight 128-lane rows = one T(1024) tile; log2(128)=7 full
+    passes instead of a flat form's 16), recursing on the row carries with
+    the per-row step 128*c.  Program size stays O(log n) — a flat
+    associative scan over the signal OOM-kills the AOT compile helper —
+    and the in-row additive offsets stay tiny (|s*c| <= 64/release).  The
+    carry recursion's deepest offsets reach n*c exactly as the old 64k
+    carry stage did: max-plus just saturates those to the floor, i.e. the
+    older value decays to irrelevance, which is the limiter semantics.
+    No `lax.scan` over blocks: TPU while-loop iterations cost ~1 ms each
+    in dispatch overhead (profiled 2026-08-16)."""
+    v = v.astype(jnp.float32)
+    c = jnp.float32(c)
     neg = jnp.float32(_MP_NEG)
+    lead = v.shape[:-1]
 
-    if n <= block:
+    n = v.shape[-1]
+    if n <= _MP_LANE:
         return _mp_prefix(v, c, n)
-
-    m = -(-n // block)
-    pad = m * block - n
+    m = -(-n // _MP_LANE)
+    pad = m * _MP_LANE - n
     if pad:
-        v = jnp.concatenate([v, jnp.full(pad, neg, v.dtype)])
-    P = _mp_prefix(v.reshape(m, block), c, block)
-    # carries: w at block ends obey w_i = max(P_i[-1], w_{i-1} + block*c)
-    Cl = _mp_prefix(P[:, -1], block * c, m)
-    carry = jnp.concatenate([jnp.full((1,), neg), Cl[:-1]])
-    steps = jnp.arange(1, block + 1, dtype=jnp.float32) * c
-    w = jnp.maximum(P, carry[:, None] + steps[None, :])
-    return w.reshape(m * block)[:n]
+        v = jnp.concatenate(
+            [v, jnp.full((*lead, pad), neg, v.dtype)], axis=-1)
+    P = _mp_prefix(v.reshape(*lead, m, _MP_LANE), c, _MP_LANE)
+    # carries: w at row ends obey w_i = max(P_i[-1], w_{i-1} + 128*c)
+    Cl = _maxplus_prefix(P[..., -1], _MP_LANE * c)
+    carry = jnp.concatenate(
+        [jnp.full((*lead, 1), neg), Cl[..., :-1]], axis=-1)
+    steps = jnp.arange(1, _MP_LANE + 1, dtype=jnp.float32) * c
+    w = jnp.maximum(P, carry[..., None] + steps)
+    return w.reshape(*lead, m * _MP_LANE)[..., :n]
 
 
 def limiter_core(

@@ -534,6 +534,32 @@ def batched_master_chunked(
     w_carry = dput(jnp.full(b, -3.0e38, jnp.float32), shard1)
     zeros_hb = dput(jnp.zeros((b, hb), jnp.float32), shard)
     zchunks, packed_z, out_chunks = [], [], []
+    if out_rate != sr:
+        half = taps // 2
+        slack = taps + 2 * M
+        res_r = _resample_v(L, M, taps, C)
+        zeros_half = dput(jnp.zeros((b, half), jnp.float32), shard)
+        zeros_slack = dput(jnp.zeros((b, slack), jnp.float32), shard)
+
+    def emit_delivery(j):
+        # delivery slab for chunk j (one behind the B stream when
+        # resampling — it needs the right neighbour); the host pull starts
+        # IMMEDIATELY so the multi-MB downlink overlaps the remaining
+        # B/partials compute instead of queueing after it — the same
+        # pattern as the single-file chunked master's emit_delivery
+        # (pipeline/fused_chunked.py), which measured the batch path's
+        # biggest wire stall (BENCH_NOTES 2026-08-18: 4x300 s at 35.1x
+        # with the whole delivery serialised after compute)
+        if out_rate != sr:
+            left = zchunks[j - 1][:, -half:] if j > 0 else zeros_half
+            right = (zchunks[j + 1][:, :slack] if j + 1 < n_chunks
+                     else zeros_slack)
+            c = res_r(left, zchunks[j], right, B)
+        else:
+            c = _quant_s16(zchunks[j])
+        c.copy_to_host_async()
+        out_chunks.append(c)
+
     for k in range(n_chunks):
         left = pchunks[k - 1][:, -hb:] if k > 0 else zeros_hb
         right = pchunks[k + 1][:, :hb] if k + 1 < n_chunks else zeros_hb
@@ -543,20 +569,10 @@ def batched_master_chunked(
         packed_z.append(partials_r(jnp.concatenate([zl, z_k], axis=1),
                                    jnp.int32(k * C), n_tot, noise_b, speech_b,
                                    kw_ir, tp_bank))
+        if k >= 1:
+            emit_delivery(k - 1)
         report(0.70 + 0.20 * (k + 1) / n_chunks)
-
-    if out_rate != sr:
-        half = taps // 2
-        slack = taps + 2 * M
-        res_r = _resample_v(L, M, taps, C)
-        zeros_half = dput(jnp.zeros((b, half), jnp.float32), shard)
-        zeros_slack = dput(jnp.zeros((b, slack), jnp.float32), shard)
-        for k in range(n_chunks):
-            left = zchunks[k - 1][:, -half:] if k > 0 else zeros_half
-            right = zchunks[k + 1][:, :slack] if k + 1 < n_chunks else zeros_slack
-            out_chunks.append(res_r(left, zchunks[k], right, B))
-    else:
-        out_chunks = [_quant_s16(z) for z in zchunks]
+    emit_delivery(n_chunks - 1)
 
     for p in packed_z:
         p.copy_to_host_async()

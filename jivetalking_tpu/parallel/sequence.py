@@ -117,10 +117,10 @@ def sharded_maxplus_prefix(v: jnp.ndarray, c, axis_name: str) -> jnp.ndarray:
     `axis_name` (local shape (n_local,) per batch row handled by vmap
     outside); exact sequence-parallel form of the limiter's log-domain
     release prefix (ops/limiter._maxplus_prefix)."""
-    from ..ops.limiter import _mp_prefix
+    from ..ops.limiter import _maxplus_prefix
 
     n_local = v.shape[-1]
-    w_local = _mp_prefix(v, c, n_local)
+    w_local = _maxplus_prefix(v, c)
     # carry shifted by each position's distance from the shard start:
     # w[t] = max(w_local[t], carry_in + (t+1)*c)
     P_end = w_local[..., -1]

@@ -73,7 +73,7 @@ from ..ops.dynamics import (
     envelope_coeff,
     gate_gain,
 )
-from ..ops.limiter import _EPS, _LOG_FLOOR, _mp_prefix, _sliding_min_lookahead
+from ..ops.limiter import _EPS, _LOG_FLOOR, _maxplus_prefix, _sliding_min_lookahead
 from ..ops.nlm import _nlm_core
 from ..ops.resample import _banded_bank
 from ..ops.spectral_gate import afftdn_ext, noise_profile_ingraph
@@ -439,7 +439,7 @@ def _limit_chunk(y_k, y_next_head, pre_gain_lin, limit_lin, w_in,
     c = -1.0 / release
     v = 1.0 - target
     wv = jnp.log(jnp.maximum(v, jnp.exp(_LOG_FLOOR)))
-    w_local = _mp_prefix(wv, c, C)
+    w_local = _maxplus_prefix(wv, c)
     steps = (jnp.arange(C, dtype=jnp.float32) + 1.0) * c
     w = jnp.maximum(w_local, w_in + steps)
     u = jnp.exp(jnp.minimum(w, 0.0))
@@ -473,7 +473,7 @@ def _b_chunk(p_left, p_k, p_right, offset_lin, brick_lin, w_in,
     target = _sliding_min_lookahead(needed, brick_lookahead)[:C]
     c = -1.0 / release
     wv = jnp.log(jnp.maximum(1.0 - target, jnp.exp(_LOG_FLOOR)))
-    w_local = _mp_prefix(wv, c, C)
+    w_local = _maxplus_prefix(wv, c)
     steps = (jnp.arange(C, dtype=jnp.float32) + 1.0) * c
     w = jnp.maximum(w_local, w_in + steps)
     u = jnp.exp(jnp.minimum(w, 0.0))

@@ -44,7 +44,13 @@ _SPINNER = "⠋⠙⠹⠸⠼⠴⠦⠧⠇⠏"
 _BAR_WIDTH = 24
 _TIMELINE_WIDTH = 8          # mini dot timeline cells (ref: views.go:229)
 _METER_WIDTH = 30
-_METER_FLOOR_DB = -60.0      # mirrored from the reference's meter floor
+# The meter silence floor, mirrored from the reference's ui.meterFloorDB
+# = -70.0 (model.go:93) and its processor-side mirror meterLevelFloorDB
+# (encoder.go:223-226) — the reference deliberately LOWERED this from -60
+# so quiet room tone at -65 dB reads through instead of flooring
+# (encoder_level_test.go:42-93); pinned by
+# tests/test_ui_geometry.py::TestMeterFloorMirror.
+_METER_FLOOR_DB = -70.0
 _PEAK_HOLD_SECS = 1.0
 _PEAK_DECAY_DB = 1.5         # per tick once the hold lapses
 _EASE = 0.35                 # spring factor per tick toward the target

@@ -559,10 +559,11 @@ class TestMeterReferenceInvariants:
         assert "┃" in bar  # the peak tick renders inside, not past the cap
 
     def test_no_peak_marker_at_floor(self):
-        # (ref: TestMeterNoPeakMarkerAtFloor :341)
-        from jivetalking_tpu.ui.live import render_meter
+        # (ref: TestMeterNoPeakMarkerAtFloor :341; floor = -70, the
+        # reference's ui.meterFloorDB — encoder_level_test.go:42-93)
+        from jivetalking_tpu.ui.live import _METER_FLOOR_DB, render_meter
 
-        row = render_meter(-60.0, -60.0)
+        row = render_meter(_METER_FLOOR_DB, _METER_FLOOR_DB)
         assert "┃" not in row
         assert "—" in row  # silent header placeholder
 

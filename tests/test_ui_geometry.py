@@ -284,3 +284,72 @@ class TestStatusBoxJoin:
         joined = _boxes_for(_summary())
         for line in joined:
             assert _disp_width(line) == _disp_width(joined[0])
+
+
+class TestStatusBoxDeterminism:
+    """(ref: TestStatusBoxCacheByteIdentical :492 and the cache
+    invalidation family, statusboxes_test.go) — this design re-renders
+    every tick instead of caching, so the portable contract is purity: the
+    same summary renders byte-identically every time, and a changed
+    summary changes the bytes."""
+
+    def test_same_summary_renders_byte_identical(self):
+        from jivetalking_tpu.ui.statusbox import (
+            render_analysis_box,
+            render_filter_chain_box,
+        )
+
+        s = _summary()
+        assert render_filter_chain_box(s) == render_filter_chain_box(s)
+        assert render_analysis_box(s) == render_analysis_box(s)
+        assert _boxes_for(s) == _boxes_for(s)
+
+    def test_changed_summary_changes_bytes(self):
+        from dataclasses import replace
+
+        from jivetalking_tpu.ui.statusbox import render_filter_chain_box
+
+        s = _summary()
+        s2 = replace(s, gate_thresh_db=s.gate_thresh_db - 6.0)
+        assert render_filter_chain_box(s) != render_filter_chain_box(s2)
+
+
+class TestMeterFloorMirror:
+    """(ref: TestCalculateFrameLevelFloorsAtMeterFloor +
+    TestCalculateFrameLevelBelowOldMinus60Floor,
+    encoder_level_test.go:42-93) — the meter floor is -70 dB, matching the
+    reference's deliberate move off the old -60 clamp: quiet audio at
+    -65 dB reads through; below-floor and silent levels clamp at -70
+    without -inf garbage."""
+
+    def test_floor_constant_is_minus_seventy(self):
+        assert _METER_FLOOR_DB == -70.0
+
+    def test_minus_65_reads_through(self):
+        row = FileRow(path="x", stage="processing")
+        row.levels = np.full(8, -65.0)
+        row.fraction = row.disp_fraction = 0.5
+        t = 0.0
+        for _ in range(80):
+            t += 1 / 15
+            _advance_meter(row, t)
+        # the old -60 floor would have pinned this at -60
+        assert row.meter_db == pytest.approx(-65.0, abs=0.3)
+        assert row.meter_db < -60.0
+
+    def test_below_floor_clamps_to_minus_seventy(self):
+        for target in (-90.0, -300.0, -float("inf")):
+            row = FileRow(path="x", stage="processing")
+            row.levels = np.full(8, target)
+            row.fraction = row.disp_fraction = 0.5
+            t = 0.0
+            for _ in range(80):
+                t += 1 / 15
+                _advance_meter(row, t)
+            assert np.isfinite(row.meter_db), target
+            assert row.meter_db >= _METER_FLOOR_DB - 1e-9, target
+
+    def test_render_at_minus_65_shows_value_not_placeholder(self):
+        out = render_meter(-65.0, -65.0)
+        assert "-65.0 dB" in out
+        assert "—" not in out
