@@ -238,6 +238,79 @@ class TestLevellingCompressor:
         )
 
 
+class TestLevellingCompressorGuardMatrix:
+    """The full-file-RMS floor's guard matrix and the peak-fallback edge
+    cases (ref: TestTuneLevellingCompressorThresholdFullFileRMSFloor,
+    adaptive_test.go:1504-1579; ...AcceptsZeroDBPeak :1478;
+    ...FallsBackForInvalidPeak :1491; ...ClampedHigh/Low :1433-1463)."""
+
+    OFFSET = 9.0  # levellingCompressorThresholdSpeechOffsetDB
+
+    @pytest.mark.parametrize(
+        "name,speech_rms,full_file_rms,want",
+        [
+            ("speech above full-file (floor inert)", -24.0, -40.0, -15.0),
+            ("speech below full-file (floor engaged)", -50.0, -40.0, -31.0),
+            ("NaN full-file falls back to speech", -24.0, math.nan, -15.0),
+            ("+Inf full-file falls back to speech", -24.0, math.inf, -15.0),
+            ("-Inf full-file falls back to speech", -24.0, -math.inf, -15.0),
+            ("zero full-file (unmeasured astats) falls back", -24.0, 0.0, -15.0),
+            ("floor then clamp ceiling", -50.0, -8.0, -6.0),
+        ],
+    )
+    def test_full_file_rms_floor_guards(self, name, speech_rms, full_file_rms, want):
+        from jivetalking_tpu.adaptive.adapt import tune_levelling_compressor
+
+        m = _measurements(speech_rms=speech_rms)
+        m.dynamics.rms_level = full_file_rms
+        cfg = default_filter_config()
+        tune_levelling_compressor(cfg, m)
+        assert cfg.levelling_compressor.threshold == pytest.approx(want, abs=1e-3), name
+
+    def test_speech_rms_clamped_high(self):
+        # RMS -10 + 9 = -1, above the -6 ceiling (full-file RMS below, inert)
+        from jivetalking_tpu.adaptive.adapt import tune_levelling_compressor
+
+        m = _measurements(speech_rms=-10.0, rms_level=-20.0)
+        cfg = default_filter_config()
+        tune_levelling_compressor(cfg, m)
+        assert cfg.levelling_compressor.threshold == pytest.approx(-6.0, abs=1e-3)
+
+    def test_speech_rms_clamped_low_with_nan_full_file(self):
+        # -60 + 9 = -51 below the -45 floor; NaN full-file keeps the floor out
+        from jivetalking_tpu.adaptive.adapt import tune_levelling_compressor
+
+        m = _measurements(speech_rms=-60.0)
+        m.dynamics.rms_level = math.nan
+        cfg = default_filter_config()
+        tune_levelling_compressor(cfg, m)
+        assert cfg.levelling_compressor.threshold == pytest.approx(-45.0, abs=1e-3)
+
+    def test_accepts_zero_db_peak(self):
+        # a 0 dBFS peak is a legitimate measurement: 0 - 20 = -20
+        from jivetalking_tpu.adaptive.adapt import tune_levelling_compressor
+
+        m = _measurements(with_speech=False)
+        m.dynamics.peak_level = 0.0
+        cfg = default_filter_config()
+        tune_levelling_compressor(cfg, m)
+        assert cfg.levelling_compressor.threshold == pytest.approx(-20.0, abs=1e-3)
+
+    @pytest.mark.parametrize("bad_peak", [math.nan, math.inf, -math.inf])
+    def test_invalid_peak_falls_back_to_default(self, bad_peak):
+        from jivetalking_tpu.adaptive.adapt import (
+            COMP_DEFAULT_THRESHOLD,
+            tune_levelling_compressor,
+        )
+
+        m = _measurements(with_speech=False)
+        m.dynamics.peak_level = bad_peak
+        cfg = default_filter_config()
+        tune_levelling_compressor(cfg, m)
+        assert cfg.levelling_compressor.threshold == pytest.approx(
+            COMP_DEFAULT_THRESHOLD, abs=1e-3)
+
+
 class TestSanitize:
     def test_nan_threshold_reset(self):
         m = _measurements()
