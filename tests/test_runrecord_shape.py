@@ -478,3 +478,172 @@ class TestIntervalSidecarFlatSpectralKeys:
         write_interval_sidecar(path, self._intervals())
         assert os.path.exists(path)
         assert [f for f in os.listdir(tmp_path) if f.endswith(".tmp")] == []
+
+
+class TestZeroValuedSpectralFieldsSurvive:
+    """(ref: TestRunRecordNoiseProfileSpectralFieldsZeroValued,
+    runrecord_tags_test.go:224-283): zero-valued spectral fields must
+    serialise as numeric 0, never drop (the reference's old `,omitempty`
+    regression) and never null."""
+
+    def test_zeroed_representative_spread_stays_numeric(self):
+        from jivetalking_tpu.metering.spectral import METRIC_NAMES, SpectralMetrics
+
+        res = fully_populated_result()
+        vals = {k: 2.0 for k in METRIC_NAMES}
+        for z in ("variance", "skewness", "flux", "decrease"):
+            vals[z] = 0.0
+        res.measurements.vad.noise_profile.spectral = SpectralMetrics(
+            **vals, found=True)
+        tree = roundtrip(new_run_record("ep.wav", res))
+        elected = tree["regions"]["room_tone"]["elected"]
+        from jivetalking_tpu.report.runrecord import _SPECTRAL_KEY
+        for k in METRIC_NAMES:
+            key = f"spectral_{_SPECTRAL_KEY[k]}"
+            assert key in elected, key
+        for z in ("variance", "skewness", "flux", "decrease"):
+            got = elected[f"spectral_{_SPECTRAL_KEY[z]}"]
+            assert got == 0 and isinstance(got, (int, float)), z
+
+
+class TestRegionSampleBlockHasNoElectionKeys:
+    """(ref: TestRegionSampleJSON_HasNoElectionFields,
+    runrecord_tags_test.go:284-343): the bare per-stage output samples
+    (regions.<kind>.samples.<stage>) carry only amplitude/spectral/loudness
+    keys — no scoring/voicing/band keys that would read as a real
+    measurement when stale-zero."""
+
+    ELECTION_KEYS = [
+        "score", "stability_score", "voicing_density",
+        "speech_band_body_rms_dbfs", "speech_band_sib_rms_dbfs",
+        "speech_bands_measured", "transient_warning",
+    ]
+    MEASUREMENT_KEYS = [
+        "rms_level_dbfs", "peak_level_dbfs", "crest_factor_db",
+        "momentary_lufs", "short_term_lufs", "true_peak_dbtp",
+        "sample_peak_dbfs",
+    ]
+
+    def _sample_blocks(self):
+        tree = roundtrip(new_run_record("ep.wav", fully_populated_result()))
+        for kind in ("room_tone", "speech"):
+            for stage, block in tree["regions"][kind]["samples"].items():
+                yield f"{kind}.{stage}", block
+
+    def test_no_election_keys(self):
+        found_any = False
+        for where, block in self._sample_blocks():
+            found_any = True
+            for key in self.ELECTION_KEYS:
+                assert key not in block, f"{where} emits election key {key}"
+        assert found_any
+
+    def test_measurement_keys_present(self):
+        for where, block in self._sample_blocks():
+            for key in self.MEASUREMENT_KEYS:
+                assert key in block, f"{where} missing {key}"
+            # spectral content nests under one typed block with the
+            # dimensioned centroid key (ref asserts centroid_hz present)
+            assert "centroid_hz" in block["spectral"], where
+
+
+class TestFiltersBlockCanonicalKeys:
+    """(ref: TestEffectiveFilterConfigJSON_HasCanonicalKeys,
+    runrecord_tags_test.go:343-395).  The repo's schema-v1 filters block
+    carries the six adaptive families plus adeclick and loudnorm (this
+    schema records the FULL effective config — a deliberate widening of the
+    reference's block, which assembles loudnorm into `normalisation`
+    instead), with the gate threshold/range converted to honest dB."""
+
+    def keys(self):
+        tree = roundtrip(new_run_record("ep.wav", fully_populated_result()))
+        ks: set = set()
+        collect_json_keys(tree["filters"], ks)
+        return ks, tree["filters"]
+
+    def test_families_and_param_keys_present(self):
+        ks, _ = self.keys()
+        for key in (
+            "rumble_highpass", "bandlimit_lowpass", "noise_reduction",
+            "speech_gate", "levelling_compressor", "deesser", "adeclick",
+            "loudnorm",
+            # gate — dB-converted forms
+            "threshold_dbfs", "range_db", "ratio", "attack", "release",
+            "knee", "makeup", "detection",
+            # biquads
+            "frequency", "poles", "width", "mix", "transform",
+            # noise reduction
+            "strength", "patch_sec", "research_sec", "smooth",
+            "afftdn_noise_reduction", "afftdn_noise_type",
+            "afftdn_track_noise", "afftdn_band_noise",
+            # deesser
+            "intensity", "amount",
+        ):
+            assert key in ks, f"missing filters key {key}"
+
+    def test_raw_linear_gate_fields_absent(self):
+        # the linear threshold/range must NOT leak beside the dB forms
+        _, block = self.keys()
+        g = block["speech_gate"]
+        assert "threshold" not in g
+        assert "range" not in g
+
+    def test_filter_order_plumbing_excluded(self):
+        ks, _ = self.keys()
+        assert "filter_order" not in ks
+        assert "FilterOrder" not in ks
+
+    def test_diagnostics_nested_with_reason_strings(self):
+        # (ref: TestAdaptiveDiagnosticsJSON_HasCanonicalKeys :395-433 —
+        # reason/clamp strings are retained processing state)
+        _, block = self.keys()
+        d = block["diagnostics"]
+        for key in (
+            "bandlimit_lp_reason", "speech_gate_depth_db",
+            "speech_gate_quiet_speech_estimate",
+            "speech_gate_speech_separation", "speech_gate_speech_headroom",
+            "speech_gate_threshold_unclamped", "speech_gate_clamp_reason",
+            "afftdn_enabled", "afftdn_disable_reason",
+            "afftdn_noise_floor_db", "afftdn_noise_type",
+        ):
+            assert key in d, f"missing diagnostics key {key}"
+        # legacy aggression vocabulary never existed in this schema
+        for key in ("aggression", "aggression_index", "separation"):
+            assert key not in d, key
+
+
+class TestNormalisationBlockCanonicalKeys:
+    """(ref: TestNormalisationResultJSON_HasCanonicalKeys,
+    runrecord_tags_test.go:433-480): the normalisation block speaks the
+    dimensioned vocabulary; final-stage measurements are assembled into the
+    per-stage loudness/dynamics/spectral blocks, never duplicated here."""
+
+    WANT_PRESENT = [
+        "input_lufs", "input_dbtp", "output_lufs", "output_dbtp",
+        "gain_applied_db", "within_target", "skipped",
+        "requested_target_lufs", "effective_target_lufs",
+        "linear_mode_forced", "limiter_enabled", "ceiling_dbtp",
+        "gain_db", "filtered_dbtp", "pre_gain_db", "limiter_clamped",
+    ]
+    WANT_ABSENT = [
+        "final_measurements", "FinalMeasurements",
+        "InputLUFS", "LimiterCeiling", "PreGainDB", "EffectiveTargetI",
+        "GainApplied", "gain_applied", "limiter_ceiling",
+        "effective_target_i",
+    ]
+
+    def test_vocabulary(self):
+        tree = roundtrip(new_run_record("ep.wav", fully_populated_result()))
+        block = tree["normalisation"]
+        for key in self.WANT_PRESENT:
+            assert key in block, f"missing normalisation key {key}"
+        for key in self.WANT_ABSENT:
+            assert key not in block, f"must not emit {key}"
+
+    def test_final_stage_lands_in_stage_blocks_not_here(self):
+        tree = roundtrip(new_run_record("ep.wav", fully_populated_result()))
+        # the final OutputMeasurements reach the per-stage sample blocks
+        assert "final" in tree["regions"]["speech"]["samples"]
+        # and nothing measurement-shaped nests inside normalisation
+        assert all(not isinstance(v, dict)
+                   for v in tree["normalisation"].values())
