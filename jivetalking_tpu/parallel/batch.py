@@ -412,7 +412,20 @@ def process_back_catalogue(
     }
     results = []
     buckets = bucket_files(entries, chunk_len_for)
-    for bi, idxs in enumerate(buckets):
+    # Cap the file axis per device dispatch: a catalogue bucket can hold
+    # dozens of episodes, and the vmapped chunk programs' intermediates
+    # scale with the batch width (the per-chunk NLM/weight fields and the
+    # follower state all carry a leading b axis) — HBM on real slices and
+    # the CPU executor in the test mesh both want a bound.  Measured
+    # 2026-08-19: a b=30 vmapped master aborted XLA:CPU's ThunkExecutor
+    # outright; b<=16 (2 rows/chip on a v5e-8) runs everywhere.  Slabs of
+    # one bucket share the same compiled programs (same (rate, n_chunks,
+    # flags) key), so splitting costs no extra compiles.
+    max_b = int(os.environ.get("JT_MAX_BUCKET_FILES", "16"))
+    slabs = [(bi, idxs[s : s + max_b])
+             for bi, idxs in enumerate(buckets)
+             for s in range(0, len(idxs), max_b)]
+    for si, (bi, idxs) in enumerate(slabs):
         group = [entries[i] for i in idxs]
         sr = group[0]["sample_rate"]
         out_rate = group[0]["eff"].resample.sample_rate or 44100
@@ -421,10 +434,10 @@ def process_back_catalogue(
             outs, rate, metrics_list, timings = batched_master_chunked(
                 [g["m"] for g in group], [g["eff"] for g in group], sr,
                 out_rate=out_rate, mesh=_shrink_mesh_for(mesh, len(group)),
-                progress=(lambda f, _bi=bi: progress((_bi + f) / len(buckets)))
+                progress=(lambda f, _si=si: progress((_si + f) / len(slabs)))
                 if progress else None,
             )
-        except Exception as e:   # bucket-level isolation
+        except Exception as e:   # slab-level isolation
             for g in group:
                 failures.append({"path": g["path"], "error": str(e)})
             continue
@@ -468,4 +481,8 @@ def process_back_catalogue(
     total_wall = _time.perf_counter() - t_all
     for r in results:
         r["batch_wall_secs"] = total_wall
-    return results + failures
+    # input order, like the pool's outcome list (cli/pool.run_pool):
+    # bucketing/slabbing is an internal dispatch detail
+    order = {p: i for i, p in enumerate(paths)}
+    return sorted(results + failures,
+                  key=lambda r: order.get(r["path"], 1 << 30))

@@ -11,6 +11,24 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# XLA:CPU collectives run one thread per virtual device and HARD-KILL the
+# process (rendezvous.cc Termination timeout, SIGABRT) if any participant
+# fails to reach an all_gather/psum within 40 s.  On this ONE-core host an
+# 8-device program's threads are time-sliced, so a heavy sharded dispatch
+# (the 64-file catalogue's vmapped chunk masters) can legitimately keep a
+# participant off-CPU past the default — measured 2026-08-19: 6-way
+# cross_module all_gather, 4/6 arrived, process aborted.  The PRIMARY fix
+# is bounding per-dispatch width (parallel/batch.py JT_MAX_BUCKET_FILES);
+# these timeout raises are defensive (a 1 s warn-threshold probe on a
+# shard_map psum did not fire, so the flags may only reach the
+# cross_module rendezvous path, if that).  Must be set before backend init.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    + " --xla_cpu_collective_timeout_seconds=1200"
+).strip()
+
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
@@ -39,7 +57,21 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # into cheap deserialisations.
 _BIG_EXECUTABLE_MODULES = {
     "test_parallel", "test_parallel_master", "test_parallel_sequence",
+    "test_config5_scale",
 }
+
+# Best-effort: raise the map budget itself when the environment allows
+# (root in the dev container).  The 64-file catalogue module compiles
+# ~30-wide vmapped chunk programs whose mappings alone can crowd the
+# 65,530 default even with the cache-dropping below (measured 2026-08-19:
+# 'Fatal Python error' segfault inside the b=30 bucket compile).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("262144")
+except (OSError, ValueError):
+    pass
 
 
 @pytest.fixture(scope="module", autouse=True)
