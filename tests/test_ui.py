@@ -1128,3 +1128,95 @@ class TestAppHeader:
         assert t1 == t2                                  # stable across calls
         assert t1.count("\x1b[38;2;") == len("jivetalking-tpu")
         assert render_title(False) == "jivetalking-tpu"  # downsampled plain
+
+
+class TestAdaptedSummaryFromConfigVectors:
+    """The full config -> summary field-mapping table
+    (ref: TestNewAdaptedSummaryFromConfig, summary_test.go:15-94;
+    TestNewAdaptedSummaryNoSpeech :94-122)."""
+
+    def _mapped(self):
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.adaptive.adapt import AdaptiveDiagnostics
+        from jivetalking_tpu.analysis.analyser import AudioMeasurements
+        from jivetalking_tpu.analysis.types import (
+            Region,
+            RegionSample,
+            SpeechCandidate,
+        )
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        cfg = default_filter_config()
+        cfg.resample.sample_rate = 44100
+        cfg.rumble_highpass.frequency = 80.0
+        cfg.bandlimit_lowpass.frequency = 20500.0
+        cfg.noise_reduction.enabled = True
+        cfg.noise_reduction.afftdn_enabled = True
+        cfg.speech_gate.threshold = 0.0078     # linear ~ -42.1 dB
+        cfg.speech_gate.ratio = 2.0
+        cfg.levelling_compressor.threshold = -11.9
+        cfg.deesser.intensity = 0.0
+
+        m = AudioMeasurements()
+        m.noise.floor = -85.0     # internal momentary floor; display-inert
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-68.0)
+        m.loudness.input_lra = 8.2
+        m.loudness.input_tp = -3.2
+        m.loudness.input_i = -24.3
+        sp = SpeechCandidate(region=Region(0.0, 10.0),
+                             sample=RegionSample(rms_level=-20.9))
+        sp.body_band_rms = -30.0
+        sp.sib_band_rms = -34.0
+        sp.bands_measured = True
+        m.vad.speech_profile = sp
+
+        diag = AdaptiveDiagnostics(speech_gate_depth_db=14.0)
+        return new_adapted_summary(cfg, diag, m)
+
+    def test_chain_and_mix_mapping(self):
+        s = self._mapped()
+        assert s.chain_ready
+        assert s.downmix_mono and s.sample_rate == 44100
+        assert s.highpass_hz == 80.0 and s.lowpass_hz == 20500.0
+        assert s.denoise_nlm and s.denoise_fft
+
+    def test_threshold_mappings(self):
+        s = self._mapped()
+        assert -43.0 < s.gate_thresh_db < -41.0      # ~ -42.1 dB
+        assert s.comp_thresh_db == -11.9
+        assert not s.deesser_on                      # intensity 0 -> OFF
+
+    def test_analysis_mappings(self):
+        s = self._mapped()
+        assert s.has_speech and s.voice_avg_db == -20.9
+        # displayed floor is the room-tone RMS, never the internal -85
+        assert s.noise_floor_db == -68.0
+        assert s.separation_db == pytest.approx(-20.9 - (-68.0))
+        assert s.has_sibilance
+        assert s.sibilance_db == pytest.approx(-34.0 - (-30.0))
+        assert s.gate_depth_db == 14.0
+        assert s.input_lufs == -24.3
+        assert s.input_lra == 8.2
+        assert s.true_peak_dbtp == -3.2
+        assert s.gate_ratio == 2.0
+
+    def test_limiter_pending_before_with_limiter(self):
+        s = self._mapped()
+        assert not s.limiter_ready
+
+    def test_no_speech_leaves_speech_rows_unset(self):
+        # (ref: TestNewAdaptedSummaryNoSpeech :94)
+        from jivetalking_tpu.adaptive import default_filter_config
+        from jivetalking_tpu.analysis.analyser import AudioMeasurements
+        from jivetalking_tpu.analysis.types import RegionSample
+        from jivetalking_tpu.ui.summary import new_adapted_summary
+
+        cfg = default_filter_config()
+        cfg.resample.sample_rate = 48000
+        m = AudioMeasurements()
+        m.noise.floor = -85.0
+        m.vad.elected_room_tone_sample = RegionSample(rms_level=-60.0)
+        s = new_adapted_summary(cfg, None, m)
+        assert s.chain_ready
+        assert not s.has_speech and not s.has_sibilance
+        assert s.noise_floor_db == -60.0
