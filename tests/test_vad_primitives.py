@@ -393,3 +393,82 @@ class TestExtractNoiseProfileSpectralFields:
         # exists on the amplitude axis — parity with the reference there)
         assert p.peak_level == pytest.approx(-48.0)
         assert p.crest_factor == pytest.approx(-48.0 - (-59.0))
+
+
+class TestNoiseFloorSeedEdgeCases:
+    """The pre-scan floor seed's truncation/floored-exclusion contracts
+    (ref: analyser_vad_test.go TestEstimateNoiseFloorAndThreshold_
+    TruncationPicksLowestRMS :397, _ExcludesFlooredFromSeed :433,
+    _AllFlooredReturnsNotOK :463; TestFlooredFraction_BoundaryAtThreshold
+    :478)."""
+
+    def _seed_intervals(self, levels, fluxes):
+        iv = make_intervals(levels)
+        iv.spectral["flux"] = np.asarray(fluxes, dtype=np.float64)
+        return iv
+
+    def test_truncation_picks_lowest_rms_of_tied_run(self):
+        from jivetalking_tpu.analysis.vad import (
+            FLOOR_SEED_MIN_COUNT,
+            FLOOR_SEED_TOP_DIVISOR,
+            estimate_noise_floor_seed,
+        )
+
+        # 25 tied room-tone-like intervals in DESCENDING level order
+        # (loudest first: an unstable score-only sort would keep these
+        # leading loud members and raise the floor), plus 25 louder ones.
+        levels = [-56.0 - i for i in range(25)] + [-30.0 + i for i in range(25)]
+        fluxes = [0.01] * 25 + [0.50] * 25
+        iv = self._seed_intervals(levels, fluxes)
+        seed, thresh, ok = estimate_noise_floor_seed(iv)
+        assert ok
+        count = max(50 // FLOOR_SEED_TOP_DIVISOR, FLOOR_SEED_MIN_COUNT)  # 10
+        want = -80.0 + (count - 1)   # the highest RMS among the kept lowest
+        assert seed == pytest.approx(want, abs=1e-3)
+
+    def test_floored_intervals_never_seed_the_floor(self):
+        from jivetalking_tpu.analysis.vad import (
+            VAD_LEVEL_FLOOR_DB,
+            estimate_noise_floor_seed,
+        )
+
+        # 3 digital-silence gaps (sort first by lowest level, score 1.0)
+        # must be EXCLUDED from the seed max; the 40 real room-tone
+        # intervals are the only valid source.
+        levels = [-130.0] * 3 + [-70.0 + i for i in range(40)] \
+            + [-10.0 + i for i in range(10)]
+        fluxes = [0.01] * 43 + [0.50] * 10
+        iv = self._seed_intervals(levels, fluxes)
+        seed, _, ok = estimate_noise_floor_seed(iv)
+        assert ok
+        assert seed > VAD_LEVEL_FLOOR_DB
+        # top-10 by (score desc, level asc) = 3 floored + the 7 quietest
+        # real intervals (-70..-64); the seed is their max
+        assert seed == pytest.approx(-64.0, abs=1e-6)
+
+    def test_all_floored_returns_not_ok(self):
+        from jivetalking_tpu.analysis.vad import (
+            SILENCE_THRESHOLD_MIN_INTERVALS,
+            estimate_noise_floor_seed,
+        )
+
+        n = SILENCE_THRESHOLD_MIN_INTERVALS + 5
+        iv = self._seed_intervals([-130.0] * n, [0.01] * n)
+        _, _, ok = estimate_noise_floor_seed(iv)
+        assert not ok   # never fabricate a floor from digital silence
+
+    @pytest.mark.parametrize("floored,total,want,activated", [
+        (20, 100, 0.20, True),    # exactly at the boundary: >= fires
+        (19, 100, 0.19, False),   # just under: does not
+    ])
+    def test_floored_fraction_boundary(self, floored, total, want, activated):
+        from jivetalking_tpu.analysis.vad import (
+            VOICE_ACTIVATED_FRACTION,
+            floored_fraction,
+        )
+
+        levels = [-130.0] * floored + [-15.0] * (total - floored)
+        iv = make_intervals(levels)
+        got = floored_fraction(iv, "momentary")
+        assert got == pytest.approx(want, abs=1e-3)
+        assert (got >= VOICE_ACTIVATED_FRACTION) is activated
