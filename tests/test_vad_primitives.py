@@ -472,3 +472,60 @@ class TestNoiseFloorSeedEdgeCases:
         got = floored_fraction(iv, "momentary")
         assert got == pytest.approx(want, abs=1e-3)
         assert (got >= VOICE_ACTIVATED_FRACTION) is activated
+
+
+class TestDetectVoiceActivityEndToEnd:
+    """One bimodal split feeding every VAD output at once
+    (ref: TestDetectVoiceActivity, analyser_vad_test.go:1160-1224, and
+    _NoProfileLeavesVoicedPercentileZero :1224-1244)."""
+
+    def _bimodal(self):
+        # 60 room-tone intervals near -55, then 80 speech-rich near -16
+        levels = [-55.0] * 60 + [-16.0] * 80
+        return make_intervals(levels)
+
+    def test_bimodal_stream_populates_every_output(self):
+        from jivetalking_tpu.analysis.vad import (
+            clamp_split,
+            derive_gate_statistics,
+            detect_voice_activity,
+            interval_levels,
+            is_floored,
+            otsu_split_from_levels,
+            percentile_of_sorted,
+        )
+
+        iv = self._bimodal()
+        r = detect_voice_activity(iv, noise_floor_seed=-70.0)
+
+        assert r.speech_profile is not None
+        assert r.noise_profile is not None
+        # the elected room-tone sample is set from the picked region (the
+        # run record depends on it)
+        assert r.elected_room_tone_sample is not None
+        # a sane low floor: below speech, above digital silence
+        assert -120.0 < r.floor < -16.0
+
+        g = r.gate_stats
+        assert g.voiced_low_percentile != 0
+        assert g.noise_high_percentile != 0
+        assert g.separation_db > 0
+
+        # the written fields match the direct helper on the same inputs
+        level = interval_levels(iv, "momentary")
+        levels = np.sort(level[~is_floored(level)])
+        split = clamp_split(otsu_split_from_levels(levels), -70.0,
+                            percentile_of_sorted(levels, 75))
+        want = derive_gate_statistics(iv, split,
+                                      r.speech_profile.region, "momentary")
+        assert g.voiced_low_percentile == want.voiced_low_percentile
+        assert g.noise_high_percentile == want.noise_high_percentile
+        assert g.separation_db == want.separation_db
+
+    def test_flat_stream_leaves_voiced_percentile_zero(self):
+        from jivetalking_tpu.analysis.vad import detect_voice_activity
+
+        iv = make_intervals([-55.0] * 60)
+        r = detect_voice_activity(iv, noise_floor_seed=-70.0)
+        assert r.speech_profile is None
+        assert r.gate_stats.voiced_low_percentile == 0
