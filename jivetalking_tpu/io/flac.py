@@ -173,17 +173,16 @@ def write_flac(path: str, samples: np.ndarray, sample_rate: int) -> None:
         ).astype(np.int16)
     interleaved = np.ascontiguousarray(interleaved)
 
-    tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
-    rc = lib.flac_encode_file(
-        tmp.encode(),
-        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        ctypes.c_long(n), ctypes.c_int(channels), ctypes.c_int(sample_rate),
-    )
-    if rc != 0:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise IOError(f"failed to encode FLAC file: {path}")
-    os.replace(tmp, path)
+    from .atomic import atomic_publish
+
+    with atomic_publish(path, "flac") as tmp:
+        rc = lib.flac_encode_file(
+            tmp.encode(),
+            interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.c_long(n), ctypes.c_int(channels), ctypes.c_int(sample_rate),
+        )
+        if rc != 0:
+            raise IOError(f"failed to encode FLAC file: {path}")
 
 
 def flac_info(path: str) -> tuple[int, int, int, int]:

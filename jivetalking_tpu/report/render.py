@@ -437,8 +437,9 @@ def write_markdown_report(path: str, rec: dict, timings: Timings | None = None) 
     """Atomic write (sibling dot-temp + rename, ref: report/write.go:41)."""
     import os
 
+    from ..io.atomic import atomic_publish
+
     content = render_markdown(rec, timings)
-    tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(content)
-    os.replace(tmp, path)
+    with atomic_publish(path, "report") as tmp:
+        with open(tmp, "w") as f:
+            f.write(content)

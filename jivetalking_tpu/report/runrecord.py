@@ -27,6 +27,7 @@ from ..adaptive.adapt import AdaptiveDiagnostics
 from ..adaptive.config import FilterConfig
 from ..analysis.analyser import AudioMeasurements
 from ..analysis.intervals import Intervals
+from ..io.atomic import atomic_publish
 from ..pipeline.process import ProcessResult
 from ..utils.units import linear_to_db
 
@@ -369,11 +370,10 @@ def new_run_record(input_file: str, res: ProcessResult) -> dict:
 def write_run_record(path: str, record: dict) -> None:
     """Write the record JSON atomically (sibling dot-temp + rename, ref:
     file_write.go:13-47)."""
-    tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(record, f, indent=2)
-        f.write("\n")
-    os.replace(tmp, path)
+    with atomic_publish(path, "record") as tmp:
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=2)
+            f.write("\n")
 
 
 def write_interval_sidecar(path: str, iv: Intervals) -> None:
@@ -383,8 +383,7 @@ def write_interval_sidecar(path: str, iv: Intervals) -> None:
     contract has no nested spectral object (ref: IntervalSample MarshalJSON,
     analyser.go; pinned by TestIntervalSampleJSON_PreservesFlatSpectralFields,
     analyser_test.go:29-132)."""
-    tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
-    with open(tmp, "w") as f:
+    with atomic_publish(path, "sidecar") as tmp, open(tmp, "w") as f:
         for i in range(len(iv)):
             row = {
                 "timestamp_s": float(iv.timestamp[i]),
@@ -398,7 +397,6 @@ def write_interval_sidecar(path: str, iv: Intervals) -> None:
                 for k in iv.spectral
             })
             f.write(json.dumps(sanitize_json(row)) + "\n")
-    os.replace(tmp, path)
 
 
 def write_candidates_sidecar(path: str, m: AudioMeasurements) -> None:
@@ -406,8 +404,7 @@ def write_candidates_sidecar(path: str, m: AudioMeasurements) -> None:
     tagged with its candidate kind alongside the spliced-in fields
     (ref: streamCandidates; TestWriteCandidatesSidecar_TaggedLines,
     runrecord_sidecar_test.go)."""
-    tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
-    with open(tmp, "w") as f:
+    with atomic_publish(path, "sidecar") as tmp, open(tmp, "w") as f:
         for c in m.vad.speech_candidates:
             row = {
                 "kind": "speech",
@@ -419,4 +416,3 @@ def write_candidates_sidecar(path: str, m: AudioMeasurements) -> None:
                 "was_refined": c.was_refined,
             }
             f.write(json.dumps(sanitize_json(row)) + "\n")
-    os.replace(tmp, path)

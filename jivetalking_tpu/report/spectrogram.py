@@ -151,14 +151,10 @@ def render_spectrogram_image(
         legend[r, :12] = 255
     out = np.concatenate([img, legend], axis=1)
 
-    tmp = os.path.join(os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp")
-    try:
+    from ..io.atomic import atomic_publish
+
+    with atomic_publish(path, "png") as tmp:
         Image.fromarray(out, "RGB").save(tmp, "PNG")
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
     return path
 
 

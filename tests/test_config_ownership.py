@@ -160,3 +160,40 @@ class TestSeedOwnedFamiliesSurviveAdaptation:
         base = default_filter_config()
         eff, _ = adapt_config(base, _measurements())
         assert eff.filter_order == base.filter_order
+
+
+class TestAnalyseOnlyDoesNotMutateCallerConfig:
+    """(ref: TestAnalyseAudioDoesNotMutateCallerConfig, analyser_test.go:218
+    and TestAnalyseOnlyDetailedTimings' base-untouched asserts,
+    processor_test.go:629): the -a path adapts a COPY; the caller's base
+    config — including its non-default values — survives verbatim."""
+
+    def test_base_survives_analysis_and_adaptation(self):
+        import numpy as np
+
+        from jivetalking_tpu.pipeline.process import analyse_only
+
+        base = default_filter_config()
+        base.rumble_highpass.frequency = 95.0
+        base.loudnorm.target_i = -18.0
+        order_before = base.filter_order
+
+        rng = np.random.default_rng(3)
+        sr = 8000
+        x = (0.05 * rng.standard_normal(4 * sr)).astype(np.float32)
+        m, eff, diag = analyse_only(x, sr, base)
+
+        assert m is not None and eff is not None and diag is not None
+        # the copy carries the seed values...
+        assert eff.rumble_highpass.frequency == 95.0
+        assert eff.loudnorm.target_i == -18.0
+        # ...and the seed is untouched even where adaptation tunes the copy
+        assert base.rumble_highpass.frequency == 95.0
+        assert base.loudnorm.target_i == -18.0
+        assert base.filter_order == order_before
+        fresh = default_filter_config()
+        assert base.speech_gate.threshold == fresh.speech_gate.threshold
+        assert base.levelling_compressor.threshold == \
+            fresh.levelling_compressor.threshold
+        assert base.noise_reduction.afftdn_noise_floor == \
+            fresh.noise_reduction.afftdn_noise_floor
