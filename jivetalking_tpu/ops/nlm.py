@@ -134,7 +134,9 @@ def _nlm_core(
         ext = block + 2 * R + 2 * P                       # [s-R-P, s+block+R+P)
         centre = win[R : R + ext]
         shifted_pos = jnp.stack([win[R + d : R + d + ext] for d in range(R + 1)])
-        diff2 = (centre[None, :] - shifted_pos) ** 2
+        # bf16 diff^2, same as the default grouped path: both paths then
+        # quantise identically (the TPU matmul truncates to bf16 anyway)
+        diff2 = ((centre[None, :] - shifted_pos) ** 2).astype(jnp.bfloat16)
         dist_pos = _sliding_sum_matmul(diff2, w_box)      # (R+1, block + 2R)
         rows = [
             dist_pos[d, R : R + block]
@@ -145,30 +147,46 @@ def _nlm_core(
         mid = jnp.stack([win[halo + d : halo + d + block] for d in offs])
         return jnp.stack(rows), mid
 
+    # offset GROUPS: the (n_offs, block) dist/weight/mid fields never
+    # materialise at full offset width — an unrolled loop over ~14-offset
+    # groups keeps (G, block) intermediates and accumulates (num, den)
+    # running sums.  Measured 2026-08-19 (scripts/bench_nlm_variants.py,
+    # real chip, 300 s fixture): 226.6 -> 200.1 ms with diff^2 stored
+    # bf16, max|err| = 0 vs the ungrouped form (the banded matmul already
+    # truncates operands to bf16 under DEFAULT precision, so the bf16
+    # store changes no bits); 13 groups of ~7 regressed to 326 ms (groups
+    # too small for the MXU) — keep groups >= ~14 offsets.
+    n_groups = max(1, (len(offs) + 13) // 14)
+    groups = np.array_split(offs, n_groups)
+
     def body(_, i):
         s = i * block
         win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+        t_global = s + jnp.arange(block)
         if _NLM_SYMMETRIC:
             dist, mid = _distance_field_symmetric(win)
-        else:
-            # primitive-emission order here matches the pre-flag body
-            # exactly (mid sliced AFTER the weights) so the flag-off jaxpr
-            # — and with it the persistent-compile-cache key of every
-            # master program that inlines this — is byte-identical
-            centre = win[R : R + width]                   # [s-P, s+block+P)
-            shifted = jnp.stack([win[R + d : R + d + width] for d in offs])
-            diff2 = (centre[None, :] - shifted) ** 2
-            dist = _sliding_sum_matmul(diff2, w_box)      # (n_offs, block)
-            mid = None
-        t_global = s + jnp.arange(block)
-        valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
-            (t_global[None, :] + offs[:, None]) < n
-        )
-        w = jnp.exp(-dist / h2) * valid
-        if mid is None:
+            valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
+                (t_global[None, :] + offs[:, None]) < n
+            )
+            w = jnp.exp(-dist / h2) * valid
+            y = jnp.sum(w * mid, axis=0) / jnp.maximum(
+                jnp.sum(w, axis=0), 1e-12)
+            return None, y
+        centre = win[R : R + width]                       # [s-P, s+block+P)
+        num = jnp.zeros(block, jnp.float32)
+        den = jnp.zeros(block, jnp.float32)
+        for goffs in groups:
+            shifted = jnp.stack([win[R + d : R + d + width] for d in goffs])
+            diff2 = ((centre[None, :] - shifted) ** 2).astype(jnp.bfloat16)
+            dist = _sliding_sum_matmul(diff2, w_box)      # (G, block)
+            valid = ((t_global[None, :] + goffs[:, None]) >= 0) & (
+                (t_global[None, :] + goffs[:, None]) < n
+            )
+            w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
             mid = shifted[:, P : P + block]
-        y = jnp.sum(w * mid, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-12)
-        return None, y
+            num = num + jnp.sum(w * mid, axis=0)
+            den = den + jnp.sum(w, axis=0)
+        return None, num / jnp.maximum(den, 1e-12)
 
     _, ys = jax.lax.scan(body, None, jnp.arange(m))
     return ys.reshape(-1)[:n]

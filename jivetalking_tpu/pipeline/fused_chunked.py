@@ -11,8 +11,9 @@ ref: README.md:105-127) masters through the fused design with:
     every long file at a given rate);
   * bounded HBM (the big intermediates exist one chunk at a time; the
     audio streams stay resident as chunk lists);
-  * a handful of host sync points (filtered metrics -> plan, pass-3
-    metrics -> offset, final metrics) — per-chunk dispatches are async;
+  * NO host sync inside the pass chain (the plan + offset scalars are
+    traced on device); the metric pulls ride the wire while the device
+    grinds the limit/B queue — per-chunk dispatches are async;
   * per-chunk progress callbacks (the long-file in-pass progress the
     live UI animates).
 
@@ -29,14 +30,17 @@ Chunk passes and their carried state (all exact unless noted):
           partials (K-weighted 100 ms block powers, masked-window astats
           partials, spectral-frame sums, region partials) assigned by
           window END so only LEFT halos are needed.
-  (sync)  filtered metrics assembled; limiter plan on host — the same
-          `plan_limiter` / `calculate_linear_mode_target` maths the
-          unfused path uses (pipeline/normalise.py).
+  (plan)  limiter plan TRACED ON DEVICE from the packed stage partials
+          (`_plan_scalars_device` — the same shared scalar law the
+          whole-file master traces, fused.py:421-443), so the limit pass
+          enqueues with no host sync; the host pulls the same metrics
+          in parallel for reports/diagnostics.
   LIMIT   pre-gain + levelling limiter: lookahead needs the next chunk's
           head (available — the whole stream is resident), release is a
           max-plus prefix whose end state carries; emits pass-3 loudness
           partials.
-  (sync)  pass-3 measurement -> linear-mode offset.
+  (offs)  linear-mode offset traced on device from the pass-3 rows
+          (`_offset_scalar_device`); host copy pulled later for reports.
   B       offset gain + adeclick (halo'd; the p90 window grid restarts
           per chunk — approximate at window-grid seams, clicks are
           local) + brickwall (carried release; the lookahead halo is
@@ -524,6 +528,62 @@ def _bp_loudness(bp):
     return _loudness_from_bp(bp)
 
 
+def _packed_leaf_slots(treedef, shapes, dtypes):
+    """(offset, length) of every flat leaf inside a `_pack_all` vector
+    (float/bool scalars take one slot, integer scalars two, arrays ravel),
+    plus the name->flat-index tree for locating leaves by key."""
+    slots, off = [], 0
+    for shp, dt in zip(shapes, dtypes):
+        if len(shp) == 0:
+            ln = 2 if np.issubdtype(dt, np.integer) else 1
+        else:
+            ln = int(np.prod(shp))
+        slots.append((off, ln))
+        off += ln
+    idx_tree = jax.tree_util.tree_unflatten(treedef, list(range(len(shapes))))
+    return slots, idx_tree
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "slot_bp", "slot_tp", "slot_sp", "n_blocks", "target_i", "target_tp_db"))
+def _plan_scalars_device(packed, slot_bp, slot_tp, slot_sp, n_blocks,
+                         target_i, target_tp_db):
+    """The limiter plan traced on DEVICE straight from the packed stage-A
+    partials, so the limit/B chunk passes enqueue behind the deess chunks
+    with no host sync — the device queue flows chain -> deess -> plan ->
+    limit -> B while the host pulls metrics in parallel.  Same shared law
+    the whole-file master already traces in-graph (fused.py:421-443), so
+    this also closes the f64-host/f32-device plan asymmetry between the
+    two master routes."""
+    o, ln = slot_bp
+    bp = jnp.concatenate([c[o:o + ln] for c in packed])[:n_blocks]
+    integrated = _loudness_from_bp(bp)["integrated"]
+    tp = jnp.maximum(
+        jnp.max(jnp.stack([c[slot_tp[0]] for c in packed])),
+        jnp.max(jnp.stack([c[slot_sp[0]] for c in packed])))
+    tp_db = 20.0 * jnp.log10(jnp.maximum(tp, 1e-12))
+    hp = limiter_plan_scalars(integrated, tp_db, target_i, target_tp_db,
+                              xp=jnp)
+    pre_lin = jnp.where(hp["needed"],
+                        10.0 ** (hp["pre_gain_db"] / 20.0), 1.0)
+    limit_lin = jnp.where(hp["needed"],
+                          10.0 ** (hp["ceiling_db"] / 20.0), 1e9)
+    return pre_lin.astype(jnp.float32), limit_lin.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "target_i"))
+def _offset_scalar_device(rows, n_blocks, target_i):
+    """The linear-mode offset traced on DEVICE from the packed pass-3 rows
+    ([bp..., tp, speak] per chunk) — see `_plan_scalars_device`."""
+    bp = jnp.concatenate([r[:-2] for r in rows])[:n_blocks]
+    integrated = _loudness_from_bp(bp)["integrated"]
+    tp = jnp.max(jnp.stack([jnp.maximum(r[-2], r[-1]) for r in rows]))
+    m_tp_db = 20.0 * jnp.log10(jnp.maximum(tp, 1e-12))
+    _, _, offset_db = linear_mode_scalars(integrated, m_tp_db, target_i,
+                                          xp=jnp)
+    return (10.0 ** (offset_db / 20.0)).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # streamed Pass-1 analysis (overlapped chunk uploads)
 # ---------------------------------------------------------------------------
@@ -839,6 +899,14 @@ def _combine_region(parts, tag, loud, bounds, sr):
 # the driver
 # ---------------------------------------------------------------------------
 
+# Fine-grained host walls of the last fused_master_chunked call, for
+# scripts/profile_master.py --chunked (filled unconditionally: a dozen
+# perf_counter() reads per ~25 s run).  Keys mark where the host blocked:
+# *_loop = dispatch loops (async enqueue + trace), gather_* = blocking
+# metric pulls, flat_* = the carried-state astats min/max pass.
+LAST_PHASE_WALLS: dict = {}
+
+
 def fused_master_chunked(
     x, sample_rate: int, cfg: FilterConfig, measurements,
     progress=None, chunk_secs: float = 240.0, on_filtered_levels=None,
@@ -846,6 +914,14 @@ def fused_master_chunked(
     """Chunked fused pass-2/3/4 master.  Same signature/contract as
     `fused.fused_master`; use for files past the `should_chunk` horizon."""
     t0 = time.perf_counter()
+    _pw = LAST_PHASE_WALLS
+    _pw.clear()
+    _last = [t0]
+
+    def _mark(key):
+        now = time.perf_counter()
+        _pw[key] = _pw.get(key, 0.0) + (now - _last[0])
+        _last[0] = now
     m = measurements
     nr = cfg.noise_reduction
     shape = np.zeros(15, dtype=np.float32)
@@ -920,6 +996,7 @@ def fused_master_chunked(
         )
         cchunks.append(c_k)
         report(0.30 * (k + 1) / n_chunks)
+    _mark("chain_loop")
 
     # ---- PASS DEESS + filtered metering ----
     delay = (int(deess_k.shape[0]) - 1) // 2
@@ -941,44 +1018,27 @@ def fused_master_chunked(
             jnp.concatenate([yl, y_k]), jnp.int32(k * C), jnp.int32(n),
             noise_b, speech_b, kw_ir, tp_bank, sr=sr, C=C, hm=hm, w=w))
         report(0.30 + 0.25 * (k + 1) / n_chunks)
+    _mark("deess_loop")
     cchunks = None
 
-    # ONE gathered pull for all chunks' packed partials (per-chunk pulls
-    # cost a ~30 ms tunnel round trip each — 2026-08-17 this halved the
-    # chunked 5-min master's metric-sync wall)
-    gathered_f = np.asarray(_concat_chunks(tuple(packed_f), k=n_chunks))
-    Lp = gathered_f.size // n_chunks
+    # ---- DEVICE-side plan: the limit chunks take their scalars from a
+    # traced plan program over the packed partials, so the limit/B passes
+    # enqueue with NO host sync and the device queue flows
+    # chain -> deess -> plan -> limit -> offset -> B while the host pulls
+    # metrics in parallel (measured 2026-08-19: plan_host + offset_host +
+    # the flat_f exposure were ~0.6 s of device-idle wall on the 45-min
+    # workload) ----
     treedef, shapes, dtypes = _stage_partials_meta(sr, C, hm, w)
-    parts_f = [_unpack_all(gathered_f[k * Lp : (k + 1) * Lp], shapes, dtypes,
-                           treedef) for k in range(n_chunks)]
-    t_stage_a = time.perf_counter() - t0
-
-    # ---- plan (host; the same maths as the unfused path) ----
-    loud_f = _combine_loudness([p["bp"] for p in parts_f], n_blocks,
-                               [float(p["tp_max"]) for p in parts_f],
-                               [float(p["speak_max"]) for p in parts_f])
-    measured_i = float(loud_f["integrated"])
-    measured_tp_db = 20.0 * math.log10(max(float(loud_f["true_peak"]), 1e-12))
+    slots, idx_tree = _packed_leaf_slots(treedef, shapes, dtypes)
     target_tp_db = target_tp
-
-    # the shared scalar law from pipeline.normalise (xp=np: host floats,
-    # no device round trips between chunk passes)
-    hp = limiter_plan_scalars(measured_i, measured_tp_db, target_i,
-                              target_tp_db, xp=np)
-    needed = bool(hp["needed"])
-    clamped = bool(hp["clamped"])
-    pre_gain_db = float(hp["pre_gain_db"])
-    ceiling_db = float(hp["ceiling_db"])
-    gain_required = float(hp["gain_db"])
-
-    # ---- filtered astats (+ flat pass over the live y stream) ----
-    ast_f = _run_flat_over(ychunks, _combine_astats(parts_f, n, w), n, C)
+    pre_lin, limit_lin = _plan_scalars_device(
+        tuple(packed_f), slots[idx_tree["bp"]], slots[idx_tree["tp_max"]],
+        slots[idx_tree["speak_max"]], n_blocks, target_i, target_tp_db)
+    _mark("plan_dev")
 
     # ---- PASS LIMIT + pass-3 measurement ----
     t1 = time.perf_counter()
     lookahead = max(1, int(round(5.0 * sr / 1000.0)))
-    pre_lin = jnp.float32(10.0 ** (pre_gain_db / 20.0) if needed else 1.0)
-    limit_lin = jnp.float32(10.0 ** (ceiling_db / 20.0) if needed else 1e9)
     w_carry = jnp.float32(-3.0e38)
     pchunks, p3 = [], []
     zeros_la = jnp.zeros(lookahead, jnp.float32)
@@ -992,34 +1052,38 @@ def fused_master_chunked(
             jnp.concatenate([pl, p_k]), jnp.int32(k * C), jnp.int32(n),
             kw_ir, tp_bank, sr=sr, C=C, hm=4096))
         report(0.55 + 0.15 * (k + 1) / n_chunks)
-    ychunks = None
+    _mark("limit_loop")
 
-    gathered_p3 = np.asarray(_concat_chunks(tuple(p3), k=n_chunks))
-    L3 = gathered_p3.size // n_chunks
-    rows3 = [gathered_p3[k * L3 : (k + 1) * L3] for k in range(n_chunks)]
-    loud_m = _combine_loudness([r[:-2] for r in rows3], n_blocks,
-                               [float(r[-2]) for r in rows3],
-                               [float(r[-1]) for r in rows3])
-    m_i = float(loud_m["integrated"])
-    m_tp_db = 20.0 * math.log10(max(float(loud_m["true_peak"]), 1e-12))
-    _, effective_i, offset_db = linear_mode_scalars(m_i, m_tp_db, target_i, xp=np)
-    effective_i = float(effective_i)
-    offset_db = float(offset_db)
+    # ---- DEVICE-side linear-mode offset (same on-device law) ----
+    offset_lin = _offset_scalar_device(tuple(p3), n_blocks, target_i)
+    _mark("offset_dev")
 
-    # truthful VU meter for the remaining B/delivery chunk stream (~40% of
-    # the wall): filtered momentary anchored at the FINAL encode level —
-    # pre-limiter gain (when the plan engaged) + the linear-mode offset,
-    # the same convention as fused_master's emission so the meter reads
-    # the same whichever master route a file takes
-    if on_filtered_levels is not None:
-        try:
-            on_filtered_levels(
-                np.asarray(loud_f["momentary"], dtype=np.float64)
-                + offset_db + (pre_gain_db if needed else 0.0),
-                0.1,
-            )
-        except Exception:
-            pass
+    # ---- stage-A metrics: ONE gathered pull for all chunks' packed
+    # partials (per-chunk pulls cost a ~30 ms tunnel round trip each).
+    # Issued while the device grinds the limit pass and BEFORE the
+    # delivery pulls exist, so the small transfer rides the wire first ----
+    gathered_f = np.asarray(_concat_chunks(tuple(packed_f), k=n_chunks))
+    _mark("gather_f")
+    Lp = gathered_f.size // n_chunks
+    parts_f = [_unpack_all(gathered_f[k * Lp : (k + 1) * Lp], shapes, dtypes,
+                           treedef) for k in range(n_chunks)]
+    t_stage_a = time.perf_counter() - t0
+
+    # host copies of the plan (metrics dict / meter anchor / reports):
+    # the same shared scalar law, xp=np over the pulled metrics
+    loud_f = _combine_loudness([p["bp"] for p in parts_f], n_blocks,
+                               [float(p["tp_max"]) for p in parts_f],
+                               [float(p["speak_max"]) for p in parts_f])
+    measured_i = float(loud_f["integrated"])
+    measured_tp_db = 20.0 * math.log10(max(float(loud_f["true_peak"]), 1e-12))
+    hp = limiter_plan_scalars(measured_i, measured_tp_db, target_i,
+                              target_tp_db, xp=np)
+    needed = bool(hp["needed"])
+    clamped = bool(hp["clamped"])
+    pre_gain_db = float(hp["pre_gain_db"])
+    ceiling_db = float(hp["ceiling_db"])
+    gain_required = float(hp["gain_db"])
+    _mark("plan_host")
 
     # ---- PASS B + final metering + delivery ----
     g = math.gcd(sr, out_rate)
@@ -1028,7 +1092,6 @@ def fused_master_chunked(
     if out_rate != sr:
         B_np, taps = _banded_bank(L, M)
         B = jnp.asarray(B_np)
-    offset_lin = jnp.float32(10.0 ** (offset_db / 20.0))
     brick_lin = jnp.float32(10.0 ** ((target_tp_db - BRICKWALL_TRUE_PEAK_HEADROOM_DB) / 20.0))
     b_look = max(1, int(round(sr / 1000.0)))
     hb = max(8, int(round(55.0 * sr / 1000.0)))
@@ -1072,9 +1135,48 @@ def fused_master_chunked(
             emit_delivery(k - 1)
         report(0.70 + 0.20 * (k + 1) / n_chunks)
     emit_delivery(n_chunks - 1)
+    _mark("b_loop")
     n_out = n * L // M if out_rate != sr else n
 
+    # ---- filtered astats (+ flat pass over the live y stream; its device
+    # dispatches queue behind the B chunks so the deliveries lead) ----
+    ast_f = _run_flat_over(ychunks, _combine_astats(parts_f, n, w), n, C)
+    _mark("flat_f")
+    ychunks = None
+
+    # ---- pass-3 host metrics (reports/diagnostics; the B chunks already
+    # took the offset from the traced device law) ----
+    gathered_p3 = np.asarray(_concat_chunks(tuple(p3), k=n_chunks))
+    _mark("gather_p3")
+    L3 = gathered_p3.size // n_chunks
+    rows3 = [gathered_p3[k * L3 : (k + 1) * L3] for k in range(n_chunks)]
+    loud_m = _combine_loudness([r[:-2] for r in rows3], n_blocks,
+                               [float(r[-2]) for r in rows3],
+                               [float(r[-1]) for r in rows3])
+    m_i = float(loud_m["integrated"])
+    m_tp_db = 20.0 * math.log10(max(float(loud_m["true_peak"]), 1e-12))
+    _, effective_i, offset_db = linear_mode_scalars(m_i, m_tp_db, target_i, xp=np)
+    effective_i = float(effective_i)
+    offset_db = float(offset_db)
+    _mark("offset_host")
+
+    # truthful VU meter for the remaining delivery stream (the downlink is
+    # most of the residual wall): filtered momentary anchored at the FINAL
+    # encode level — pre-limiter gain (when the plan engaged) + the
+    # linear-mode offset, the same convention as fused_master's emission so
+    # the meter reads the same whichever master route a file takes
+    if on_filtered_levels is not None:
+        try:
+            on_filtered_levels(
+                np.asarray(loud_f["momentary"], dtype=np.float64)
+                + offset_db + (pre_gain_db if needed else 0.0),
+                0.1,
+            )
+        except Exception:
+            pass
+
     gathered_z = np.asarray(_concat_chunks(tuple(packed_z), k=n_chunks))
+    _mark("gather_z")
     parts_z = [_unpack_all(gathered_z[k * Lp : (k + 1) * Lp], shapes, dtypes,
                            treedef) for k in range(n_chunks)]
 
@@ -1084,6 +1186,7 @@ def fused_master_chunked(
 
     # ---- FLAT pass over z (needs the combined global min/max) ----
     ast_z = _run_flat_over(zchunks, _combine_astats(parts_z, n, w), n, C)
+    _mark("flat_z")
 
     def spec_means(parts):
         cnt = max(1, int(sum(int(p["spec_count"]) for p in parts)))
@@ -1123,6 +1226,7 @@ def fused_master_chunked(
     # delivery pulls are already in flight (emit_delivery); trim the pad
     # tail off the final chunk
     full = np.concatenate([np.asarray(c) for c in out_chunks])[:n_out]
+    _mark("final_pull")
     out_final = (full,)
 
     t_stage_b = time.perf_counter() - t1

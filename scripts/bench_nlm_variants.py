@@ -122,6 +122,52 @@ def make_nlm(sliding):
     return jax.jit(core, static_argnames=("P", "R", "block"))
 
 
+def make_nlm_grouped(n_groups: int, bf16_diff: bool = False):
+    """Offset-GROUPED accumulation: the (97, block) dist/w/mid fields never
+    materialise at full offset width — an unrolled loop over offset groups
+    keeps (G, block) intermediates and accumulates (num, den) running sums,
+    targeting the block scan's HBM traffic (the round-4 trace put ~65% of
+    the 7.1 ms/iter body in field materialisation + layout).  `bf16_diff`
+    additionally stores diff^2 in bf16 — free precision-wise: the banded
+    matmul already truncates operands to bf16 (DEFAULT), and dist feeds
+    only the similarity weights (the pinned bf16-distance tolerance)."""
+    def core(x, h2, P, R, block=524288):
+        n = int(x.shape[0])
+        halo = P + R
+        m = -(-n // block)
+        total = m * block
+        xp = jnp.zeros(total + 2 * halo, x.dtype).at[halo: halo + n].set(x)
+        width = block + 2 * P
+        w_box = 2 * P + 1
+        offs_all = np.arange(-R, R + 1)
+        groups = np.array_split(offs_all, n_groups)
+
+        def body(_, i):
+            s = i * block
+            win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+            centre = win[R: R + width]
+            t_global = s + jnp.arange(block)
+            num = jnp.zeros(block, jnp.float32)
+            den = jnp.zeros(block, jnp.float32)
+            for offs in groups:
+                shifted = jnp.stack([win[R + d: R + d + width] for d in offs])
+                diff2 = (centre[None, :] - shifted) ** 2
+                if bf16_diff:
+                    diff2 = diff2.astype(jnp.bfloat16)
+                dist = sliding_sum_matmul(diff2, w_box)
+                valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
+                    (t_global[None, :] + offs[:, None]) < n)
+                w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
+                mid = shifted[:, P: P + block]
+                num = num + jnp.sum(w * mid, axis=0)
+                den = den + jnp.sum(w, axis=0)
+            return None, num / jnp.maximum(den, 1e-12)
+
+        _, ys = jax.lax.scan(body, None, jnp.arange(m))
+        return ys.reshape(-1)[:n]
+    return jax.jit(core, static_argnames=("P", "R", "block"))
+
+
 def main():
     sr = 48000
     n = 300 * sr  # 14.4 M, the 300 s fixture
@@ -132,9 +178,10 @@ def main():
 
     variants = {
         "base": make_nlm(lambda d, w: sliding_sum_matmul(d, w)),
-        "tile384": make_nlm(lambda d, w: sliding_sum_matmul(d, w, f=384)),
-        "comb": make_nlm(sliding_sum_comb),
-        "conv": make_nlm(sliding_sum_conv),
+        "grp7": make_nlm_grouped(7),
+        "grp13": make_nlm_grouped(13),
+        "grp7b": make_nlm_grouped(7, bf16_diff=True),
+        "bf16d": make_nlm_grouped(1, bf16_diff=True),
     }
     ref = None
     for name, fn in variants.items():
