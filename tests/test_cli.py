@@ -607,3 +607,86 @@ class TestLinearModeForcedWarning:
     def test_uncapped_file_stays_quiet(self):
         warnings, _ = self._emit(False)
         assert warnings == []
+
+
+class TestDebugLogFileContract:
+    """(ref: main_test.go TestOpenDebugLog_DisabledReturnsNilWithoutCreatingFile
+    :22, _EnabledCreatesLogFile :47, _CreateFailureIncludesPath :73)."""
+
+    def test_disabled_creates_nothing(self, tmp_path):
+        from jivetalking_tpu.cli.debugsink import DebugSink
+
+        p = str(tmp_path / "jivetalking-debug.log")
+        sink = DebugSink.open(False, p)
+        sink.logf("never written")
+        assert not os.path.exists(p)
+
+    def test_enabled_creates_and_truncates_per_run(self, tmp_path):
+        from jivetalking_tpu.cli.debugsink import DebugSink
+
+        p = str(tmp_path / "jivetalking-debug.log")
+        with open(p, "w") as f:
+            f.write("stale run\n")
+        sink = DebugSink.open(True, p)
+        sink.logf("fresh %s", "line")
+        content = open(p).read()
+        assert "fresh line" in content
+        assert "stale run" not in content      # os.Create semantics
+
+    def test_create_failure_names_the_path(self, tmp_path):
+        from jivetalking_tpu.cli.debugsink import DebugSink
+
+        p = str(tmp_path / "no" / "such" / "dir" / "debug.log")
+        with pytest.raises(OSError) as ei:
+            DebugSink.open(True, p)
+        assert "debug.log" in str(ei.value)
+
+    def test_prefix_wrapper_tags_basename(self, tmp_path):
+        from jivetalking_tpu.cli.debugsink import DebugSink
+
+        p = str(tmp_path / "d.log")
+        sink = DebugSink.open(True, p)
+        sink.for_file("/ep/path/episode7.flac")("vad split=%.1f", -45.0)
+        assert "[episode7.flac] vad split=-45.0" in open(p).read()
+
+
+class TestDiagnosticsGatesSidecars:
+    """--diagnostics gates the .jsonl sidecars while record + report always
+    write (ref: TestRunAnalysisOnlyWithDeps_DiagnosticsGatesSidecars,
+    main_test.go:217-295; emitReportArtefacts, pool.go:288-340)."""
+
+    def _emit(self, tmp_path, diagnostics):
+        from tests.test_runrecord_shape import fully_populated_result
+
+        from jivetalking_tpu.analysis.intervals import Intervals
+        from jivetalking_tpu.cli.pool import FileOutcome, _emit_report_artefacts
+
+        res = fully_populated_result()
+        n = 12
+        z = np.zeros(n)
+        res.measurements.intervals = Intervals(
+            timestamp=np.arange(n) * 0.25, rms_level=z - 30.0,
+            peak_level=z - 20.0, momentary_lufs=z - 23.0,
+            short_term_lufs=z - 23.0, true_peak=z - 19.0,
+            sample_peak=z - 20.0,
+            spectral={k: z + 1.0 for k in
+                      ("mean", "variance", "centroid", "spread", "skewness",
+                       "kurtosis", "entropy", "flatness", "crest", "flux",
+                       "slope", "decrease", "rolloff")},
+            spectral_found=np.ones(n, dtype=bool))
+        path = str(tmp_path / "ep.wav")
+        warnings = []
+        _emit_report_artefacts(path, FileOutcome(path=path), res,
+                               diagnostics, warnings.append)
+        assert warnings == []
+        return {f for f in os.listdir(tmp_path)}
+
+    def test_without_diagnostics_no_sidecars(self, tmp_path):
+        files = self._emit(tmp_path, diagnostics=False)
+        assert "ep-report.json" in files and "ep-report.md" in files
+        assert not [f for f in files if f.endswith(".jsonl")]
+
+    def test_with_diagnostics_both_sidecars(self, tmp_path):
+        files = self._emit(tmp_path, diagnostics=True)
+        assert "ep-report.intervals.jsonl" in files
+        assert "ep-report.candidates.jsonl" in files

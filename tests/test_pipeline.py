@@ -216,10 +216,14 @@ class TestProgressCallbacks:
         assert stages.index("analysis") < stages.index("processing")
         assert stages.index("processing") <= stages.index("normalising")
         assert all(0.0 <= f <= 1.0 for _, f in calls)
-        # every stage both starts and completes
+        # every stage both starts and completes, and its cadence is
+        # monotone non-decreasing (ref: the 0.0 -> 0.99 -> 1.0 cadence
+        # guard, TestApplyNormalisationProgressCadenceGuard,
+        # normalise_test.go:937-1028)
         for st in ("analysis", "processing", "normalising"):
             fr = [f for s, f in calls if s == st]
             assert 0.0 in fr and 1.0 in fr, st
+            assert fr == sorted(fr), f"{st} progress regressed: {fr}"
 
     def test_on_adapted_fires_with_config(self, podcast_fixture):
         seen = []
