@@ -307,3 +307,55 @@ class TestOutputFloorResolver:
         res.final.room_tone_sample = None
         _, ok = final_room_tone_rms(res)
         assert not ok
+
+
+class TestOutputResolverNilGuards:
+    """The output-side display resolvers' nil-guard layers
+    (ref: quality_test.go TestOutputNoiseFloorPresent :214,
+    TestOutputNoiseFloorAbsentNoFallback :228, TestOutputTP :242,
+    TestOutputLRA :272)."""
+
+    def test_output_floor_present(self):
+        from jivetalking_tpu.quality.scores import final_room_tone_rms
+
+        floor, ok = final_room_tone_rms(result_with(-16.0, -2.0, -64.0, -82.0))
+        assert ok and floor == -82.0
+
+    def test_output_floor_absent_no_input_fallback(self):
+        # no Pass-4 room-tone sample -> ok=False even though an INPUT floor
+        # exists: the done box must never render an input->input arrow
+        from jivetalking_tpu.quality.scores import final_room_tone_rms
+
+        res = result_with(-16.0, -2.0, -64.0, -82.0)
+        res.final.room_tone_sample = None
+        _, ok = final_room_tone_rms(res)
+        assert not ok
+        # and the outcome wiring keeps the display side None (the row then
+        # shows the single available end, ref doneBoxNoiseFloorRow)
+        from jivetalking_tpu.ui.console import _noise_floor_row
+
+        row = _noise_floor_row(-64.0, None)
+        assert "→" not in row
+
+    def test_output_tp_is_a_normalisation_field(self):
+        # TP reads off the top-level normalisation result — available even
+        # with empty final measurements (ref: TestOutputTP's nilFinal leg)
+        res = result_with(-16.0, -1.5, -64.0, -82.0)
+        res.final = OutputMeasurements()   # nothing measured post-encode
+        assert res.normalisation.output_tp == -1.5
+
+    def test_output_lra_requires_final_measurements(self):
+        # LRA lives on the FINAL loudness measurement; without it the
+        # outcome field stays unset (ref: TestOutputLRA)
+        from jivetalking_tpu.metering.ebur128 import LoudnessResult
+
+        res = result_with(-16.0, -2.0, -64.0, -82.0)
+        assert res.final.loudness is None   # no final loudness measured
+        res.final.loudness = LoudnessResult(
+            integrated_lufs=-16.0, lra_lu=7.5, lra_low_lufs=-20.0,
+            lra_high_lufs=-12.5, threshold_lufs=-26.0,
+            sample_peak_db=-2.1, true_peak_db=-2.0,
+            momentary_max_lufs=-12.0, short_term_max_lufs=-13.0,
+            momentary_lufs=np.zeros(2), short_term_lufs=np.zeros(2),
+            block_starts_sec=np.zeros(2))
+        assert res.final.loudness.lra_lu == 7.5
