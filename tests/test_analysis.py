@@ -495,3 +495,35 @@ class TestMeasureOutputRegions:
 
         x, sr = gap_fixture
         assert measure_region(x, sr, Region(99.0, 120.0)) is None
+
+
+class TestSliceRangeVectors:
+    """The exact interval-range selection table
+    (ref: TestGetIntervalsInRange, analyser_test.go:264-335): [start, end)
+    on a 250 ms grid — counts, first and last selected timestamps."""
+
+    def _iv(self):
+        from tests.test_vad_primitives import make_intervals
+
+        return make_intervals([-30.0] * 80)   # 0..20 s at 250 ms
+
+    @pytest.mark.parametrize("name,start,end,count,first,last", [
+        ("full range", 0.0, 20.0, 80, 0.0, 19.750),
+        ("middle range", 5.0, 15.0, 40, 5.0, 14.750),
+        ("no overlap - after the end", 25.0, 30.0, 0, None, None),
+        ("partial overlap at start", 0.0, 2.0, 8, 0.0, 1.750),
+    ])
+    def test_table(self, name, start, end, count, first, last):
+        iv = self._iv()
+        mask = iv.slice_range(start, end)
+        idx = np.flatnonzero(mask)
+        assert idx.size == count, name
+        if count:
+            assert iv.timestamp[idx[0]] == pytest.approx(first), name
+            assert iv.timestamp[idx[-1]] == pytest.approx(last), name
+
+    def test_end_exclusive(self):
+        # an interval starting exactly at `end` is NOT selected
+        iv = self._iv()
+        mask = iv.slice_range(0.0, 0.25)
+        assert np.flatnonzero(mask).tolist() == [0]
