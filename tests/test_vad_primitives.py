@@ -529,3 +529,24 @@ class TestDetectVoiceActivityEndToEnd:
         r = detect_voice_activity(iv, noise_floor_seed=-70.0)
         assert r.speech_profile is None
         assert r.gate_stats.voiced_low_percentile == 0
+
+
+class TestScoreIntervalWindowVectors:
+    """(ref: TestScoreIntervalWindow, analyser_test.go:335-385): plain
+    average of the window's astats-RMS; empty window scores zero."""
+
+    @pytest.mark.parametrize("name,rms_vals,want", [
+        ("uniform values", [-70.0, -70.0, -70.0, -70.0], -70.0),
+        ("mixed values", [-60.0, -70.0, -80.0, -70.0], -70.0),
+        ("single value", [-65.5], -65.5),
+        ("empty returns zero", [], 0.0),
+    ])
+    def test_table(self, name, rms_vals, want):
+        if rms_vals:
+            iv = make_intervals([v + 2.0 for v in rms_vals], rms=rms_vals)
+            idx = np.arange(len(rms_vals))
+        else:
+            iv = make_intervals([-50.0])
+            idx = np.array([], dtype=np.int64)
+        got = score_interval_window_rms(iv, idx)
+        assert got == pytest.approx(want, abs=1e-3), name
