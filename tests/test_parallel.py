@@ -374,3 +374,31 @@ class TestConfig5BatchChunked:
             if m.vad.speech_profile is not None:
                 assert m.vad.speech_profile.region.start == pytest.approx(
                     want.vad.speech_profile.region.start, abs=0.3)
+
+
+class TestSpectrogramPairContract:
+    """Identical bounds yield byte-identical images, so the before/after
+    members of a pair (which share their bounds) render the SAME time
+    window (ref: TestSpectrogramFilterSpecDeterministic,
+    spectrogram_test.go:124-146; the frozen-param single definition :146)."""
+
+    def test_same_bounds_byte_identical(self, tmp_path):
+        x = np.concatenate([_tone(440.0, -20.0, 2.0), _tone(2000.0, -25.0, 2.0)])
+        cases = [(None, None), (0.0, 2.0), (1.25, 2.5)]
+        for i, (start, dur) in enumerate(cases):
+            p1 = str(tmp_path / f"a{i}.png")
+            p2 = str(tmp_path / f"b{i}.png")
+            render_spectrogram_image(x, SR, p1, start=start, duration=dur)
+            render_spectrogram_image(x, SR, p2, start=start, duration=dur)
+            assert open(p1, "rb").read() == open(p2, "rb").read(), (start, dur)
+
+    def test_frozen_params_single_definition(self):
+        # ONE frozen geometry serves every branch (whole + regions)
+        from jivetalking_tpu.report import spectrogram as sg
+
+        assert (sg.WIDTH, sg.HEIGHT) == (1024, 512)
+        assert sg._WIN == 2048
+        # every rendered kind goes through the same render function — the
+        # run-set derives from the one KIND_* definition set
+        assert {sg.KIND_WHOLE, sg.KIND_ROOMTONE, sg.KIND_SPEECH} == \
+            {"whole", "roomtone", "speech"}
