@@ -1338,3 +1338,57 @@ class TestAnalysisLiveCompletionRouting:
         ui = self._ui()
         ui.on_file_complete(self._outcome("zzz.wav"))   # no such row
         assert not ui.model.all_done
+
+
+class TestProcessingFrameSectionOrder:
+    """The frame's section layout: title first, file queue next, the
+    overall-totals footer last, no 'file(s)' subtitle
+    (ref: TestProcessingViewSectionOrder, view_layout_test.go:57-82 and
+    TestProcessingViewOverallProgressContent :82-102 — the repo places the
+    totals as a FOOTER rather than the reference's top box, a documented
+    layout adaptation; the CONTENT contract is identical)."""
+
+    def _model(self, files=("a.wav", "b.wav")):
+        from jivetalking_tpu.ui.live import LiveModel
+
+        m = LiveModel(files=list(files))
+        m.title = "Jivetalking"
+        return m
+
+    def test_section_order_title_queue_footer(self):
+        from jivetalking_tpu.ui.live import render_frame
+
+        frame = render_frame(self._model(), tick=0)
+        assert "file(s)" not in frame           # no subtitle
+        t = frame.index("Jivetalking")
+        q = frame.index("a.wav")
+        f = frame.index("complete")
+        assert t < q < f, frame
+
+    def test_overall_progress_counts(self):
+        from jivetalking_tpu.ui.live import render_frame
+
+        m = self._model(("a.wav", "b.wav", "c.wav"))
+        m.rows["a.wav"].done = True
+        m.rows["a.wav"].done_box = "done-a"
+        frame = render_frame(m, tick=0)
+        assert "3 files" in frame
+        assert "1 complete" in frame
+        assert "0 failed" in frame
+
+    def test_failed_count_separated(self):
+        from jivetalking_tpu.ui.live import render_frame
+
+        m = self._model(("a.wav", "b.wav"))
+        m.rows["a.wav"].done = True
+        m.rows["a.wav"].error = "boom"
+        m.rows["a.wav"].done_box = "x"
+        frame = render_frame(m, tick=0)
+        assert "0 complete" in frame and "1 failed" in frame
+
+    def test_single_file_omits_footer(self):
+        from jivetalking_tpu.ui.live import render_frame
+
+        m = self._model(("solo.wav",))
+        frame = render_frame(m, tick=0)
+        assert "complete" not in frame
