@@ -550,3 +550,69 @@ class TestScoreIntervalWindowVectors:
             idx = np.array([], dtype=np.int64)
         got = score_interval_window_rms(iv, idx)
         assert got == pytest.approx(want, abs=1e-3), name
+
+
+class TestElectSpeechProfileHighestScore:
+    """(ref: TestElectSpeechProfile, analyser_vad_test.go:785-833):
+    highest-score election, not longest-wins — a shorter run with a wide
+    SNR margin must beat a longer, quieter run once both clear the
+    duration-adequacy minimum (duration saturates, SNR decides)."""
+
+    def _two_run_intervals(self):
+        from jivetalking_tpu.analysis.vad import (
+            GAP_TOLERANCE_FLOOR,
+            build_speech_runs,
+            intervals_for_duration,
+        )
+
+        # Run A: 140 intervals (35 s) loud at -16 -> wide SNR over -60.
+        # Gap: 20 intervals at -75 splits the runs.
+        # Run B: 200 intervals (50 s, LONGER) but quiet at -34.
+        momentary = [-16.0] * 140 + [-75.0] * 20 + [-34.0] * 200
+        iv = make_intervals(momentary)
+        tol = intervals_for_duration(GAP_TOLERANCE_FLOOR, iv.hop)
+        runs = build_speech_runs(iv, -45.0, 3.0, tol)
+        return iv, runs
+
+    def test_wide_snr_run_beats_longer_quiet_run(self):
+        from jivetalking_tpu.analysis.vad import elect_speech_profile
+
+        iv, runs = self._two_run_intervals()
+        assert len(runs) == 2, runs
+        profile, candidates = elect_speech_profile(runs, iv, -60.0)
+        assert profile is not None
+        assert candidates
+        # run A starts at t=0; the longer run B starts at 160*hop
+        assert profile.region.start < 160 * iv.hop
+        assert profile.region.start == pytest.approx(0.0, abs=iv.hop * 140)
+        # specifically: inside run A, not run B
+        assert profile.region.end <= 140 * iv.hop + 1e-9
+
+    def test_contract_fields_populated(self):
+        from jivetalking_tpu.analysis.vad import elect_speech_profile
+
+        iv, runs = self._two_run_intervals()
+        profile, _ = elect_speech_profile(runs, iv, -60.0)
+        assert profile.sample.rms_level != 0.0
+        assert profile.sample.crest_factor != 0.0
+
+
+class TestDetectVoiceActivityNoProfile:
+    """(ref: TestDetectVoiceActivity_NoProfileLeavesVoicedPercentileZero,
+    analyser_vad_test.go:1224-1243): a flat low-level stream elects no
+    speech profile, so the voiced percentile stays zero while the noise
+    percentile populates."""
+
+    def test_flat_stream_leaves_voiced_percentile_zero(self):
+        from jivetalking_tpu.analysis.vad import detect_voice_activity
+
+        # slight spread so the Otsu split sits above part of the level
+        # set (the noise percentile has members); room-tone-like spectra
+        # (centroid below the 200 Hz speech band, high entropy) keep the
+        # spectral veto from ever flagging speech
+        momentary = [-55.0, -57.0, -56.0] * 20
+        iv = make_intervals(momentary, centroid=50.0, entropy=0.95)
+        res = detect_voice_activity(iv, noise_floor_seed=-70.0)
+        assert res.speech_profile is None
+        assert res.gate_stats.voiced_low_percentile == 0.0
+        assert res.gate_stats.noise_high_percentile != 0.0
