@@ -1392,3 +1392,72 @@ class TestProcessingFrameSectionOrder:
         m = self._model(("solo.wav",))
         frame = render_frame(m, tick=0)
         assert "complete" not in frame
+
+
+class TestJoinStatusBoxes:
+    """Side-by-side box composition (ref: TestJoinStatusBoxesLayout
+    statusboxes_test.go:236-266, TestJoinStatusBoxesHeightMatch :267-293,
+    TestStatusBoxGutterSymmetric :441-490,
+    TestStatusBoxCacheByteIdentical :492-527 — determinism in lieu of the
+    reference's render cache)."""
+
+    def _summary(self):
+        s = AdaptedSummary(chain_ready=True)
+        s.downmix_mono = True
+        s.sample_rate = 48000
+        s.highpass_hz = 80.0
+        s.lowpass_hz = 20500.0
+        return s
+
+    def test_rows_join_chain_left_analysis_right(self):
+        from jivetalking_tpu.ui.live import _boxes_for
+        from jivetalking_tpu.ui.statusbox import (
+            _disp_width,
+            render_analysis_box,
+            render_filter_chain_box,
+        )
+
+        s = self._summary()
+        joined = _boxes_for(s)
+        chain = render_filter_chain_box(s).splitlines()
+        analysis = render_analysis_box(s).splitlines()
+        # the chain box is the left column, the analysis box the right
+        assert joined[0].startswith(chain[0])
+        assert joined[0].endswith(analysis[0])
+        # every joined row has the same display width (the layout is a
+        # rectangle regardless of per-row content)
+        widths = {_disp_width(r) for r in joined}
+        assert len(widths) == 1, widths
+
+    def test_height_match_pads_the_shorter_box(self):
+        from jivetalking_tpu.ui.live import _boxes_for
+        from jivetalking_tpu.ui.statusbox import (
+            render_analysis_box,
+            render_filter_chain_box,
+        )
+
+        s = self._summary()
+        chain = render_filter_chain_box(s).splitlines()
+        analysis = render_analysis_box(s).splitlines()
+        joined = _boxes_for(s)
+        assert len(joined) == max(len(chain), len(analysis))
+        # padded rows of the shorter column are spaces, not truncation
+        if len(chain) < len(analysis):
+            tail = joined[-1]
+            assert tail[:len(chain[0])].strip() == ""
+
+    def test_gutter_is_symmetric_two_spaces(self):
+        from jivetalking_tpu.ui.live import _boxes_for
+        from jivetalking_tpu.ui.statusbox import render_filter_chain_box
+
+        s = self._summary()
+        chain = render_filter_chain_box(s).splitlines()
+        joined = _boxes_for(s)
+        for i, row in enumerate(joined[:len(chain)]):
+            assert row[len(chain[i]):len(chain[i]) + 2] == "  ", i
+
+    def test_render_is_byte_identical_across_calls(self):
+        from jivetalking_tpu.ui.live import _boxes_for
+
+        s = self._summary()
+        assert _boxes_for(s) == _boxes_for(s)
