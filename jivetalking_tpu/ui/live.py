@@ -26,6 +26,7 @@ the terminal."""
 
 from __future__ import annotations
 
+import math
 import sys
 import threading
 import time
@@ -85,15 +86,122 @@ class LiveModel:
                                  # (the -a view's ∿ wave, analysis_model_test.go)
     scroll_offset: int = 0       # lines scrolled up from the tail (0 = follow)
     title: str = ""              # app header line ("" = none; set by LiveUI)
+    color: bool = False          # SGR gradients on (TTY + !NO_COLOR)
 
     def __post_init__(self):
         for f in self.files:
             self.rows[f] = FileRow(path=f)
 
 
-def _bar(fraction: float) -> str:
+# --- colour ramps (ref: views.go:291-533; palette styles.go:20-49) ---
+_METER_GREEN = (0x00, 0xAA, 0x00)      # cli.ColorGreen — safe zone
+_METER_YELLOW = (0xE6, 0xE6, 0x00)     # cli.ColorYellow — mid-warm stop
+_METER_ORANGE = (0xFF, 0xA5, 0x00)     # cli.ColorOrange — caution zone
+_METER_RED = (0xA4, 0x00, 0x00)        # cli.ColorRed — hot zone
+_ORANGE_DIM = (0xB3, 0x5F, 0x00)       # cli.ColorOrangeDim — pulse trough
+_GREEN_ZONE_DB = -16.0                 # green→yellow handoff (views.go:322)
+_PULSE_HZ = 1.2                        # peak-marker pulse (views.go:520)
+_PROGRESS_START = (0x38, 0xBD, 0xF8)   # sky-blue fill start (styles.go:38-41)
+_PROGRESS_END = (0x63, 0x66, 0xF1)     # indigo fill end
+_TRACK_RGB = (0x44, 0x44, 0x44)        # empty-track dark fill
+_SGR_RESET = "\x1b[0m"
+
+
+def _fg(rgb: tuple[int, int, int]) -> str:
+    return f"\x1b[38;2;{rgb[0]};{rgb[1]};{rgb[2]}m"
+
+
+def _blend1d(n: int, *stops: tuple[int, int, int]) -> list:
+    """n colours linearly interpolated across the stops (the reference's
+    lipgloss.Blend1D, used by its meter/progress ramps)."""
+    if n <= 0:
+        return []
+    if n == 1:
+        return [stops[0]]
+    segs = len(stops) - 1
+    out = []
+    for i in range(n):
+        t = i / (n - 1) * segs
+        k = min(int(t), segs - 1)
+        f = t - k
+        a, b = stops[k], stops[k + 1]
+        out.append(tuple(int(round(x + (y - x) * f)) for x, y in zip(a, b)))
+    return out
+
+
+_METER_RAMP: list | None = None
+
+
+def _meter_ramp() -> list:
+    """The _METER_WIDTH-cell green→yellow→orange→red VU ramp, built once:
+    real VU meters keep green dominant across the low range, so green→
+    yellow fills the floor→-16 dB zone and yellow→orange→red is squeezed
+    into the hot top ~16 dB (ref: meterRamp, views.go:310-334)."""
+    global _METER_RAMP
+    if _METER_RAMP is None:
+        span = 0.0 - _METER_FLOOR_DB
+        gz = int((_GREEN_ZONE_DB - _METER_FLOOR_DB) / span * _METER_WIDTH)
+        gz = max(0, min(gz, _METER_WIDTH))
+        _METER_RAMP = (
+            _blend1d(gz, _METER_GREEN, _METER_YELLOW)
+            + _blend1d(_METER_WIDTH - gz, _METER_YELLOW, _METER_ORANGE,
+                       _METER_RED))
+    return _METER_RAMP
+
+
+def _colour_runs(chars: list, colors: list) -> str:
+    """Style cells, coalescing contiguous same-colour cells into one SGR
+    run (ref: renderMeterBar's run flush, views.go:425-456)."""
+    parts = []
+    run = [chars[0]]
+    cur = colors[0]
+    for ch, c in zip(chars[1:], colors[1:]):
+        if c == cur:
+            run.append(ch)
+        else:
+            parts.append(_fg(cur) + "".join(run))
+            run, cur = [ch], c
+    parts.append(_fg(cur) + "".join(run))
+    return "".join(parts) + _SGR_RESET
+
+
+_SUPERSCRIPTS = str.maketrans(dict(zip("-.0123456789",
+                                       "⁻·⁰¹²³⁴⁵⁶⁷⁸⁹")))
+
+
+def superscript_value(value: str) -> str:
+    """A numeric value in Unicode superscript — '-'→⁻ (U+207B), '.'→·
+    (U+00B7), digits→⁰¹²³⁴⁵⁶⁷⁸⁹ — so the peak label and its arrow share
+    one marker row, with no dB unit (ref: superscriptValue,
+    views.go:291-308)."""
+    return value.translate(_SUPERSCRIPTS)
+
+
+def _pulse_rgb(elapsed: float) -> tuple[int, int, int]:
+    """The peak-marker pulse colour: a gentle 1.2 Hz sine between deep and
+    full orange, each channel `dim + phase*(bright-dim) + 0.5` so both
+    endpoints stay clearly orange (ref: peakMarkerColor,
+    views.go:519-533)."""
+    phase = 0.5 * (1.0 + math.sin(2.0 * math.pi * _PULSE_HZ * elapsed))
+    return tuple(int(a + phase * (b - a) + 0.5)
+                 for a, b in zip(_ORANGE_DIM, _METER_ORANGE))
+
+
+def _bar(fraction: float, color: bool = False) -> str:
     filled = int(round(_BAR_WIDTH * max(0.0, min(1.0, fraction))))
-    return "█" * filled + "░" * (_BAR_WIDTH - filled)
+    if not color:
+        return "█" * filled + "░" * (_BAR_WIDTH - filled)
+    # sky-blue→indigo gradient stretched across the FILLED cells (the fill
+    # edge always reads indigo) over a dark empty track — never the brand
+    # red (ref: TestProgressFillIsGradient, progress_bar_test.go:67-113)
+    parts = []
+    if filled:
+        parts.append(_colour_runs(
+            ["█"] * filled, _blend1d(filled, _PROGRESS_START, _PROGRESS_END)))
+    if filled < _BAR_WIDTH:
+        parts.append(_fg(_TRACK_RGB) + "░" * (_BAR_WIDTH - filled)
+                     + _SGR_RESET)
+    return "".join(parts)
 
 
 # the shared duration formatter lives in console.py (one clock for the
@@ -124,28 +232,63 @@ def render_timeline(row: FileRow, elapsed: float) -> str:
     return f"{format_elapsed(elapsed)} {timeline} {right}  ·  {badge}"
 
 
-def render_meter(level_db: float, peak_db: float) -> str:
-    """The eased VU row: gradient bar + peak-hold tick
-    (ref: views.go:359-537)."""
+def _meter_cell(db: float) -> int:
+    """dB → 0-based bar cell, clamped to the bar (views.go:373-384)."""
     span = -_METER_FLOOR_DB
-    def cell(db):
-        return int(round((max(_METER_FLOOR_DB, min(0.0, db)) - _METER_FLOOR_DB)
-                         / span * (_METER_WIDTH - 1)))
-    lv = cell(level_db)
-    pk = cell(peak_db)
-    chars = []
-    for i in range(_METER_WIDTH):
-        if i == pk and peak_db > _METER_FLOOR_DB + 0.5:
-            chars.append("┃")
-        elif i <= lv and level_db > _METER_FLOOR_DB + 0.5:
-            chars.append("█")
-        else:
-            chars.append("░")
+    return int(round((max(_METER_FLOOR_DB, min(0.0, db)) - _METER_FLOOR_DB)
+                     / span * (_METER_WIDTH - 1)))
+
+
+def render_meter(level_db: float, peak_db: float, elapsed: float = 0.0,
+                 color: bool = False) -> str:
+    """The eased VU block: one bar row (gradient-coloured fill + empty
+    track, inline level value — the value shows the LEVEL only) and, once
+    a peak exists, exactly one peak-marker line beneath it.  The peak is
+    never drawn inside the bar: its value is tethered to its column by a
+    pulsing up-tip arrow (ref: renderAudioLevelMeter, views.go:359-400;
+    marker grammar renderPeakMarker :459-500).  `elapsed` drives the
+    marker pulse; `color` gates every SGR sequence so the plain form
+    stays string-testable and non-TTY safe."""
+    lv = _meter_cell(level_db)
+    audible = level_db > _METER_FLOOR_DB + 0.5
+    chars = ["█" if (i <= lv and audible) else "░"
+             for i in range(_METER_WIDTH)]
+    # the ramp colours the bar along its WHOLE length — filled and empty
+    # cells alike (ref: renderMeterBar, views.go:411-456)
+    bar = _colour_runs(chars, _meter_ramp()) if color else "".join(chars)
     # both branches render exactly 9 display cells so the row never
     # changes width as the level crosses the floor (pinned by
     # tests/test_ui_geometry.py::TestMeterGeometry)
-    txt = f"{level_db:6.1f} dB" if level_db > _METER_FLOOR_DB + 0.5 else "     —   "
-    return "▐" + "".join(chars) + "▌" + txt
+    txt = f"{level_db:6.1f} dB" if audible else "     —   "
+    row = "▐" + bar + "▌" + txt
+    marker = _render_peak_marker(peak_db, elapsed, color)
+    return row + "\n" + marker if marker else row
+
+
+def _render_peak_marker(peak_db: float, elapsed: float, color: bool) -> str:
+    """The single peak-marker line: `⬑ value` with the arrow at the peak
+    column, flipping to `value ⬏` when the label would overflow the bar,
+    the value in superscript with no unit.  "" while the peak still sits
+    at the silence floor so no stray marker renders at column 0
+    (ref: renderPeakMarker, views.go:459-500).  The one-space prefix sits
+    under the ▐ cap so the arrow lands exactly under its bar cell."""
+    if peak_db <= _METER_FLOOR_DB:
+        return ""
+    pos = _meter_cell(peak_db)
+    sup = superscript_value(f"{peak_db:.1f}")
+    if color:
+        arrow_sgr = _fg(_pulse_rgb(elapsed))
+        left = arrow_sgr + "⬑" + _SGR_RESET
+        right = arrow_sgr + "⬏" + _SGR_RESET
+        value = _fg(_METER_ORANGE) + sup + _SGR_RESET
+    else:
+        left, right, value = "⬑", "⬏", sup
+    # every superscript rune is display width 1, so len(sup) measures
+    # display columns (ref: the lipgloss.Width alignment note)
+    if pos + len(sup) + 2 <= _METER_WIDTH:
+        return " " + " " * pos + left + " " + value
+    lead = max(pos - (len(sup) + 1), 0)
+    return " " + " " * lead + value + " " + right
 
 
 def _advance_meter(row: FileRow, now: float) -> None:
@@ -207,12 +350,13 @@ def render_frame(model: LiveModel, tick: int) -> str:
         stage = PASS_LABELS.get(row.stage, row.stage or "queued")
         elapsed = time.perf_counter() - row.started if row.started else 0.0
         lines.append(
-            f"{spin} {row.path:<32} {stage:<16} {_bar(row.disp_fraction if row.stage else 0.0)} {elapsed:5.0f}s"
+            f"{spin} {row.path:<32} {stage:<16} {_bar(row.disp_fraction if row.stage else 0.0, model.color)} {elapsed:5.0f}s"
         )
         if row.started and row.stage:
             lines.append("  " + render_timeline(row, elapsed))
         if row.levels is not None and row.stage in ("processing", "normalising"):
-            lines.append("  " + render_meter(row.meter_db, row.peak_db))
+            lines.extend("  " + l for l in render_meter(
+                row.meter_db, row.peak_db, elapsed, model.color).splitlines())
         if row.summary is not None:
             lines.extend("  " + b for b in _boxes_for(row.summary))
     if len(model.files) > 1:
@@ -347,7 +491,8 @@ class LiveUI:
         self._on_quit = on_quit
         from ..cli.styles import _want_color, render_title
 
-        self.model.title = render_title(_want_color(self._out)) + " 🕺"
+        self.model.color = _want_color(self._out)
+        self.model.title = render_title(self.model.color) + " 🕺"
 
     # --- pool event handlers (the message types) ---
     # Every handler routes by path and tolerates an unknown one: a message

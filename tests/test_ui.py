@@ -127,9 +127,9 @@ class TestLiveFrame:
         # eased level converges to the series value; peak holds at/above it
         assert abs(row.meter_db - (-18.0)) < 1.0
         assert row.peak_db >= row.meter_db - 1e-6
-        # the meter string shows a filled bar + peak tick
+        # the meter block shows a filled bar + the tethered peak marker
         m = render_meter(row.meter_db, row.peak_db)
-        assert "█" in m and "┃" in m
+        assert "█" in m and ("⬑" in m or "⬏" in m)
 
     def test_peak_hold_decays(self):
         import numpy as np
@@ -551,12 +551,13 @@ class TestMeterReferenceInvariants:
         # (ref: TestMeterPeakAtCeilingStaysInBounds :315)
         from jivetalking_tpu.ui.live import _METER_WIDTH, render_meter
 
-        row = render_meter(-3.0, 0.0)
+        lines = render_meter(-3.0, 0.0).splitlines()
         # fixed geometry: the bar is exactly _METER_WIDTH cells between the
-        # ▐ ▌ caps no matter where the peak tick lands
-        bar = row[row.index("▐") + 1:row.index("▌")]
+        # ▐ ▌ caps; the marker arrow stays in bounds on its own line
+        bar = lines[0][lines[0].index("▐") + 1:lines[0].index("▌")]
         assert len(bar) == _METER_WIDTH
-        assert "┃" in bar  # the peak tick renders inside, not past the cap
+        assert "┃" not in bar  # no in-bar glyph — the marker moved below
+        assert lines[1].index("⬏") == 1 + (_METER_WIDTH - 1)
 
     def test_no_peak_marker_at_floor(self):
         # (ref: TestMeterNoPeakMarkerAtFloor :341; floor = -70, the
@@ -564,7 +565,7 @@ class TestMeterReferenceInvariants:
         from jivetalking_tpu.ui.live import _METER_FLOOR_DB, render_meter
 
         row = render_meter(_METER_FLOOR_DB, _METER_FLOOR_DB)
-        assert "┃" not in row
+        assert "⬑" not in row and "⬏" not in row
         assert "—" in row  # silent header placeholder
 
     def test_header_shows_level_not_peak(self):

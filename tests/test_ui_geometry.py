@@ -95,20 +95,30 @@ class TestMeterGeometry:
     @pytest.mark.parametrize("level", LEVELS)
     @pytest.mark.parametrize("peak", [-200.0, -60.0, -30.0, -1.0, 0.0, 10.0])
     def test_meter_width_fixed_for_any_input(self, level, peak):
-        out = render_meter(level, peak)
-        # ▐ + cells + ▌ + 8-char value field (leading space in %6.1f + ' dB')
-        assert len(out) == 2 + _METER_WIDTH + 9, (level, peak, out)
+        lines = render_meter(level, peak).splitlines()
+        # bar row: ▐ + cells + ▌ + 8-char value field (leading space in
+        # %6.1f + ' dB'); the marker line never outgrows the bar row
+        assert len(lines[0]) == 2 + _METER_WIDTH + 9, (level, peak, lines)
+        for extra in lines[1:]:
+            assert len(extra) <= len(lines[0])
 
     def test_peak_above_ceiling_pins_last_cell(self):
-        out = render_meter(-40.0, 10.0)
-        cells = out[1 : 1 + _METER_WIDTH]
-        assert cells[-1] == "┃"
-        assert "┃" not in cells[:-1]
+        # (ref: TestMeterPeakAtCeilingStaysInBounds :315) — at/above the
+        # 0 dB ceiling the marker flips to the trailing-arrow form with ⬏
+        # at the last in-bounds column (cap offset 1 + _METER_WIDTH - 1)
+        for peak in (0.0, -0.5, 10.0):
+            lines = render_meter(-40.0, peak).splitlines()
+            assert len(lines) == 2, lines
+            assert "┃" not in lines[0] and "|" not in lines[0]
+            assert lines[1].rstrip().endswith("⬏")
+            assert lines[1].index("⬏") == 1 + (_METER_WIDTH - 1)
 
     def test_no_peak_marker_at_or_below_floor(self):
         # (ref: TestMeterNoPeakMarkerAtFloor :341)
         for peak in (_METER_FLOOR_DB, _METER_FLOOR_DB - 20.0):
-            assert "┃" not in render_meter(-40.0, peak)
+            out = render_meter(-40.0, peak)
+            assert "⬑" not in out and "⬏" not in out
+            assert len(out.splitlines()) == 1
 
     def test_floor_level_renders_placeholder_value(self):
         out = render_meter(_METER_FLOOR_DB, _METER_FLOOR_DB)
