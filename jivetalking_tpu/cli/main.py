@@ -203,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
                     on_progress=live.on_progress,
                     on_adapted=live.on_adapted_summary,
                     on_levels=live.on_levels,
+                    on_limiter=live.on_limiter,
                     on_file_complete=live.on_file_complete,
                     on_warning=lambda w: warnings.append(w),
                     on_debug=lambda p, msg: sink.for_file(p)(msg),

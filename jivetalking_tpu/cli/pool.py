@@ -129,6 +129,7 @@ class PoolEvents:
     on_progress: callable = None        # (path, pass_name, fraction)
     on_adapted: callable = None         # (path, AdaptedSummary)
     on_levels: callable = None          # (path, levels_db ndarray, hop_secs)
+    on_limiter: callable = None         # (path, enabled, ceiling_dbtp)
     on_file_complete: callable = None   # (FileOutcome)
     on_warning: callable = None         # (str)
     on_debug: callable = None           # (path, str) -> serialised debug sink
@@ -310,6 +311,13 @@ def process_one_file(
                       np.asarray(m.intervals.rms_level, dtype=np.float64),
                       float(m.intervals.hop))
 
+        def on_limiter_plan(enabled, ceiling_dbtp):
+            # the Pass-4 limiter snapshot lights the chain box's Limiter
+            # row DURING processing (ref: LimiterProgressMsg,
+            # WithLimiterProgress — summary_test.go:385)
+            _emit(events.on_limiter, path, bool(enabled),
+                  float(ceiling_dbtp))
+
         def on_filtered_levels(levels_db, hop_secs):
             # truthful meter for the processing/normalising tail: the
             # PROCESSED signal's momentary series (+ the linear-mode
@@ -322,6 +330,7 @@ def process_one_file(
             samples, meta.sample_rate, base_config=base,
             progress=progress, on_adapted=on_adapted,
             on_filtered_levels=on_filtered_levels,
+            on_limiter_plan=on_limiter_plan,
             defer_output_pull=finisher is not None,
         )
     except InterruptedError:

@@ -691,7 +691,7 @@ def _constants_for_rate(sr: int, hp_hz: float, lp_hz: float):
 
 def fused_master(
     x, sample_rate: int, cfg: FilterConfig, measurements,
-    on_stage_a_done=None, on_filtered_levels=None,
+    on_stage_a_done=None, on_filtered_levels=None, on_limiter_plan=None,
 ) -> tuple[tuple, int, dict, dict]:
     """Run the fused pass-2/3/4 master (two chained device programs, no
     host sync between them) with per-file parameters drawn from the
@@ -798,6 +798,17 @@ def fused_master(
     # (ref: the per-frame level the encoder streams, encoder.go:235-257)
     packed_a.copy_to_host_async()
     ma = _unpack_all(np.asarray(packed_a), shapes_a, dtypes_a, treedef_a)
+    if on_limiter_plan is not None:
+        # the Pass-4 limiter snapshot as soon as the plan metrics land, so
+        # the TUI's Limiter row lights DURING processing (ref: the
+        # LimiterProgressMsg path, WithLimiterProgress)
+        try:
+            _needed = bool(ma["plan"]["needed"])
+            on_limiter_plan(
+                _needed,
+                float(ma["plan"]["ceiling_db"]) if _needed else 0.0)
+        except Exception:
+            pass
     if on_filtered_levels is not None:
         try:
             # anchor at the FINAL encode level: filtered momentary + the

@@ -910,6 +910,7 @@ LAST_PHASE_WALLS: dict = {}
 def fused_master_chunked(
     x, sample_rate: int, cfg: FilterConfig, measurements,
     progress=None, chunk_secs: float = 240.0, on_filtered_levels=None,
+    on_limiter_plan=None,
 ) -> tuple[tuple, int, dict, dict]:
     """Chunked fused pass-2/3/4 master.  Same signature/contract as
     `fused.fused_master`; use for files past the `should_chunk` horizon."""
@@ -1084,6 +1085,14 @@ def fused_master_chunked(
     ceiling_db = float(hp["ceiling_db"])
     gain_required = float(hp["gain_db"])
     _mark("plan_host")
+    if on_limiter_plan is not None:
+        # the Pass-4 limiter snapshot the moment the plan resolves, so the
+        # TUI's Limiter row lights DURING processing (ref: the
+        # LimiterProgressMsg path, WithLimiterProgress)
+        try:
+            on_limiter_plan(needed, ceiling_db if needed else 0.0)
+        except Exception:
+            pass
 
     # ---- PASS B + final metering + delivery ----
     g = math.gcd(sr, out_rate)

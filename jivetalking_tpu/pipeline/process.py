@@ -245,6 +245,7 @@ def process_audio(
     on_adapted=None,
     fused: bool = True,
     on_filtered_levels=None,
+    on_limiter_plan=None,
     defer_output_pull: bool = False,
 ) -> ProcessResult:
     """Full 4-pass master of (channels, n) or (n,) PCM at `sample_rate`.
@@ -327,6 +328,7 @@ def process_audio(
                 mono, sample_rate, eff, m, progress=chunk_progress,
                 chunk_secs=chunk_secs,
                 on_filtered_levels=on_filtered_levels,
+                on_limiter_plan=on_limiter_plan,
             )
         else:
             from .fused import fused_master
@@ -338,6 +340,7 @@ def process_audio(
             out_chunks, out_rate, fm, fused_t = fused_master(
                 mono, sample_rate, eff, m, on_stage_a_done=_stage_a_done,
                 on_filtered_levels=on_filtered_levels,
+                on_limiter_plan=on_limiter_plan,
             )
 
         filtered, final, norm = assemble_fused_stage_results(
@@ -377,6 +380,12 @@ def process_audio(
         t0 = time.perf_counter()
         report("normalising", 0.0)
         final_audio, norm = apply_normalisation(filtered_audio, sample_rate, eff)
+        if on_limiter_plan is not None:
+            try:
+                on_limiter_plan(norm.limiter_enabled,
+                                norm.limiter_ceiling_dbtp)
+            except Exception:
+                pass
         final = _measure_output(final_audio, sample_rate, m)
         timings["normalising"] = time.perf_counter() - t0
         report("normalising", 1.0)

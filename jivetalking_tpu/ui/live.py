@@ -32,9 +32,22 @@ import threading
 import time
 from dataclasses import dataclass, field
 
+import re as _re
+
 from .console import format_elapsed, render_analysis_summary, render_done_box
-from .statusbox import render_analysis_box, render_filter_chain_box
-from .summary import AdaptedSummary
+from .statusbox import (
+    _disp_width as _cell_width,
+    render_analysis_box,
+    render_filter_chain_box,
+)
+
+_ANSI_SGR_RE = _re.compile(r"\x1b\[[0-9;]*m")
+
+
+def _disp_width(s: str) -> int:
+    """Display columns of a possibly SGR-styled line."""
+    return _cell_width(_ANSI_SGR_RE.sub("", s))
+from .summary import AdaptedSummary, with_limiter
 
 PASS_LABELS = {
     "analysis": "Pass 1 analyse",
@@ -308,12 +321,22 @@ def _advance_meter(row: FileRow, now: float) -> None:
         row.peak_db = max(row.meter_db, row.peak_db - _PEAK_DECAY_DB)
 
 
-def _boxes_for(summary: AdaptedSummary) -> list[str]:
-    chain = render_filter_chain_box(summary).splitlines()
-    analysis = render_analysis_box(summary).splitlines()
+def _boxes_for(summary: AdaptedSummary, cols: int | None = None,
+               color: bool = False) -> list[str]:
+    """The Filter Chain + Analysis boxes joined side-by-side, equalised to
+    one height.  On a terminal too narrow for the pair (the side-by-side
+    join would wrap and shred the repaint) the boxes degrade to a vertical
+    stack instead of overflowing (ref: TestJoinStatusBoxesNarrowDegrades,
+    statusboxes_test.go:294 — the reference drops its side boxes; this
+    layout's boxes ARE the content, so it stacks them)."""
+    chain = render_filter_chain_box(summary, color=color).splitlines()
+    analysis = render_analysis_box(summary, color=color).splitlines()
+    joined_w = _disp_width(chain[0]) + 2 + _disp_width(analysis[0])
+    if cols is not None and joined_w + 2 > cols:  # +2: the row indent
+        return chain + analysis
     height = max(len(chain), len(analysis))
-    chain += [" " * len(chain[0])] * (height - len(chain))
-    analysis += [" " * len(analysis[0])] * (height - len(analysis))
+    chain += [" " * _disp_width(chain[0])] * (height - len(chain))
+    analysis += [" " * _disp_width(analysis[0])] * (height - len(analysis))
     return [a + "  " + b for a, b in zip(chain, analysis)]
 
 
@@ -329,7 +352,7 @@ def render_overall_progress(model: LiveModel) -> str:
             f"{complete} complete, {failed} failed")
 
 
-def render_frame(model: LiveModel, tick: int) -> str:
+def render_frame(model: LiveModel, tick: int, cols: int | None = None) -> str:
     """One full repaint of the live view (pure; string-testable).  Each
     in-flight file renders its own row + ITS status boxes + ITS meter
     (ref: per-file association, statusboxes.go:269-396); the overall
@@ -358,7 +381,8 @@ def render_frame(model: LiveModel, tick: int) -> str:
             lines.extend("  " + l for l in render_meter(
                 row.meter_db, row.peak_db, elapsed, model.color).splitlines())
         if row.summary is not None:
-            lines.extend("  " + b for b in _boxes_for(row.summary))
+            lines.extend("  " + b for b in _boxes_for(row.summary, cols,
+                                                      model.color))
     if len(model.files) > 1:
         lines.append(render_overall_progress(model))
     return "\n".join(lines)
@@ -528,6 +552,18 @@ class LiveUI:
             if row is not None:
                 row.duration = float(secs)
 
+    def on_limiter(self, path: str, enabled: bool,
+                   ceiling_dbtp: float) -> None:
+        """The Pass-4 limiter snapshot resolves the chain box's Limiter
+        row (ceiling or OFF) while the file is still processing,
+        preserving every other chain/analysis row (ref:
+        WithLimiterProgress, summary_test.go:385-407)."""
+        with self._lock:
+            row = self.model.rows.get(path)
+            if row is not None and row.summary is not None:
+                row.summary = with_limiter(row.summary, enabled,
+                                           ceiling_dbtp)
+
     def on_levels(self, path: str, levels_db, hop_secs: float) -> None:
         with self._lock:
             row = self.model.rows.get(path)
@@ -550,12 +586,15 @@ class LiveUI:
     # --- ticker ---
 
     def _paint(self) -> None:
+        import shutil
+
         now = time.perf_counter()
+        cols = shutil.get_terminal_size(fallback=(120, 24)).columns
         with self._lock:
             for row in self.model.rows.values():
                 if not row.done:
                     _advance_meter(row, now)
-            frame = render_frame(self.model, self._tick)
+            frame = render_frame(self.model, self._tick, cols=cols)
             offset = self.model.scroll_offset
         frame = clip_to_viewport(frame, offset=offset)
         lines = frame.count("\n") + 1

@@ -64,13 +64,29 @@ def _pending(label: str, w: int) -> str:
     return _status_row(GLYPH_OFF, label, w, PENDING)
 
 
-def _box(title: str, inner: int, rows: list[str]) -> str:
+_INDIGO_SGR = "\x1b[38;2;99;102;241m"   # the lit-border indigo #6366F1
+_SGR_RESET = "\x1b[0m"
+
+
+def _box(title: str, inner: int, rows: list[str], lit: bool = False,
+         color: bool = False) -> str:
     """Rounded box, title spliced into the top border, one space padding
-    (ref: statusBox + border title, statusboxes.go:117-140)."""
+    (ref: statusBox + border title, statusboxes.go:117-140).  Once the
+    summary content has landed the border lights indigo; the pending box
+    stays plain (ref: TestProgressiveLightingBorder,
+    statusboxes_test.go:596)."""
     width = max(inner, max((_disp_width(r) for r in rows), default=0))
     top = f"╭─ {title} " + "─" * max(0, width - 2 - len(title)) + "─╮"
     bottom = "╰" + "─" * (width + 2) + "╯"
-    body = [f"│ {r}{' ' * max(0, width - _disp_width(r))} │" for r in rows]
+    if color and lit:
+        side_l = _INDIGO_SGR + "│" + _SGR_RESET
+        side_r = side_l
+        top = _INDIGO_SGR + top + _SGR_RESET
+        bottom = _INDIGO_SGR + bottom + _SGR_RESET
+    else:
+        side_l = side_r = "│"
+    body = [f"{side_l} {r}{' ' * max(0, width - _disp_width(r))} {side_r}"
+            for r in rows]
     return "\n".join([top, *body, bottom])
 
 
@@ -102,7 +118,7 @@ def separation_bar(separation_db: float) -> str:
     return "▰" * filled + "▱" * (SEPARATION_BAR_W - filled)
 
 
-def render_filter_chain_box(s: AdaptedSummary) -> str:
+def render_filter_chain_box(s: AdaptedSummary, color: bool = False) -> str:
     """(ref: renderChainBox, statusboxes.go:269-321)."""
     w = CHAIN_LABEL_W
     if not s.chain_ready:
@@ -142,10 +158,10 @@ def render_filter_chain_box(s: AdaptedSummary) -> str:
         deesser,
         limiter,
     ]
-    return _box("Filter Chain", CHAIN_INNER, rows)
+    return _box("Filter Chain", CHAIN_INNER, rows, lit=True, color=color)
 
 
-def render_analysis_box(s: AdaptedSummary) -> str:
+def render_analysis_box(s: AdaptedSummary, color: bool = False) -> str:
     """(ref: renderAnalysisBox, statusboxes.go:326-383).  Row order: Gate
     depth row 6, Sibilance row 7 (aligns with the chain's De-esser, its
     driver), Loudness the bottom row."""
@@ -186,4 +202,4 @@ def render_analysis_box(s: AdaptedSummary) -> str:
         sib,
         _active("Loudness", w, f"{s.input_lufs:.1f} LUFS"),
     ]
-    return _box("Analysis", ANALYSIS_INNER, rows)
+    return _box("Analysis", ANALYSIS_INNER, rows, lit=True, color=color)

@@ -233,3 +233,18 @@ class TestProgressCallbacks:
         eff, diag, m = seen[0]
         assert eff.loudnorm.target_i == -16.0
         assert m.duration > 0
+
+    def test_on_limiter_plan_fires_and_matches_result(self, podcast_fixture):
+        # the Pass-4 limiter snapshot surfaces mid-run and agrees with the
+        # completed NormalisationResult (ref: the LimiterProgressMsg the
+        # encoder posts during Pass 4, consumed by WithLimiterProgress —
+        # summary_test.go:385)
+        seen = []
+        res = process_audio(
+            podcast_fixture, SR,
+            on_limiter_plan=lambda en, ceil: seen.append((en, ceil)))
+        assert len(seen) == 1
+        enabled, ceiling = seen[0]
+        assert enabled == res.normalisation.limiter_enabled
+        assert ceiling == pytest.approx(
+            res.normalisation.limiter_ceiling_dbtp, abs=1e-4)

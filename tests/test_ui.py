@@ -64,6 +64,106 @@ class TestAdaptedSummary:
         assert s.limiter_ready and s.limiter_enabled
         assert s.limiter_ceiling == -9.0
 
+    def test_with_limiter_preserves_chain_and_analysis_rows(self):
+        # (ref: TestWithLimiter, summary_test.go:364-381) — the limiter
+        # merge keeps the existing chain + analysis rows and fills the
+        # ceiling
+        base = AdaptedSummary(chain_ready=True, gate_thresh_db=-42.1,
+                              voice_avg_db=-20.9, comp_thresh_db=-11.9)
+        s = with_limiter(base, True, -2.8)
+        assert s.limiter_ready and s.limiter_enabled
+        assert s.limiter_ceiling == -2.8
+        assert s.gate_thresh_db == -42.1
+        assert s.voice_avg_db == -20.9
+        assert s.comp_thresh_db == -11.9
+
+    def test_with_limiter_disabled_marks_known_disabled(self):
+        # (ref: TestWithLimiter's nil-NormResult arm :375-380 and
+        # TestWithLimiterProgress's disabled/nil arms :396-406): a
+        # known-absent limiter is READY (so the row reads OFF, not ⋯)
+        # but not enabled
+        s = with_limiter(AdaptedSummary(chain_ready=True), False, 0.0)
+        assert s.limiter_ready and not s.limiter_enabled
+
+
+class TestStatusBoxLayoutDegrade:
+    """(ref: TestJoinStatusBoxesNarrowDegrades, statusboxes_test.go:294;
+    TestProgressiveLightingBorder :596)."""
+
+    def test_narrow_terminal_stacks_boxes(self):
+        from jivetalking_tpu.ui.live import _boxes_for
+
+        s = AdaptedSummary(chain_ready=True)
+        wide = _boxes_for(s, cols=160)
+        narrow = _boxes_for(s, cols=60)
+        # wide: one joined row set — every line carries both boxes
+        assert any("Filter Chain" in l and "Analysis" in l for l in wide)
+        # narrow: the side-by-side join would wrap, so the boxes stack —
+        # both still render, never on one line together
+        assert not any("Filter Chain" in l and "Analysis" in l
+                       for l in narrow)
+        assert any("Filter Chain" in l for l in narrow)
+        assert any("Analysis" in l for l in narrow)
+        assert len(narrow) > len(wide)
+        # no-cols callers (pure string tests) keep the joined layout
+        assert len(_boxes_for(s)) == len(wide)
+
+    def test_progressive_lighting_border(self):
+        from jivetalking_tpu.ui.statusbox import render_filter_chain_box
+
+        pending = render_filter_chain_box(
+            AdaptedSummary(chain_ready=False), color=True)
+        lit = render_filter_chain_box(
+            AdaptedSummary(chain_ready=True), color=True)
+        assert "99;102;241" not in pending
+        assert "99;102;241" in lit
+        # the plain form never carries SGR either way
+        assert "\x1b" not in render_filter_chain_box(
+            AdaptedSummary(chain_ready=True))
+
+
+class TestLimiterProgressRouting:
+    """The Pass-4 limiter snapshot path that lights the Limiter row
+    DURING processing (ref: TestWithLimiterProgress summary_test.go:385,
+    LimiterProgressMsg routing)."""
+
+    def _ui(self):
+        import io
+
+        from jivetalking_tpu.ui.live import LiveUI
+
+        return LiveUI(files=["a.flac", "b.flac"], out=io.StringIO())
+
+    def test_snapshot_resolves_limiter_row_during_processing(self):
+        ui = self._ui()
+        ui.on_adapted_summary("a.flac", AdaptedSummary(
+            chain_ready=True, gate_thresh_db=-42.1, voice_avg_db=-20.9))
+        ui.on_limiter("a.flac", True, -2.8)
+        s = ui.model.rows["a.flac"].summary
+        assert s.limiter_ready and s.limiter_enabled
+        assert s.limiter_ceiling == -2.8
+        # chain + analysis rows preserved; the other file untouched
+        assert s.gate_thresh_db == -42.1 and s.voice_avg_db == -20.9
+        assert ui.model.rows["b.flac"].summary is None
+
+    def test_disabled_snapshot_reads_off_not_pending(self):
+        from jivetalking_tpu.ui.statusbox import render_filter_chain_box
+
+        ui = self._ui()
+        ui.on_adapted_summary("a.flac", AdaptedSummary(chain_ready=True))
+        ui.on_limiter("a.flac", False, 0.0)
+        box = render_filter_chain_box(ui.model.rows["a.flac"].summary)
+        limiter_line = next(l for l in box.splitlines() if "Limiter" in l)
+        assert "OFF" in limiter_line and "⋯" not in limiter_line
+
+    def test_snapshot_before_summary_and_unknown_path_are_noops(self):
+        # (ref: the out-of-range FileIndex no-op,
+        # TestAdaptedSummaryMsgUpdate :419-425)
+        ui = self._ui()
+        ui.on_limiter("a.flac", True, -2.8)   # summary not landed yet
+        assert ui.model.rows["a.flac"].summary is None
+        ui.on_limiter("nope.flac", True, -2.8)  # unknown file: no crash
+
 
 class TestStatusBoxes:
     def test_pending_boxes(self):
@@ -300,6 +400,15 @@ class TestDoneBoxReferenceInvariants:
         assert "Δ +15.0" in box
         # the delta carries no unit
         assert "Δ +15.0 LUFS" not in box and "Δ +15.0 dB" not in box
+
+    def test_dynamics_row_cells(self):
+        # (ref: TestDoneBoxDynamicsRow, view_layout_test.go:385-409):
+        # right-aligned shared-width columns — 8.0 (3 chars) carries two
+        # lead spaces after the arrow — and the signed unit-less Δ
+        box = render_done_box(self._outcome())
+        dyn_line = next(l for l in box.splitlines() if "Dynamics" in l)
+        assert "12.3 →   8.0 LU" in dyn_line, dyn_line
+        assert "Δ  -4.3" in dyn_line, dyn_line
 
     def test_true_peak_signed_delta(self):
         # (ref: TestDoneBoxTruePeakRow, view_layout_test.go:358-384):

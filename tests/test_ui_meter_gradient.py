@@ -207,6 +207,81 @@ class TestMeterPeakArrowIsOrange:
         assert c == (0xFF, 0xA5, 0x00), c
 
 
+class TestMeterRampOracle:
+    """The cached ramp against a per-frame oracle (ref: views_test.go:65-129
+    — TestMeterRampMatchesPerFrame, TestMeterRampStableAcrossCalls,
+    TestRenderAudioLevelMeterMatchesOracle): the cache must never change
+    the visible meter."""
+
+    @staticmethod
+    def _oracle_ramp():
+        from jivetalking_tpu.ui.live import (
+            _blend1d,
+            _METER_GREEN,
+            _METER_ORANGE,
+            _METER_RED,
+            _METER_YELLOW,
+        )
+
+        # independent arithmetic: the piecewise green zone keyed to -16 dB
+        gz = int(((-16.0 - _METER_FLOOR_DB) / (0.0 - _METER_FLOOR_DB))
+                 * _METER_WIDTH)
+        return (_blend1d(gz, _METER_GREEN, _METER_YELLOW)
+                + _blend1d(_METER_WIDTH - gz, _METER_YELLOW, _METER_ORANGE,
+                           _METER_RED))
+
+    def test_ramp_matches_per_frame_oracle(self):
+        from jivetalking_tpu.ui.live import _meter_ramp
+
+        ramp = _meter_ramp()
+        assert len(ramp) == _METER_WIDTH
+        assert ramp == self._oracle_ramp()
+        # endpoints: brand green start, brand red end
+        assert ramp[0] == (0x00, 0xAA, 0x00)
+        assert ramp[-1] == (0xA4, 0x00, 0x00)
+
+    def test_ramp_stable_across_calls(self):
+        from jivetalking_tpu.ui.live import _meter_ramp
+
+        assert _meter_ramp() is _meter_ramp()
+
+    def test_rendered_meter_stable_across_calls(self):
+        # (ref: TestRenderAudioLevelMeterMatchesOracle :129) — rendering
+        # through the cached ramp is deterministic at every fill level
+        for lvl in (_METER_FLOOR_DB, -70.0, -65.0, -60.0, -50.0, -40.0,
+                    -30.0, -20.0, -16.0, -12.0, -8.0, -6.0, -3.0, -1.0, 0.0):
+            a = render_meter(lvl, _METER_FLOOR_DB, color=True)
+            b = render_meter(lvl, _METER_FLOOR_DB, color=True)
+            assert a == b, lvl
+
+
+class TestPeakMarkerColorOracle:
+    """(ref: TestPeakMarkerColorMatchesOracle, views_test.go:164-187) —
+    the pulse colour sampled across a full 1.2 Hz cycle matches the
+    documented channel maths `dim + phase*(bright-dim) + 0.5` exactly."""
+
+    def test_pulse_matches_channel_oracle(self):
+        import math as _math
+
+        from jivetalking_tpu.ui.live import _METER_ORANGE, _ORANGE_DIM, _pulse_rgb
+
+        cycle = 1.0 / 1.2
+        samples = [i / 64.0 * cycle for i in range(65)]
+        samples += [0.0, 0.208, 0.417, 5.0]
+        for e in samples:
+            phase = 0.5 * (1.0 + _math.sin(2.0 * _math.pi * 1.2 * e))
+            want = tuple(int(a + phase * (b - a) + 0.5)
+                         for a, b in zip(_ORANGE_DIM, _METER_ORANGE))
+            assert _pulse_rgb(e) == want, e
+
+    def test_endpoints_are_the_palette_oranges(self):
+        from jivetalking_tpu.ui.live import _METER_ORANGE, _ORANGE_DIM, _pulse_rgb
+
+        # sine trough (phase 0) = dim orange; crest (phase 1) = full orange
+        assert _pulse_rgb(0.625) == _ORANGE_DIM
+        assert _pulse_rgb(0.625 + 0.5 / 1.2) == _METER_ORANGE
+
+
 class TestMeterPeakArrowPulses:
     """(ref: TestMeterPeakArrowPulses :364) — the arrow oscillates between
     two distinct orange shades across pulse phases; both stay orange."""
