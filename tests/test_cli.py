@@ -89,6 +89,63 @@ class TestDebugSink:
         assert "[ep1.flac] hello world" in content
         assert "plain" in content
 
+    def test_concurrent_writes_race_clean(self, tmp_path):
+        # (ref: TestDebugSinkConcurrentWritesRace, debugsink_test.go:17):
+        # 16 writers x 500 lines through ONE shared sink — every line
+        # lands whole, none lost
+        import threading
+
+        path = str(tmp_path / "race.log")
+        sink = DebugSink.open(True, path)
+        workers, lines_per = 16, 500
+
+        def work(wid):
+            for i in range(lines_per):
+                sink.logf("worker %d line %d", wid, i)
+
+        threads = [threading.Thread(target=work, args=(w,))
+                   for w in range(workers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        sink.close()
+        lines = [l for l in open(path).read().splitlines() if l]
+        assert len(lines) == workers * lines_per
+
+    def test_concurrent_prefix_attribution(self, tmp_path):
+        # (ref: TestDebugSinkPrefixAttribution, debugsink_test.go:58):
+        # many per-file wrappers over one sink under concurrency — every
+        # line is whole and carries exactly ONE marker, the right one
+        import threading
+
+        path = str(tmp_path / "attrib.log")
+        sink = DebugSink.open(True, path)
+        wrappers, lines_per = 12, 400
+        names = [f"episode-{w:02d}.wav" for w in range(wrappers)]
+
+        def work(wid):
+            log = sink.for_file(f"/pods/{names[wid]}")
+            for i in range(lines_per):
+                log("payload writer %d seq %d", wid, i)
+
+        threads = [threading.Thread(target=work, args=(w,))
+                   for w in range(wrappers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        sink.close()
+        lines = [l for l in open(path).read().splitlines() if l]
+        assert len(lines) == wrappers * lines_per
+        for l in lines:
+            assert l.count("[") == 1 and l.count("]") == 1, l
+            marker = l[l.index("[") + 1:l.index("]")]
+            assert marker in names, l
+            # the payload's writer id matches the wrapper's marker
+            wid = int(l.split("payload writer ")[1].split()[0])
+            assert marker == names[wid], l
+
 
 class TestConsole:
     def test_stars_row(self):
