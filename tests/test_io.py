@@ -141,6 +141,43 @@ class TestAiff:
         with pytest.raises(ValueError, match="ulaw"):
             read_aiff(p)
 
+    def test_open_nonexistent_path_names_path(self, tmp_path):
+        # (ref: TestOpenAudioFile_NonexistentPath, reader_test.go:56):
+        # error, never a panic/None return — and the message carries the
+        # path so a silent empty error cannot pass
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        for ext in (".flac", ".wav", ".mp3", ".aiff"):
+            missing = str(tmp_path / f"does-not-exist{ext}")
+            with pytest.raises(FileNotFoundError) as ei:
+                open_audio_file(missing)
+            assert str(ei.value), ext
+            assert "does-not-exist" in str(ei.value), ext
+
+    def test_open_empty_path_errors_not_crashes(self):
+        # (ref: TestOpenAudioFile_EmptyPath, reader_test.go:110)
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        with pytest.raises((FileNotFoundError, ValueError)):
+            open_audio_file("")
+
+    @pytest.mark.parametrize("ext", [".wav", ".flac", ".aiff", ".mp3",
+                                     ".ogg", ".opus"])
+    def test_open_not_audio_data_rejected_cleanly(self, tmp_path, ext):
+        # (ref: TestOpenAudioFile_NotAudioData, reader_test.go:84): a real
+        # but undecodable file (random bytes, no container) is rejected
+        # with a clean non-empty error through EVERY dedicated reader —
+        # this drives the open-succeeds/parse-fails branch, not the
+        # missing-path one
+        from jivetalking_tpu.io.audio import open_audio_file
+
+        junk = str(tmp_path / f"not-audio{ext}")
+        open(junk, "wb").write(b"this is not an audio container at all")
+        with pytest.raises(Exception) as ei:
+            open_audio_file(junk)
+        assert not isinstance(ei.value, (SystemExit, KeyboardInterrupt))
+        assert str(ei.value), ext
+
     def test_undecodable_file_names_fallback(self, tmp_path):
         # an extension without a dedicated reader routes to the generic
         # FFmpeg fallback; when that also fails, the error names both the
