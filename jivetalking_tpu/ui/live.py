@@ -200,10 +200,28 @@ def _pulse_rgb(elapsed: float) -> tuple[int, int, int]:
                  for a, b in zip(_ORANGE_DIM, _METER_ORANGE))
 
 
-def _bar(fraction: float, color: bool = False) -> str:
-    filled = int(round(_BAR_WIDTH * max(0.0, min(1.0, fraction))))
+_MIN_BAR_WIDTH = 10          # bar floor on narrow terminals (model.go:25-26)
+# fixed display cells around the bar in a progress row: spinner+space,
+# 32-char path field+space, 16-char stage field+space, space+5-char
+# elapsed+'s' (render_frame's row f-string)
+_ROW_OVERHEAD = 1 + 1 + 32 + 1 + 16 + 1 + 1 + 6
+
+
+def _bar_width_for(cols: int | None) -> int:
+    """Adaptive bar width: shrink with the terminal between the usability
+    floor and the full width, like the reference's progress SetWidth clamp
+    (ref: TestProcessingProgressWidthFitsTerminal,
+    progress_bar_test.go:472-491; min/max model.go:18-47).  A row may
+    still overflow a very narrow terminal once the bar hits its floor."""
+    if cols is None:
+        return _BAR_WIDTH
+    return min(_BAR_WIDTH, max(_MIN_BAR_WIDTH, cols - _ROW_OVERHEAD))
+
+
+def _bar(fraction: float, color: bool = False, width: int = _BAR_WIDTH) -> str:
+    filled = int(round(width * max(0.0, min(1.0, fraction))))
     if not color:
-        return "█" * filled + "░" * (_BAR_WIDTH - filled)
+        return "█" * filled + "░" * (width - filled)
     # sky-blue→indigo gradient stretched across the FILLED cells (the fill
     # edge always reads indigo) over a dark empty track — never the brand
     # red (ref: TestProgressFillIsGradient, progress_bar_test.go:67-113)
@@ -211,8 +229,8 @@ def _bar(fraction: float, color: bool = False) -> str:
     if filled:
         parts.append(_colour_runs(
             ["█"] * filled, _blend1d(filled, _PROGRESS_START, _PROGRESS_END)))
-    if filled < _BAR_WIDTH:
-        parts.append(_fg(_TRACK_RGB) + "░" * (_BAR_WIDTH - filled)
+    if filled < width:
+        parts.append(_fg(_TRACK_RGB) + "░" * (width - filled)
                      + _SGR_RESET)
     return "".join(parts)
 
@@ -364,6 +382,7 @@ def render_frame(model: LiveModel, tick: int, cols: int | None = None) -> str:
         lines.append(model.title)
         lines.append("")
     spin = model.glyph or _SPINNER[tick % len(_SPINNER)]
+    bw = _bar_width_for(cols)
 
     for f in model.files:
         row = model.rows[f]
@@ -373,7 +392,7 @@ def render_frame(model: LiveModel, tick: int, cols: int | None = None) -> str:
         stage = PASS_LABELS.get(row.stage, row.stage or "queued")
         elapsed = time.perf_counter() - row.started if row.started else 0.0
         lines.append(
-            f"{spin} {row.path:<32} {stage:<16} {_bar(row.disp_fraction if row.stage else 0.0, model.color)} {elapsed:5.0f}s"
+            f"{spin} {row.path:<32} {stage:<16} {_bar(row.disp_fraction if row.stage else 0.0, model.color, bw)} {elapsed:5.0f}s"
         )
         if row.started and row.stage:
             lines.append("  " + render_timeline(row, elapsed))

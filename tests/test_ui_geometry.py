@@ -131,6 +131,45 @@ class TestMeterGeometry:
         assert fills == sorted(fills)
 
 
+class TestProgressWidthFitsTerminal:
+    """(ref: TestProcessingProgressWidthFitsTerminal,
+    progress_bar_test.go:472-491 + TestProgressWidthCapsAtMeterWidth
+    :496) — the bar shrinks with the terminal between the usability floor
+    and its full width; wide terminals keep the full bar."""
+
+    def test_bar_width_clamps_to_terminal(self):
+        from jivetalking_tpu.ui.live import (
+            _BAR_WIDTH,
+            _MIN_BAR_WIDTH,
+            _bar_width_for,
+        )
+
+        for term in (20, 40, 80, 120, 200):
+            w = _bar_width_for(term)
+            assert _MIN_BAR_WIDTH <= w <= _BAR_WIDTH, term
+            # the row must not overflow unless the bar hit its floor
+            from jivetalking_tpu.ui.live import _ROW_OVERHEAD
+
+            if w > _MIN_BAR_WIDTH:
+                assert _ROW_OVERHEAD + w <= term, term
+
+    def test_wide_terminals_keep_full_bar(self):
+        from jivetalking_tpu.ui.live import _BAR_WIDTH, _bar_width_for
+
+        for term in (120, 200, None):
+            assert _bar_width_for(term) == _BAR_WIDTH, term
+
+    def test_rendered_rows_fit_narrow_terminal(self):
+        model = LiveModel(files=["a.flac"])
+        row = model.rows["a.flac"]
+        row.stage = "analysis"
+        row.fraction = row.disp_fraction = 0.5
+        row.started = time.perf_counter() - 2.0
+        frame = render_frame(model, tick=0, cols=70)
+        progress_row = next(l for l in frame.splitlines() if ".flac" in l)
+        assert _disp_width(progress_row) <= 70, progress_row
+
+
 class TestRowAlignment:
     """(ref: TestProgressBarAlignsWithMeter :509 +
     TestProcessingRowFitsTerminal :548) — the frame's columns line up
