@@ -34,6 +34,99 @@ def _want_color(stream) -> bool:
     return hasattr(stream, "isatty") and stream.isatty()
 
 
+# --- terminal colour-profile downsampling -------------------------------
+# The renderers always emit truecolor SGR; the WRITE path rewrites it per
+# the terminal's capability, like the reference's colorprofile.Writer
+# under lipgloss (ref: cli/styles_test.go:26-80 — truecolor must never
+# leak to an ANSI/ANSI256/NoTTY terminal, and NoTTY keeps the text).
+
+import re as _re
+
+_SGR_RE = _re.compile(r"\x1b\[([0-9;]*)m")
+
+# the standard 16-colour palette's nominal RGB values, index = SGR code
+_ANSI16 = [
+    (30, (0, 0, 0)), (31, (205, 0, 0)), (32, (0, 205, 0)),
+    (33, (205, 205, 0)), (34, (0, 0, 238)), (35, (205, 0, 205)),
+    (36, (0, 205, 205)), (37, (229, 229, 229)),
+    (90, (127, 127, 127)), (91, (255, 0, 0)), (92, (0, 255, 0)),
+    (93, (255, 255, 0)), (94, (92, 92, 255)), (95, (255, 0, 255)),
+    (96, (0, 255, 255)), (97, (255, 255, 255)),
+]
+
+
+def color_profile(stream=None) -> str:
+    """The terminal's colour capability: 'truecolor', '256', 'ansi' or
+    'none' (non-TTY / NO_COLOR / TERM=dumb), resolved from COLORTERM and
+    TERM the way the reference's colorprofile detection does."""
+    stream = stream if stream is not None else sys.stdout
+    if not _want_color(stream):
+        return "none"
+    term = os.environ.get("TERM", "")
+    if term == "dumb":
+        return "none"
+    ct = os.environ.get("COLORTERM", "").lower()
+    if "truecolor" in ct or "24bit" in ct:
+        return "truecolor"
+    if "256color" in term:
+        return "256"
+    return "ansi"
+
+
+def _rgb_to_256(r: int, g: int, b: int) -> int:
+    """Nearest xterm-256 index: greyscale ramp for near-grey colours,
+    otherwise the 6x6x6 cube."""
+    if abs(r - g) < 8 and abs(g - b) < 8:
+        if r < 8:
+            return 16
+        if r > 248:
+            return 231
+        return 232 + (r - 8) * 24 // 240
+    def q(v):
+        return 0 if v < 48 else (1 if v < 115 else (v - 35) // 40)
+    return 16 + 36 * q(r) + 6 * q(g) + q(b)
+
+
+def _rgb_to_16(r: int, g: int, b: int) -> int:
+    return min(_ANSI16,
+               key=lambda e: (e[1][0] - r) ** 2 + (e[1][1] - g) ** 2
+               + (e[1][2] - b) ** 2)[0]
+
+
+def downsample_sgr(text: str, profile: str) -> str:
+    """Rewrite every truecolor `38;2;r;g;b` / `48;2;r;g;b` SGR parameter
+    to the profile's nearest representation — 'none' strips ALL SGR while
+    keeping the text (ref: TestStyledOutputDownsamplesNoTruecolorLeak /
+    ...StripsColorButKeepsTextWhenNoTTY, styles_test.go:26-64)."""
+    if profile == "truecolor":
+        return text
+    if profile == "none":
+        return _SGR_RE.sub("", text)
+
+    def rewrite(m):
+        params = m.group(1).split(";")
+        out = []
+        i = 0
+        while i < len(params):
+            if (params[i] in ("38", "48") and i + 4 < len(params)
+                    and params[i + 1] == "2"):
+                base = params[i]
+                r, g, b = (int(params[i + 2]), int(params[i + 3]),
+                           int(params[i + 4]))
+                if profile == "256":
+                    out += [base, "5", str(_rgb_to_256(r, g, b))]
+                else:
+                    code = _rgb_to_16(r, g, b)
+                    out.append(str(code if base == "38" else code + 10))
+                i += 5
+            else:
+                out.append(params[i])
+                i += 1
+        return "\x1b[" + ";".join(out) + "m"
+
+    return _SGR_RE.sub(rewrite, text)
+
+
 def _style(text: str, *codes: str, stream) -> str:
     if not _want_color(stream):
         return text
@@ -112,7 +205,9 @@ def render_help(parser, stream=None) -> str:
             lines.append(f"  {flag(label.ljust(width))}  {help_text}")
 
     lines.append("")
-    return "\n".join(lines)
+    # truecolor never leaks to a lesser terminal: rewrite per the
+    # stream's profile on the way out (styles_test.go:26-52)
+    return downsample_sgr("\n".join(lines), color_profile(stream))
 
 
 def print_help(parser) -> None:
@@ -122,8 +217,9 @@ def print_help(parser) -> None:
 
 def print_version(version: str) -> None:
     """(ref: cli.PrintVersion)."""
-    print(render_title(_want_color(sys.stdout))
-          + " " + _style(version, _DIM, stream=sys.stdout))
+    line = (render_title(_want_color(sys.stdout))
+            + " " + _style(version, _DIM, stream=sys.stdout))
+    print(downsample_sgr(line, color_profile(sys.stdout)))
 
 
 def print_error(msg: str) -> None:

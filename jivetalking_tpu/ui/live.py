@@ -532,9 +532,13 @@ class LiveUI:
         self._thread: threading.Thread | None = None
         self._key_thread: threading.Thread | None = None
         self._on_quit = on_quit
-        from ..cli.styles import _want_color, render_title
+        from ..cli.styles import color_profile, render_title
 
-        self.model.color = _want_color(self._out)
+        # the renderers always emit truecolor; _paint rewrites the frame
+        # per this profile on the way out (the reference's
+        # colorprofile.Writer shape, styles_test.go:26-52)
+        self._profile = color_profile(self._out)
+        self.model.color = self._profile != "none"
         self.model.title = render_title(self.model.color) + " 🕺"
 
     # --- pool event handlers (the message types) ---
@@ -616,6 +620,10 @@ class LiveUI:
             frame = render_frame(self.model, self._tick, cols=cols)
             offset = self.model.scroll_offset
         frame = clip_to_viewport(frame, offset=offset)
+        if self._profile not in ("truecolor", "none"):
+            from ..cli.styles import downsample_sgr
+
+            frame = downsample_sgr(frame, self._profile)
         lines = frame.count("\n") + 1
         if self._last_height:
             self._out.write(f"\x1b[{self._last_height}A\x1b[J")

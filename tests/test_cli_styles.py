@@ -2,10 +2,11 @@
 internal/cli test files (help_test.go 157 LoC, styles_test.go 151 LoC).
 
 The reference styles through lipgloss + colorprofile downsampling; this
-rebuild emits raw SGR and degrades to plain text off-TTY, so the
-downsampling matrix collapses to the colour/no-colour pair — the
-surviving pins are row grammar, ordering, dedup, gradient shape and
-stability.
+rebuild mirrors that shape: renderers emit truecolor SGR, and the write
+path rewrites it per the terminal profile (truecolor/256/ansi/none) via
+`downsample_sgr`, so truecolor never leaks to a lesser terminal and
+NoTTY keeps the text.  Pins: row grammar, ordering, dedup, gradient
+shape/stability, and the full downsampling matrix.
 """
 
 import io
@@ -145,6 +146,81 @@ class TestPrinterStreams:
         assert "error: boom" in _strip(err)
         assert "warning: careful" in _strip(err)
 
-    def test_truecolor_preserved_on_tty(self):
+    def test_truecolor_preserved_on_truecolor_tty(self, monkeypatch):
+        # (ref: TestStyledOutputPreservesTruecolor, styles_test.go:145)
+        monkeypatch.setenv("COLORTERM", "truecolor")
+        monkeypatch.delenv("NO_COLOR", raising=False)
         out = render_help(build_parser(), _FakeTTY())
         assert "38;2;" in out
+
+
+class TestColorProfileDownsampling:
+    """(ref: TestStyledOutputDownsamplesNoTruecolorLeak /
+    ...StripsColorButKeepsTextWhenNoTTY / TestRenderTitleDownsamplesNoColor,
+    styles_test.go:26-64,122-143): the renderers emit truecolor; the write
+    path rewrites it per the terminal profile, and truecolor never leaks
+    to a lesser terminal."""
+
+    STYLED = "\x1b[1;38;2;255;165;0mFlags\x1b[0m plain \x1b[38;2;0;170;0m--debug\x1b[0m"
+
+    def test_no_truecolor_leak_on_lesser_profiles(self):
+        from jivetalking_tpu.cli.styles import downsample_sgr
+
+        for profile in ("256", "ansi", "none"):
+            out = downsample_sgr(self.STYLED, profile)
+            assert "38;2;" not in out, profile
+            assert "Flags" in out and "--debug" in out, profile
+
+    def test_none_profile_strips_all_escapes_keeps_text(self):
+        from jivetalking_tpu.cli.styles import downsample_sgr
+
+        out = downsample_sgr(self.STYLED, "none")
+        assert "\x1b[" not in out
+        assert out == "Flags plain --debug"
+
+    def test_256_profile_rewrites_to_indexed(self):
+        from jivetalking_tpu.cli.styles import downsample_sgr
+
+        out = downsample_sgr(self.STYLED, "256")
+        assert "38;5;" in out
+        # non-colour attributes (bold) survive the rewrite
+        assert out.startswith("\x1b[1;38;5;")
+
+    def test_ansi_profile_rewrites_to_basic(self):
+        from jivetalking_tpu.cli.styles import downsample_sgr
+
+        out = downsample_sgr(self.STYLED, "ansi")
+        # no extended-fg parameter survives the basic rewrite
+        assert "38;" not in out
+        assert re.search(r"\x1b\[1;(3[0-7]|9[0-7])m", out)
+
+    def test_truecolor_profile_is_identity(self):
+        from jivetalking_tpu.cli.styles import downsample_sgr
+
+        assert downsample_sgr(self.STYLED, "truecolor") == self.STYLED
+
+    def test_profile_detection(self, monkeypatch):
+        from jivetalking_tpu.cli.styles import color_profile
+
+        monkeypatch.delenv("NO_COLOR", raising=False)
+        monkeypatch.setenv("COLORTERM", "truecolor")
+        monkeypatch.setenv("TERM", "xterm-256color")
+        assert color_profile(_FakeTTY()) == "truecolor"
+        monkeypatch.delenv("COLORTERM")
+        assert color_profile(_FakeTTY()) == "256"
+        monkeypatch.setenv("TERM", "vt100")
+        assert color_profile(_FakeTTY()) == "ansi"
+        monkeypatch.setenv("TERM", "dumb")
+        assert color_profile(_FakeTTY()) == "none"
+        monkeypatch.setenv("TERM", "xterm-256color")
+        assert color_profile(io.StringIO()) == "none"  # non-TTY
+        monkeypatch.setenv("NO_COLOR", "1")
+        assert color_profile(_FakeTTY()) == "none"
+
+    def test_help_never_leaks_truecolor_on_256_terminal(self, monkeypatch):
+        monkeypatch.delenv("NO_COLOR", raising=False)
+        monkeypatch.delenv("COLORTERM", raising=False)
+        monkeypatch.setenv("TERM", "xterm-256color")
+        out = render_help(build_parser(), _FakeTTY())
+        assert "38;2;" not in out
+        assert "38;5;" in out
