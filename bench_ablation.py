@@ -17,6 +17,38 @@ import time
 import numpy as np
 
 
+# The ablation matrix: each entry disables exactly ONE production filter,
+# leaving every other field of the adapted config untouched, so a timing
+# delta is attributable to that filter alone (ref: the fullbench pass-2
+# ablation specs, filter_ablation_benchmark_test.go:419-540 — each spec
+# is the production chain minus one clause, order preserved).
+ABLATIONS = ("rumble_highpass", "bandlimit_lowpass", "nlm", "afftdn",
+             "speech_gate", "compressor", "deesser")
+
+
+def ablate(base_cfg, name):
+    """A deep copy of `base_cfg` with the named filter (and nothing else)
+    disabled."""
+    cfg = copy.deepcopy(base_cfg)
+    if name == "rumble_highpass":
+        cfg.rumble_highpass.enabled = False
+    elif name == "bandlimit_lowpass":
+        cfg.bandlimit_lowpass.enabled = False
+    elif name == "nlm":
+        cfg.noise_reduction.enabled = False
+    elif name == "afftdn":
+        cfg.noise_reduction.afftdn_enabled = False
+    elif name == "speech_gate":
+        cfg.speech_gate.enabled = False
+    elif name == "compressor":
+        cfg.levelling_compressor.enabled = False
+    elif name == "deesser":
+        cfg.deesser.enabled = False
+    else:
+        raise ValueError(f"unknown ablation {name!r}")
+    return cfg
+
+
 def main() -> None:
     duration = float(os.environ.get("BENCH_DURATION_SECS", "60"))
     sr = int(os.environ.get("BENCH_SAMPLE_RATE", "48000"))
@@ -36,29 +68,10 @@ def main() -> None:
     m = analyse_audio(x, sr)
     base_cfg, _ = adapt_config(default_filter_config(), m)
 
-    def ablate(name):
-        cfg = copy.deepcopy(base_cfg)
-        if name == "rumble_highpass":
-            cfg.rumble_highpass.enabled = False
-        elif name == "bandlimit_lowpass":
-            cfg.bandlimit_lowpass.enabled = False
-        elif name == "nlm":
-            cfg.noise_reduction.enabled = False
-        elif name == "afftdn":
-            cfg.noise_reduction.afftdn_enabled = False
-        elif name == "speech_gate":
-            cfg.speech_gate.enabled = False
-        elif name == "compressor":
-            cfg.levelling_compressor.enabled = False
-        elif name == "deesser":
-            cfg.deesser.enabled = False
-        return cfg
-
-    configs = ["full", "rumble_highpass", "bandlimit_lowpass", "nlm",
-               "afftdn", "speech_gate", "compressor", "deesser"]
+    configs = ["full", *ABLATIONS]
     full_time = None
     for name in configs:
-        cfg = base_cfg if name == "full" else ablate(name)
+        cfg = base_cfg if name == "full" else ablate(base_cfg, name)
         y = apply_filter_chain(x, sr, cfg)
         y.block_until_ready()
         # best of 3: sub-second walls on the remote tunnel swing with
