@@ -80,6 +80,7 @@ def main() -> None:
         "unit": f"x_realtime_{args.secs/60:g}min_x{args.files}files_batched",
         "wall_s": round(wall, 3),
         "errors": len(errs),
+        "error_msgs": sorted({str(r["error"])[:160] for r in errs}),
         "output_lufs": [round(r.get("output_lufs", float("nan")), 2)
                         for r in results if "error" not in r],
     }), flush=True)
