@@ -252,6 +252,85 @@ class TestStreamReader:
             assert 0 < got < n
 
 
+class TestStreamReaderLifecycle:
+    """Drain-to-EOF and resource-lifecycle contracts for the streaming
+    decoder, mirroring the reference's one audio round-trip test (ref:
+    internal/audio/roundtrip_test.go:102-189): EOF is a stable sentinel
+    (never an error, never a hang), close releases cleanly and is
+    idempotent, and reads after close fail loudly instead of touching a
+    freed handle."""
+
+    @staticmethod
+    def _tone_flac(tmp_path, sr=44100, secs=0.25):
+        import numpy as np
+
+        from jivetalking_tpu.io.flac import write_flac
+
+        n = int(sr * secs)
+        # -6 dBFS sine, well clear of clipping (ref :113)
+        x = (0.5 * np.sin(2 * np.pi * 440.0 * np.arange(n) / sr)).astype(
+            np.float32)
+        p = str(tmp_path / "roundtrip.flac")
+        write_flac(p, x, sr)
+        return p, n, sr
+
+    def test_drain_to_eof_then_eof_is_stable(self, tmp_path):
+        """The drain must yield >=1 chunk summing to the encoded sample
+        count (lossless round-trip), and a SECOND read at EOF must keep
+        returning the empty sentinel — never an error (ref :149-183)."""
+        from jivetalking_tpu.io.flac import FlacStreamReader
+
+        p, n, sr = self._tone_flac(tmp_path)
+        with FlacStreamReader(p) as r:
+            # metadata reflects what was written; duration bounded, not
+            # equated (ref :133-147 container-rounding note)
+            assert r.sample_rate == sr
+            assert r.channels == 1
+            assert 0 < r.total_samples / r.sample_rate <= 1.0
+
+            reads, decoded = 0, 0
+            while True:
+                c = r.read(4096 + 1)  # never aligned with the frame grid
+                if c.shape[1] == 0:
+                    break
+                reads += 1
+                decoded += c.shape[1]
+            assert reads > 0
+            assert decoded == n
+
+            # past-EOF reads keep returning the sentinel, immediately
+            for _ in range(3):
+                again = r.read(4096)
+                assert again.shape[1] == 0
+
+    def test_close_is_idempotent_and_read_after_close_raises(self, tmp_path):
+        """Double close must be safe (a double free would crash here, ref
+        :185-188) and a read on a closed reader must raise the documented
+        error rather than dereference the freed native handle."""
+        import pytest
+
+        from jivetalking_tpu.io.flac import FlacStreamReader
+
+        p, _, _ = self._tone_flac(tmp_path)
+        r = FlacStreamReader(p)
+        assert r.read(1024).shape[1] > 0
+        r.close()
+        r.close()  # idempotent
+        with pytest.raises(ValueError):
+            r.read(1024)
+
+    def test_context_manager_closes(self, tmp_path):
+        import pytest
+
+        from jivetalking_tpu.io.flac import FlacStreamReader
+
+        p, _, _ = self._tone_flac(tmp_path)
+        with FlacStreamReader(p) as r:
+            r.read(512)
+        with pytest.raises(ValueError):
+            r.read(512)
+
+
 class TestEncodeErrorPaths:
     """(ref: TestApplyLoudnormAndMeasure*RemovesTemp family,
     normalise_test.go:561-937): any failure on the publish path must
