@@ -391,16 +391,31 @@ class TestStyledHelp:
             assert token in out, token
         assert "files" in out
 
-    def test_styled_on_tty(self):
+    def test_styled_on_tty(self, monkeypatch):
         from jivetalking_tpu.cli.main import build_parser
         from jivetalking_tpu.cli.styles import render_help
 
+        monkeypatch.setenv("COLORTERM", "truecolor")
         out = render_help(build_parser(), self._FakeTTY())
         assert "\x1b[38;2;255;165;0m" in out     # orange sections
         assert "\x1b[38;2;0;170;0m" in out       # green flag labels
         assert "\x1b[38;2;0;170;170m" in out     # cyan argument labels
         assert "\x1b[38;2;0;212;255m" in out     # title gradient start
         assert "\x1b[3m" in out                  # italic description
+
+    def test_truecolor_never_leaks_to_lesser_terminal(self, monkeypatch):
+        """On a non-truecolor TTY the help is still coloured, but every
+        SGR is downsampled — no 38;2 parameter survives (ref:
+        TestStyledOutputDownsamplesNoTruecolorLeak, styles_test.go:26-64)."""
+        from jivetalking_tpu.cli.main import build_parser
+        from jivetalking_tpu.cli.styles import render_help
+
+        monkeypatch.delenv("COLORTERM", raising=False)
+        monkeypatch.setenv("TERM", "xterm")
+        out = render_help(build_parser(), self._FakeTTY())
+        assert "\x1b[" in out                    # still coloured...
+        assert "38;2;" not in out                # ...but no truecolor leak
+        assert "48;2;" not in out
 
     def test_no_color_env_wins(self, monkeypatch):
         from jivetalking_tpu.cli.main import build_parser
