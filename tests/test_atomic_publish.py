@@ -36,6 +36,35 @@ class TestSiblingTempPath:
                     os.unlink(t)
 
 
+class TestPublishMovesAndOverwrites:
+    """(ref: TestPublishOutputMovesSource, processor_test.go:108-143 and
+    TestPublishOutputOverwritesExistingDestination :145-173): a publish
+    MOVES its payload — the temp is gone, the destination carries the new
+    bytes even over an existing file, and the directory holds nothing else."""
+
+    def test_moves_source_leaves_only_destination(self, tmp_path):
+        dst = str(tmp_path / "output.flac")
+        with atomic_publish(dst) as tmp:
+            with open(tmp, "wb") as f:
+                f.write(b"published audio")
+        assert not os.path.exists(tmp)
+        with open(dst, "rb") as f:
+            assert f.read() == b"published audio"
+        assert os.listdir(tmp_path) == ["output.flac"]
+
+    def test_overwrites_existing_destination(self, tmp_path):
+        dst = str(tmp_path / "output.flac")
+        with open(dst, "wb") as f:
+            f.write(b"existing audio")
+        with atomic_publish(dst) as tmp:
+            with open(tmp, "wb") as f:
+                f.write(b"new audio")
+        assert not os.path.exists(tmp)
+        with open(dst, "rb") as f:
+            assert f.read() == b"new audio"
+        assert os.listdir(tmp_path) == ["output.flac"]
+
+
 class TestConcurrentOverwrite:
     """(ref: TestPublishOutputConcurrentOverwrite, processor_test.go:175):
     N concurrent publishes of the SAME destination all succeed and the

@@ -161,6 +161,21 @@ class TestSeedOwnedFamiliesSurviveAdaptation:
         eff, _ = adapt_config(base, _measurements())
         assert eff.filter_order == base.filter_order
 
+    def test_custom_filter_order_isolated_across_clones(self):
+        # (ref: TestEffectiveConfigFilterOrderIsolation,
+        # processor_test.go:257-285): a CUSTOM order propagates to every
+        # derived clone, and rebinding one clone's order leaks to neither
+        # the seed nor a sibling clone
+        base = default_filter_config()
+        base.filter_order = ("analysis", "deesser")
+        first, d1 = adapt_config(base, _measurements())
+        second, d2 = adapt_config(base, _measurements())
+        assert d1 is not None and d2 is not None
+        assert first.filter_order == ("analysis", "deesser")
+        first.filter_order = ("downmix", "deesser")
+        assert base.filter_order == ("analysis", "deesser")
+        assert second.filter_order == ("analysis", "deesser")
+
 
 class TestAnalyseOnlyDoesNotMutateCallerConfig:
     """(ref: TestAnalyseAudioDoesNotMutateCallerConfig, analyser_test.go:218

@@ -183,6 +183,21 @@ class TestPaths:
         assert output_audio_path("/x/ep1.flac") == "/x/ep1-LUFS-16-processed.flac"
         assert analysis_report_path("/x/ep1.flac") == "/x/ep1-flac-analysis.md"
 
+    @pytest.mark.parametrize(
+        "name,path,want",
+        [
+            # (ref: TestGenerateLUFSOutputPath, processor_test.go:18-40)
+            ("lowercase wav", "/tmp/foo.wav", "/tmp/foo-LUFS-16-processed.flac"),
+            ("uppercase WAV", "/tmp/foo.WAV", "/tmp/foo-LUFS-16-processed.flac"),
+            ("flac input", "/tmp/foo.flac", "/tmp/foo-LUFS-16-processed.flac"),
+            ("mp3 input", "/tmp/foo.mp3", "/tmp/foo-LUFS-16-processed.flac"),
+            ("no extension", "/tmp/foo", "/tmp/foo-LUFS-16-processed.flac"),
+            ("multi-dot", "/tmp/foo.bar.wav", "/tmp/foo.bar-LUFS-16-processed.flac"),
+        ],
+    )
+    def test_output_naming_extension_table(self, name, path, want):
+        assert output_audio_path(path, -16.0) == want, name
+
 
 class TestCanonicalKeys:
     """The §8.4 canonical key contract (ref: runrecord_tags_test.go:87-163):
