@@ -1571,3 +1571,62 @@ class TestJoinStatusBoxes:
 
         s = self._summary()
         assert _boxes_for(s) == _boxes_for(s)
+
+
+class TestFinalSummaryContent:
+    """The completion frame (ref: TestFinalSummaryReturnsCompletionContent,
+    view_layout_test.go:102-146) carries the wordmark, the overall totals
+    box and every per-file done box — with the retired marketing strings
+    gone — and the outcome's TP/LRA/recording quality flow through
+    on_file_complete into the rendered box (ref:
+    TestFileCompleteMsgCopiesOutputTPAndLRA, view_layout_test.go:636-655;
+    TestFileCompleteMsgCopiesRecordingQuality :717-734)."""
+
+    @staticmethod
+    def _plain(s):
+        import re
+
+        return re.sub(r"\x1b\[[0-9;?]*[a-zA-Z]", "", s)
+
+    def test_completion_frame_content(self):
+        ui = LiveUI(["a.wav", "b.wav"], out=io.StringIO())
+        ui.on_progress("a.wav", "processing", 0.5)
+        ui.on_file_complete(FileOutcome(
+            path="a.wav", output_path="a-out.wav", input_lufs=-30.9,
+            output_lufs=-15.9, input_tp=-6.0, output_tp=-2.0,
+            input_lra=10.0, output_lra=8.0,
+            input_noise_floor=-60.0, output_noise_floor=-80.0,
+            quality_stars=4, quality_label="Great",
+            recording_stars=2, recording_label="Fair"))
+        ui.on_file_complete(FileOutcome(
+            path="b.wav", output_path="b-out.wav", input_lufs=-20.0,
+            output_lufs=-16.0, quality_stars=5, quality_label="Excellent"))
+        assert ui.model.all_done
+
+        plain = self._plain(render_frame(ui.model, tick=0))
+        # title + overall totals box, matching the live view
+        assert "jivetalking-tpu" in plain
+        assert "2 files" in plain and "2 complete" in plain
+        # per-file done boxes, each naming its OUTPUT file
+        assert "a-out.wav" in plain and "b-out.wav" in plain
+        # the outcome's output TP and LRA surface in the box (the copy
+        # contract): -6.0 -> -2.0 dBTP, 10.0 -> 8.0 LU
+        assert "-2.0" in plain and "8.0" in plain
+        # both star rows with their own label
+        assert "★★☆☆☆" in plain and "Fair" in plain
+        assert "★★★★★" in plain and "Excellent" in plain
+        # retired strings stay gone
+        for gone in ("Processing Complete", "Audacity",
+                     "normalized to -16", "level-matched"):
+            assert gone not in plain
+
+    def test_error_outcome_counts_failed_not_complete(self):
+        # (single-file runs omit the overall footer — pinned elsewhere —
+        # so the failed-count grammar is asserted on a two-file run)
+        ui = LiveUI(["a.wav", "b.wav"], out=io.StringIO())
+        ui.on_file_complete(FileOutcome(path="a.wav", error="boom"))
+        ui.on_file_complete(FileOutcome(path="b.wav", output_path="b-out.wav"))
+        assert ui.model.all_done
+        plain = self._plain(render_frame(ui.model, tick=0))
+        assert "1 complete, 1 failed" in plain
+        assert "boom" in plain
