@@ -169,6 +169,33 @@ class TestProgressWidthFitsTerminal:
         progress_row = next(l for l in frame.splitlines() if ".flac" in l)
         assert _disp_width(progress_row) <= 70, progress_row
 
+    def test_analysis_mode_rows_fit_terminal(self):
+        # (ref: TestAnalysisProgressWidthFitsTerminal,
+        # progress_bar_test.go:533-544) — the -a analysis UI rides the
+        # same width clamp as the processing UI at every terminal size
+        import io as _io
+
+        from jivetalking_tpu.ui.live import AnalysisLiveUI
+
+        for term in (20, 40, 80, 120, 200):
+            ui = AnalysisLiveUI(["a.wav"], out=_io.StringIO())
+            r = ui.model.rows["a.wav"]
+            r.stage = "analysis"
+            r.fraction = r.disp_fraction = 0.5
+            r.started = time.perf_counter() - 2.0
+            frame = render_frame(ui.model, tick=0, cols=term)
+            progress_row = next(
+                l for l in frame.splitlines() if ".wav" in l)
+            # rows fit unless the bar already sits at its usability floor
+            from jivetalking_tpu.ui.live import (
+                _MIN_BAR_WIDTH,
+                _ROW_OVERHEAD,
+                _bar_width_for,
+            )
+            if _bar_width_for(term) > _MIN_BAR_WIDTH or (
+                    _ROW_OVERHEAD + _MIN_BAR_WIDTH <= term):
+                assert _disp_width(progress_row) <= term, (term, progress_row)
+
 
 class TestRowAlignment:
     """(ref: TestProgressBarAlignsWithMeter :509 +
