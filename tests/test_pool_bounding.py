@@ -141,3 +141,62 @@ class TestPreCancelledPool:
         leftovers = [f for f in tmp_path.iterdir()
                      if f.name not in ("tone.wav", "copy.wav")]
         assert leftovers == []
+
+
+class TestPerWorkerConfigClones:
+    """(ref: TestRunAnalysisOnlyWithDeps_PassesPerWorkerConfigClones,
+    main_test.go:295-366): every worker receives its OWN config clone —
+    value-equal to the caller's base, object-distinct from it and from
+    every sibling, so one worker's adaptation can never bleed sideways."""
+
+    def test_each_file_gets_an_independent_clone(self, monkeypatch):
+        from jivetalking_tpu.adaptive import default_filter_config
+
+        seen = []
+        lock = threading.Lock()
+
+        def capture(path, base, events, diagnostics, cancel, finisher=None):
+            with lock:
+                seen.append(base)
+            # a worker mutating its clone must not reach the caller's base
+            base.loudnorm.target_i = -99.0
+            outcome = FileOutcome(path=path)
+            if finisher is None:
+                return outcome
+            fut = Future()
+            fut.set_result(outcome)
+            return fut
+
+        monkeypatch.setattr(pool_mod, "process_one_file", capture)
+        caller_base = default_filter_config()
+        caller_base.rumble_highpass.frequency = 95.0
+        run_pool(_fake_files(3), base=caller_base, jobs=2)
+
+        assert len(seen) == 3
+        ids = {id(c) for c in seen}
+        assert len(ids) == 3 and id(caller_base) not in ids
+        # clones carried the seed's non-default value in
+        assert all(c.rumble_highpass.frequency == 95.0 for c in seen)
+        # the caller's base survived every worker's mutation
+        assert caller_base.loudnorm.target_i == -16.0
+
+
+class TestPoolUnwindContracts:
+    """(ref: TestLaunchWorkerPool_DoneClosesAfterPoolUnwinds,
+    pool_test.go:323-380 and TestRunAnalysisPool_JobsAboveFileCountNoCap,
+    analysispool_test.go:164-218)."""
+
+    def test_returns_only_after_every_worker_unwound(self, seam):
+        outcomes = run_pool(_fake_files(5), jobs=3)
+        # at return no worker body is still executing and every file ran
+        assert seam.current == 0
+        assert len(seam.processed) == 5
+        assert len(outcomes) == 5
+
+    def test_jobs_above_file_count_runs_each_exactly_once(self, monkeypatch):
+        s = _Seam(dwell=0.01)
+        monkeypatch.setattr(pool_mod, "analyse_one_file", s)
+        files = _fake_files(2)
+        outcomes = run_pool(files, jobs=8, analysis_only=True)
+        assert sorted(s.processed) == sorted(files)
+        assert [o.path for o in outcomes] == files  # input order kept
