@@ -316,12 +316,21 @@ def process_audio(
         if chunk:
             from .fused_chunked import fused_master_chunked
 
+            started_norm = False
+
             def chunk_progress(frac):
-                # chain+deess passes ~ pass 2; limit+B ~ passes 3/4
+                # chain+deess passes ~ pass 2; limit+B ~ passes 3/4.
+                # Cadence contract (ref: TestApplyNormalisationProgressCadenceGuard,
+                # normalise_test.go:937-1020): every pass opens with
+                # (pass, 0.0) and closes with exactly (pass, 1.0)
+                nonlocal started_norm
                 if frac <= 0.55:
                     report("processing", min(1.0, frac / 0.55))
                 else:
-                    report("processing", 1.0)
+                    if not started_norm:
+                        started_norm = True
+                        report("processing", 1.0)
+                        report("normalising", 0.0)
                     report("normalising", min(1.0, (frac - 0.55) / 0.45))
 
             out_chunks, out_rate, fm, fused_t = fused_master_chunked(

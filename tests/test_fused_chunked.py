@@ -284,6 +284,52 @@ class TestChunkedRegionPartials:
                         float(v), rel=1e-2, abs=1e-3), (rk, k)
 
 
+class TestProgressCadence:
+    def test_stage_cadence_contract(self, monkeypatch):
+        """(ref: TestApplyNormalisationProgressCadenceGuard,
+        normalise_test.go:937-1020): every pass opens with (pass, 0.0),
+        reports monotone in-pass values in [0, 1], and closes with exactly
+        (pass, 1.0); 1.0 never appears before the pass has finished; the
+        passes arrive in pipeline order."""
+        import jivetalking_tpu.pipeline.chunked as CH
+        from jivetalking_tpu.pipeline.process import process_audio
+
+        monkeypatch.setattr(CH, "CHUNK_THRESHOLD_SECS", 10.0)
+        sr = 8000
+        x = _speechlike(4 * 25600, sr, seed=9)
+
+        calls = []
+        process_audio(x, sr, progress=lambda s, f: calls.append((s, f)))
+
+        stages = [s for s, _ in calls]
+        # pipeline order: analysis strictly before processing before
+        # normalising (first appearance)
+        order = []
+        for s in stages:
+            if s not in order:
+                order.append(s)
+        assert order == ["analysis", "processing", "normalising"]
+
+        for stage in order:
+            fr = [f for s, f in calls if s == stage]
+            assert fr[0] == 0.0, stage                    # opens at 0.0
+            assert fr[-1] == 1.0, stage                   # closes at 1.0
+            assert all(0.0 <= f <= 1.0 for f in fr), stage
+            assert fr == sorted(fr), stage                # monotone
+            # 1.0 only once the pass is complete: after the first 1.0 no
+            # later event of this stage reports anything below 1.0
+            first_full = fr.index(1.0)
+            assert all(f == 1.0 for f in fr[first_full:]), stage
+        # no stage event arrives after a LATER stage has begun, except the
+        # completion re-reports at exactly 1.0
+        seen_norm = False
+        for s, f in calls:
+            if s == "normalising":
+                seen_norm = True
+            elif seen_norm:
+                assert f == 1.0, (s, f)
+
+
 class TestChunkedCancellation:
     def test_interrupted_error_propagates_from_progress(self, monkeypatch):
         """The pool cancels by raising from its progress callback; the
