@@ -616,3 +616,110 @@ class TestDetectVoiceActivityNoProfile:
         assert res.speech_profile is None
         assert res.gate_stats.voiced_low_percentile == 0.0
         assert res.gate_stats.noise_high_percentile != 0.0
+
+
+class TestNoiseSeedOrderIndependence:
+    """(ref: TestEstimateNoiseFloorAndThreshold_TiedScoreOrderIndependent,
+    analyser_vad_test.go:359-395): 25 quiet low-flux intervals all tie at
+    room-tone score 1.0 across distinct levels; the deterministic tie-break
+    (level asc, then index) must make the seeded floor identical for any
+    input order."""
+
+    def _tied_set(self):
+        quiet = np.arange(-80.0, -55.0)          # 25 tied score-1.0 levels
+        loud = np.arange(-30.0, -5.0)            # 25 louder, high-flux
+        iv = make_intervals(np.concatenate([quiet, loud]))
+        iv.spectral["flux"] = np.concatenate(
+            [np.full(25, 0.01), np.full(25, 0.50)])
+        return iv
+
+    def test_shuffle_invariant(self):
+        from jivetalking_tpu.analysis.vad import estimate_noise_floor_seed
+
+        iv = self._tied_set()
+        floor_a, thresh_a, ok_a = estimate_noise_floor_seed(iv)
+        assert ok_a
+
+        rng = np.random.default_rng(5)
+        perm = rng.permutation(len(iv))
+        shuffled = make_intervals(iv.momentary_lufs[perm])
+        shuffled.spectral["flux"] = iv.spectral["flux"][perm]
+        floor_b, thresh_b, ok_b = estimate_noise_floor_seed(shuffled)
+        assert ok_b
+        assert floor_a == floor_b
+        assert thresh_a == thresh_b
+
+
+class TestGapToleranceIntervals:
+    """(ref: TestGapToleranceIntervals, analyser_vad_test.go:692-731)."""
+
+    HOP = 0.25
+
+    def test_p75_of_interior_gaps_clamped(self):
+        from jivetalking_tpu.analysis.vad import (
+            GAP_TOLERANCE_CEILING,
+            GAP_TOLERANCE_FLOOR,
+            gap_tolerance_intervals,
+            intervals_for_duration,
+            percentile_of_sorted,
+        )
+
+        floor = intervals_for_duration(GAP_TOLERANCE_FLOOR, self.HOP)
+        ceiling = intervals_for_duration(GAP_TOLERANCE_CEILING, self.HOP)
+
+        flags = []
+        for n, v in [(5, True), (4, False), (5, True), (6, False),
+                     (5, True), (12, False), (5, True), (30, False),
+                     (5, True), (20, False)]:   # trailing tail excluded
+            flags.extend([v] * n)
+        got = gap_tolerance_intervals(np.asarray(flags), self.HOP)
+        # mirror the function's own nearest-rank p75 over the interior
+        # gaps {4, 6, 12, 30}, then clamp
+        gaps = np.sort(np.array([4.0, 6.0, 12.0, 30.0]))
+        want = max(floor, min(ceiling, int(round(
+            percentile_of_sorted(gaps, 75)))))
+        assert got == want
+
+    def test_no_interior_gap_returns_floor(self):
+        from jivetalking_tpu.analysis.vad import (
+            GAP_TOLERANCE_FLOOR,
+            gap_tolerance_intervals,
+            intervals_for_duration,
+        )
+
+        floor = intervals_for_duration(GAP_TOLERANCE_FLOOR, self.HOP)
+        flags = np.asarray([True, True, True, False, False])
+        assert gap_tolerance_intervals(flags, self.HOP) == floor
+
+
+class TestPickLowClusterRegion:
+    """(ref: TestPickLowClusterRegion, analyser_vad_test.go:834-878): with a
+    short quiet run, a speech block and a LONG quiet run, the long run is
+    picked and the noise profile extracted from it carries the region's
+    spectral fields."""
+
+    def test_picks_long_run_and_extracts_profile(self):
+        from jivetalking_tpu.analysis.vad import (
+            extract_noise_profile,
+            pick_low_cluster_region,
+        )
+
+        hop = 0.25
+        momentary = np.concatenate([
+            np.full(10, -60.0),    # short quiet run
+            np.full(20, -15.0),    # speech
+            np.full(50, -60.0),    # long quiet run — the one to pick
+        ])
+        iv = make_intervals(momentary, hop=hop)
+        long_start = 30 * hop
+
+        region = pick_low_cluster_region(iv, -30.0)
+        assert region is not None
+        assert region.start >= long_start - 1e-9, (
+            "picked the short run, want the long one")
+
+        profile = extract_noise_profile(region, iv)
+        assert profile is not None
+        # spectral fields come from the picked region's intervals
+        assert profile.spectral.centroid == pytest.approx(1000.0)
+        assert profile.spectral.centroid != 0
