@@ -571,3 +571,25 @@ class TestFiltersAndSummarySections:
                     "sample_peak_dbfs", "target_offset_db"):
             label, gloss, unit = DEFINITIONS[key]
             assert _escape_cell(gloss) in section, key
+
+    def test_dynamics_and_spectral_definitions_per_row(self):
+        # (ref: TestRenderDynamicsAndSpectralDefinitions,
+        # sections_test.go:185-207): every dynamics and spectral row
+        # carries its catalogue gloss
+        from jivetalking_tpu.report.definitions import DEFINITIONS
+        from jivetalking_tpu.report.render import _escape_cell
+
+        md = render_markdown(full_record())
+        dyn = md[md.index("## Dynamics"):].split("\n## ")[0]
+        for key in ("rms_level_dbfs", "peak_level_dbfs",
+                    "crest_factor_astats_db", "dynamic_range_db",
+                    "flat_factor", "bit_depth", "entropy"):
+            label, gloss, unit = DEFINITIONS[key]
+            assert _escape_cell(gloss) in dyn, key
+
+        spec = md[md.index("## Spectral"):].split("\n## ")[0]
+        for key in ("mean", "variance", "centroid_hz", "spread_hz",
+                    "skewness", "kurtosis", "flatness", "crest", "flux",
+                    "slope", "decrease", "rolloff_hz"):
+            label, gloss, unit = DEFINITIONS[key]
+            assert _escape_cell(gloss) in spec, key

@@ -647,3 +647,23 @@ class TestNormalisationBlockCanonicalKeys:
         # and nothing measurement-shaped nests inside normalisation
         assert all(not isinstance(v, dict)
                    for v in tree["normalisation"].values())
+
+    def test_measurements_numeric_flags_boolean_no_raw_ffmpeg_keys(self):
+        # (ref: TestRunRecord_LoudnormMeasuredNumeric,
+        # runrecord_test.go:387-422): every measurement key holds a NUMBER
+        # (never a stringified FFmpeg value), flags stay booleans, and the
+        # raw FFmpeg stats-file keys are gone
+        tree = roundtrip(new_run_record("ep.wav", fully_populated_result()))
+        block = tree["normalisation"]
+        flags = {"within_target", "skipped", "linear_mode_forced",
+                 "limiter_enabled", "limiter_clamped"}
+        for key in self.WANT_PRESENT:
+            v = block[key]
+            if key in flags:
+                assert isinstance(v, bool), (key, v)
+            else:
+                assert isinstance(v, (int, float)) and not isinstance(
+                    v, bool), (key, v)
+        for raw in ("input_i", "input_tp", "output_i", "output_tp",
+                    "target_offset", "normalization_type"):
+            assert raw not in block, raw
