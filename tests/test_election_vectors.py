@@ -351,3 +351,120 @@ class TestSNRMarginCheck:
         _, none_c = find_best_speech_region(regions, iv, None)
         _, finite_c = find_best_speech_region(regions, iv, -40.0)
         assert self._score_at(none_c, 0.0) >= self._score_at(finite_c, 0.0) - 1e-12
+
+
+class TestGroundedScoringLaws:
+    """(ref: analyser_candidates_speech_test.go:50-111 —
+    TestScoreSpeechCandidateGrounded_SNRMonotonicity /
+    _DurationAdequacySaturation / _ConsistencyTieBreak)."""
+
+    FLOOR = -60.0
+
+    @staticmethod
+    def _candidate(rms: float, duration: float):
+        from jivetalking_tpu.analysis.types import RegionSample, SpeechCandidate
+
+        return SpeechCandidate(region=Region(0.0, duration),
+                               sample=RegionSample(rms_level=rms))
+
+    def test_snr_monotonicity(self):
+        from jivetalking_tpu.analysis.vad import (
+            MIN_SNR_MARGIN,
+            score_speech_candidate_grounded as score,
+        )
+
+        dur = 45.0
+        narrow = score(self._candidate(self.FLOOR + 25.0, dur), self.FLOOR, 0.0)
+        wide = score(self._candidate(self.FLOOR + 45.0, dur), self.FLOOR, 0.0)
+        assert wide > narrow
+        below = score(self._candidate(
+            self.FLOOR + MIN_SNR_MARGIN - 10.0, dur), self.FLOOR, 0.0)
+        above = score(self._candidate(
+            self.FLOOR + MIN_SNR_MARGIN + 5.0, dur), self.FLOOR, 0.0)
+        assert below < above
+
+    def test_duration_adequacy_saturates(self):
+        from jivetalking_tpu.analysis.vad import (
+            SPEECH_DURATION_ADEQUACY_MIN as MIN_DUR,
+            score_speech_candidate_grounded as score,
+        )
+
+        rms = -20.0      # 40 dB margin, identical SNR for all
+        at_min = score(self._candidate(rms, MIN_DUR), self.FLOOR, 0.0)
+        well_above = score(self._candidate(rms, MIN_DUR * 3), self.FLOOR, 0.0)
+        assert at_min == well_above      # the longer run does NOT outrank
+        below = score(self._candidate(rms, MIN_DUR / 2), self.FLOOR, 0.0)
+        assert below < at_min
+
+    def test_consistency_tiebreak(self):
+        from jivetalking_tpu.analysis.vad import (
+            score_speech_candidate_grounded as score,
+        )
+
+        c = self._candidate(-20.0, 45.0)
+        steady = score(c, self.FLOOR, 1.0)
+        noisy = score(c, self.FLOOR, 9.0)
+        assert steady > noisy            # lower level variance wins the tie
+
+
+class TestVoiceActivatedElection:
+    """(ref: TestFindBestSpeechRegion_VoiceActivatedCase,
+    analyser_candidates_speech_test.go:132-158): the saturating duration
+    term does not penalise sparse delivery — a short wide-SNR run beats a
+    3x-longer narrow-SNR run."""
+
+    def test_sparse_wide_snr_beats_long_narrow(self):
+        from jivetalking_tpu.analysis.vad import SPEECH_DURATION_ADEQUACY_MIN
+
+        min_ivs = int(SPEECH_DURATION_ADEQUACY_MIN / HOP)
+        short = make_intervals(start=0.0, count=min_ivs + 4, rms=-18.0,
+                               momentary=-18.0)
+        short_end = (min_ivs + 4) * HOP
+        long_start = short_end + 5.0
+        long = make_intervals(start=long_start, count=(min_ivs + 4) * 3,
+                              rms=-38.0, momentary=-38.0)
+        long_end = long_start + (min_ivs + 4) * 3 * HOP
+
+        iv = concat_intervals(short, long)
+        regions = [Region(0.0, short_end), Region(long_start, long_end)]
+        best, _ = find_best_speech_region(regions, iv, -60.0)
+        assert best is not None
+        assert best.start == pytest.approx(0.0), (
+            "duration adequacy must saturate — the sparse wide-SNR run wins")
+
+
+class TestAlwaysElects:
+    """(ref: TestFindBestSpeechRegion_AlwaysElects,
+    analyser_candidates_speech_test.go:162-184): a lone sub-floor run is
+    still elected via the fallback, its score under the sanity floor."""
+
+    def test_lone_subfloor_run_elected(self):
+        iv = make_intervals(start=0.0, count=12, rms=-33.0, momentary=-33.0)
+        end = 12 * HOP
+        best, cands = find_best_speech_region([Region(0.0, end)], iv, -35.0)
+        assert best is not None
+        assert best.start == pytest.approx(0.0)
+        assert len(cands) == 1
+        assert cands[0].score < MIN_VIABLE_SPEECH_SCORE
+
+
+class TestAllBelowSNRMinimumElectsHighest:
+    """(ref: TestFindBestSpeechRegion_AllBelowSNRMinimumElectsHighest,
+    analyser_candidates_speech_test.go:193-219 — the LMP-81s-martin corpus
+    edge): two runs both under MIN_SNR_MARGIN; the scorer ranks within the
+    sub-minimum band and elects the HIGHER-SNR run."""
+
+    def test_higher_snr_subminimum_run_wins(self):
+        floor = -60.0
+        lo = make_intervals(start=0.0, count=74, rms=-49.35, momentary=-49.35)
+        lo_end = 74 * HOP
+        hi_start = lo_end + 5.0
+        hi = make_intervals(start=hi_start, count=81, rms=-48.46,
+                            momentary=-48.46)
+        hi_end = hi_start + 81 * HOP
+
+        iv = concat_intervals(lo, hi)
+        regions = [Region(0.0, lo_end), Region(hi_start, hi_end)]
+        best, _ = find_best_speech_region(regions, iv, floor)
+        assert best is not None
+        assert best.start == pytest.approx(hi_start)
