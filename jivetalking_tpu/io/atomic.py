@@ -28,6 +28,11 @@ def sibling_temp_path(target: str, marker: str = "tmp") -> str:
     marker and stays dot-prefixed/.tmp-suffixed so residue scans (and the
     no-residue tests) recognise it (ref: createSiblingTempPath,
     processor_test.go:64-107)."""
+    if os.sep in marker or (os.altsep and os.altsep in marker):
+        raise ValueError(
+            f"sibling temp marker must not contain a path separator: {marker!r}"
+        )  # ref: TestCreateSiblingStatsPathRejectsSeparatorMarker,
+        #    file_write_test.go:41-48
     d = os.path.dirname(target) or "."
     base = os.path.basename(target)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=f".{base}.{marker}-",

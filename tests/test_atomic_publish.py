@@ -36,6 +36,18 @@ class TestSiblingTempPath:
                     os.unlink(t)
 
 
+class TestSeparatorMarkerRejected:
+    """(ref: TestCreateSiblingStatsPathRejectsSeparatorMarker,
+    file_write_test.go:41-48): a marker carrying a path separator is a
+    caller bug — reject it loudly instead of scattering temps into
+    subdirectories."""
+
+    def test_separator_marker_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="separator"):
+            sibling_temp_path(str(tmp_path / "presenter.wav"), "a/b")
+        assert os.listdir(tmp_path) == []   # nothing reserved
+
+
 class TestPublishMovesAndOverwrites:
     """(ref: TestPublishOutputMovesSource, processor_test.go:108-143 and
     TestPublishOutputOverwritesExistingDestination :145-173): a publish
