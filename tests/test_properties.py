@@ -194,17 +194,44 @@ class TestLoudnessProperties:
         shifted = measure_loudness(jnp.asarray(x * g), SR).integrated_lufs
         assert shifted == pytest.approx(base + gain_db, abs=0.15)
 
+    @staticmethod
+    def _true_peak_reference(x: np.ndarray) -> float:
+        """Genuine inter-sample peak: 64x FFT (ideal-sinc) resample."""
+        from scipy.signal import resample as fft_resample
+
+        return float(np.abs(fft_resample(x.astype(np.float64), len(x) * 64)).max())
+
     @settings(max_examples=8, deadline=None)
     @given(st.integers(0, 2**31 - 1), st.floats(0.05, 0.95))
     def test_true_peak_bounds(self, seed, amp):
-        # sample peak <= true peak <= sample peak + ~0.9 dB on noise
+        # sample peak <= measured TP <= genuine inter-sample peak + ripple.
+        # A fixed "sample peak + 1.2 dB" ceiling is NOT an invariant:
+        # full-band noise can carry real inter-sample excess beyond any
+        # constant (seed=254/amp=0.5 draws 1.81 dB — pinned below), and the
+        # 4x BS.1770-style measure correctly reports part of it.  Bound
+        # against the 64x ideal-resample reference instead.
         from jivetalking_tpu.metering.truepeak import true_peak_linear
 
         x = _signal(seed, 8192, amp)
         sp = float(np.abs(x).max())
         tp = float(true_peak_linear(jnp.asarray(x)))
+        ref = self._true_peak_reference(x)
         assert tp >= sp - 1e-6
-        assert tp <= sp * 10 ** (1.2 / 20.0)
+        assert tp <= max(ref, sp) * 10 ** (0.3 / 20.0)
+
+    def test_true_peak_bounds_regression_seed254(self):
+        # The draw that falsified the old constant bound (VERDICT r4 Weak #1):
+        # genuine inter-sample excess 1.81 dB; the 4x measure reads ~1.40 dB
+        # over sample peak — above the old 1.2 dB constant, below the truth.
+        from jivetalking_tpu.metering.truepeak import true_peak_linear
+
+        x = _signal(254, 8192, 0.5)
+        sp = float(np.abs(x).max())
+        tp = float(true_peak_linear(jnp.asarray(x)))
+        ref = self._true_peak_reference(x)
+        assert ref > sp * 10 ** (1.2 / 20.0)  # the old bound was truly unsound
+        assert tp >= sp - 1e-6
+        assert tp <= max(ref, sp) * 10 ** (0.3 / 20.0)
 
 
 class TestFilterProperties:
