@@ -43,14 +43,18 @@ def _band_matrix(w: int) -> np.ndarray:
     return ((i <= j) & (j < i + w)).astype(np.float32)
 
 
-def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
+def _sliding_sum_matmul(x: jnp.ndarray, w: int,
+                        out_dtype=jnp.float32) -> jnp.ndarray:
     """Valid sliding-window sum along the last axis (leading axes batch) as
     a banded matmul: frames of 2w consecutive samples x (2w, w) ones-band.
 
     A flat `jnp.cumsum` along a 512k-sample axis lowers to ~log2(n)
     full-array passes (the NLM block's distance filter spent ~0.3 s there,
     profiled 2026-08-16); the banded matmul is ONE pass whose reduction
-    runs on the MXU."""
+    runs on the MXU.  `out_dtype=bfloat16` keeps the f32 MXU accumulation
+    and rounds only the STORE — the NLM distance path uses it to halve the
+    dist field's HBM write+re-read (204.4 -> 190.1 ms on the 300 s fixture,
+    output bit-identical on device; scripts/bench_nlm_r5.py 2026-08-19)."""
     *lead, n = x.shape
     n_out = n - w + 1
     n_frames = -(-n_out // w)
@@ -65,7 +69,7 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int) -> jnp.ndarray:
     sums = jax.lax.dot_general(
         frames, band,
         dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
         # DEFAULT (single-pass bf16): this sum only feeds the similarity
         # weights exp(-dist/h^2), not the delivery audio — the weighted
         # average over `mid` below stays exact f32 vector work.  The NLM
@@ -137,7 +141,9 @@ def _nlm_core(
         # bf16 diff^2, same as the default grouped path: both paths then
         # quantise identically (the TPU matmul truncates to bf16 anyway)
         diff2 = ((centre[None, :] - shifted_pos) ** 2).astype(jnp.bfloat16)
-        dist_pos = _sliding_sum_matmul(diff2, w_box)      # (R+1, block + 2R)
+        # same bf16 dist STORE as the direct grouped path, so both
+        # formulations quantise the distance field identically
+        dist_pos = _sliding_sum_matmul(diff2, w_box, jnp.bfloat16)  # (R+1, block+2R)
         rows = [
             dist_pos[d, R : R + block]
             if d >= 0
@@ -168,7 +174,7 @@ def _nlm_core(
             valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
                 (t_global[None, :] + offs[:, None]) < n
             )
-            w = jnp.exp(-dist / h2) * valid
+            w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
             y = jnp.sum(w * mid, axis=0) / jnp.maximum(
                 jnp.sum(w, axis=0), 1e-12)
             return None, y
@@ -178,7 +184,10 @@ def _nlm_core(
         for goffs in groups:
             shifted = jnp.stack([win[R + d : R + d + width] for d in goffs])
             diff2 = ((centre[None, :] - shifted) ** 2).astype(jnp.bfloat16)
-            dist = _sliding_sum_matmul(diff2, w_box)      # (G, block)
+            # bf16 STORE of the f32-accumulated dist field: halves its HBM
+            # write + re-read; exp(-dist/h2) upcasts right back.  Measured
+            # 204.4 -> 190.1 ms, output bit-identical (bench_nlm_r5.py).
+            dist = _sliding_sum_matmul(diff2, w_box, jnp.bfloat16)  # (G, block)
             valid = ((t_global[None, :] + goffs[:, None]) >= 0) & (
                 (t_global[None, :] + goffs[:, None]) < n
             )

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Round-5 NLM micro-bench: HBM-traffic cuts inside the block scan.
+
+The shipping grouped-bf16 form (ops/nlm.py, 200.1 ms on the 300 s fixture)
+is HBM-bound: per 14-offset group it materialises the f32 `shifted` stack
+(read twice: diff^2 + mid), the bf16 `frames` concatenate (2x the diff^2
+bytes), and the f32 `dist` matmul output (written + re-read by the weight
+fusion).  Candidates, each attacking one of those:
+
+  base  — the shipping grouped bf16 form (ops/nlm._nlm_core)
+  split — banded matmul WITHOUT the frames concatenate: band (2w, w) split
+          into tril/strict-triu halves, sums = blocks[:-1] @ B1 +
+          blocks[1:] @ B2 (two overlapping operand READS of diff^2 instead
+          of a doubled concatenate write+read)
+  nostk — never materialise `shifted`: diff^2 built bf16 directly from win
+          slices, mid re-sliced from win at the weight-apply (win is ~2 MB,
+          cache-resident; saves the (G, width) f32 stack write + one read)
+  b16d  — dist accumulates f32 in the MXU but stores bf16
+          (preferred_element_type=bf16): halves the dist write + re-read
+  all   — split + nostk + b16d
+
+Run on the attached TPU: python scripts/bench_nlm_r5.py [--secs 300]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from jivetalking_tpu.ops.nlm import _band_matrix, _nlm_core, _sliding_sum_matmul
+
+
+@functools.lru_cache(maxsize=8)
+def _band_halves(w: int):
+    band = _band_matrix(w)
+    return band[:w].copy(), band[w:].copy()
+
+
+def sliding_sum_split(x, w, out_dtype=jnp.float32):
+    *lead, n = x.shape
+    n_out = n - w + 1
+    n_frames = -(-n_out // w)
+    pad_to = n_frames * w + w
+    if pad_to != n:
+        xp = jnp.zeros((*lead, pad_to), x.dtype).at[..., :n].set(x)
+    else:
+        xp = x
+    blocks = xp.reshape(*lead, n_frames + 1, w)
+    b1, b2 = _band_halves(w)
+    dn = (((blocks.ndim - 1,), (0,)), ((), ()))
+    s = jax.lax.dot_general(
+        blocks[..., :-1, :], jnp.asarray(b1), dn,
+        preferred_element_type=out_dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    ) + jax.lax.dot_general(
+        blocks[..., 1:, :], jnp.asarray(b2), dn,
+        preferred_element_type=out_dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return s.reshape(*lead, n_frames * w)[..., :n_out]
+
+
+def sliding_sum_base(x, w, out_dtype=jnp.float32):
+    if out_dtype == jnp.float32:
+        return _sliding_sum_matmul(x, w)
+    # bf16-out variant of the shipping concatenate form
+    *lead, n = x.shape
+    n_out = n - w + 1
+    n_frames = -(-n_out // w)
+    pad_to = n_frames * w + w
+    xp = jnp.zeros((*lead, pad_to), x.dtype).at[..., :n].set(x) if pad_to != n else x
+    blocks = xp.reshape(*lead, n_frames + 1, w)
+    frames = jnp.concatenate([blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
+    band = jnp.asarray(_band_matrix(w))
+    sums = jax.lax.dot_general(
+        frames, band, (((frames.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return sums.reshape(*lead, n_frames * w)[..., :n_out]
+
+
+def make_core(split=False, nostk=False, b16d=False):
+    sliding = sliding_sum_split if split else sliding_sum_base
+    out_dtype = jnp.bfloat16 if b16d else jnp.float32
+
+    def core(x, h2, P, R, block=524288):
+        n = int(x.shape[0])
+        halo = P + R
+        m = -(-n // block)
+        total = m * block
+        xp = jnp.zeros(total + 2 * halo, x.dtype).at[halo: halo + n].set(x)
+        width = block + 2 * P
+        w_box = 2 * P + 1
+        offs_all = np.arange(-R, R + 1)
+        n_groups = max(1, (len(offs_all) + 13) // 14)
+        groups = np.array_split(offs_all, n_groups)
+
+        def body(_, i):
+            s = i * block
+            win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+            centre = win[R: R + width]
+            t_global = s + jnp.arange(block)
+            num = jnp.zeros(block, jnp.float32)
+            den = jnp.zeros(block, jnp.float32)
+            for goffs in groups:
+                if nostk:
+                    diff2 = jnp.stack([
+                        ((centre - win[R + d: R + d + width]) ** 2).astype(jnp.bfloat16)
+                        for d in goffs])
+                    mid = jnp.stack([win[halo + d: halo + d + block] for d in goffs])
+                else:
+                    shifted = jnp.stack([win[R + d: R + d + width] for d in goffs])
+                    diff2 = ((centre[None, :] - shifted) ** 2).astype(jnp.bfloat16)
+                    mid = shifted[:, P: P + block]
+                dist = sliding(diff2, w_box, out_dtype)
+                valid = ((t_global[None, :] + goffs[:, None]) >= 0) & (
+                    (t_global[None, :] + goffs[:, None]) < n)
+                w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
+                num = num + jnp.sum(w * mid, axis=0)
+                den = den + jnp.sum(w, axis=0)
+            return None, num / jnp.maximum(den, 1e-12)
+
+        _, ys = jax.lax.scan(body, None, jnp.arange(m))
+        return ys.reshape(-1)[:n]
+    return jax.jit(core, static_argnames=("P", "R", "block"))
+
+
+def main():
+    secs = 300
+    if "--secs" in sys.argv:
+        secs = int(sys.argv[sys.argv.index("--secs") + 1])
+    sr = 48000
+    n = secs * sr
+    P, R = 144, 48
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32) * 0.1
+    h2 = jnp.float32(0.1 * 0.1 / 3.0)
+
+    ships = jax.jit(_nlm_core, static_argnames=("patch_radius", "research_radius", "block"))
+    variants = {
+        "base": lambda xv: ships(xv, h2, patch_radius=P, research_radius=R),
+        "split": None, "nostk": None, "b16d": None,
+        "spl+ns": None, "all": None,
+    }
+    cores = {
+        "split": make_core(split=True),
+        "nostk": make_core(nostk=True),
+        "b16d": make_core(b16d=True),
+        "spl+ns": make_core(split=True, nostk=True),
+        "all": make_core(split=True, nostk=True, b16d=True),
+    }
+    for k, c in cores.items():
+        variants[k] = (lambda cc: lambda xv: cc(xv, h2, P, R))(c)
+
+    ref = None
+    for name, fn in variants.items():
+        try:
+            t0 = time.perf_counter()
+            y = np.asarray(fn(jnp.asarray(x)))
+            compile_s = time.perf_counter() - t0
+            walls = []
+            for i in range(3):
+                xv = jnp.asarray(x + np.float32(1e-6 * (i + 1)))
+                xv.block_until_ready()
+                t0 = time.perf_counter()
+                fn(xv).block_until_ready()
+                walls.append(time.perf_counter() - t0)
+            if ref is None:
+                ref = y
+                err = 0.0
+            else:
+                err = float(np.max(np.abs(y - ref)))
+            print(f"{name:7s} compile {compile_s:6.1f}s  run {min(walls)*1000:7.1f} ms  "
+                  f"(all {[f'{w*1000:.0f}' for w in walls]})  max|err| vs base {err:.3e}",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:7s} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
