@@ -14,7 +14,6 @@ import json
 import os
 import time
 
-import numpy as np
 
 
 # The ablation matrix: each entry disables exactly ONE production filter,

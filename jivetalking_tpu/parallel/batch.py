@@ -22,7 +22,6 @@ The TPU-native equivalents here:
 from __future__ import annotations
 
 import functools
-import math
 import threading
 from concurrent.futures import ThreadPoolExecutor
 

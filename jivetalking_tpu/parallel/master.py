@@ -43,7 +43,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.dynamics import compressor_gain, envelope_coeff, gate_gain
 from ..ops.limiter import _EPS, _LOG_FLOOR, _sliding_min_lookahead

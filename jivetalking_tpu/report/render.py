@@ -435,8 +435,6 @@ def render_markdown(rec: dict, timings: Timings | None = None) -> str:
 
 def write_markdown_report(path: str, rec: dict, timings: Timings | None = None) -> None:
     """Atomic write (sibling dot-temp + rename, ref: report/write.go:41)."""
-    import os
-
     from ..io.atomic import atomic_publish
 
     content = render_markdown(rec, timings)

@@ -49,8 +49,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    import jax.numpy as jnp
-
+    
     sys.path.insert(0, ".")
     from bench import make_fixture
 

@@ -15,7 +15,6 @@ it (strength 1e-5, patch 6 ms, research 2 ms, smooth 3) are pinned
 directly (ref: filters.go:96-99).
 """
 
-import math
 
 import pytest
 

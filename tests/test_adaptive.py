@@ -3,7 +3,6 @@
 
 import math
 
-import numpy as np
 import pytest
 
 from jivetalking_tpu.adaptive import adapt_config, default_filter_config

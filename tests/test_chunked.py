@@ -2,7 +2,6 @@
 whole-file chain to float tolerance (the carried-state contract)."""
 
 import numpy as np
-import pytest
 
 from jivetalking_tpu.adaptive import adapt_config, default_filter_config
 from jivetalking_tpu.analysis import analyse_audio

@@ -20,7 +20,6 @@ from jivetalking_tpu.cli import (
 )
 from jivetalking_tpu.io.synth import SilenceGap, TestAudioOptions, generate_test_audio
 from jivetalking_tpu.ui import (
-    render_analysis_summary,
     render_done_box,
     render_final_summary,
     stars_row,

@@ -12,7 +12,6 @@ shape/stability, and the full downsampling matrix.
 import io
 import re
 
-import pytest
 
 from jivetalking_tpu.cli.main import build_parser
 from jivetalking_tpu.cli.styles import render_help, render_title

@@ -6,7 +6,6 @@ TestScoreSpeechIntervalWindow, TestRefineToGoldenSpeechSubregion,
 TestFindBestSpeechRegion_SNRMarginCheck).  Every expected value and
 fixture shape reproduces the reference table."""
 
-import math
 
 import numpy as np
 import pytest

@@ -152,7 +152,6 @@ class TestProcessAudioChunkedRouting:
     assembly, normalisation block, delivery PCM, measured timings)."""
 
     def test_long_file_routes_through_chunked(self, monkeypatch):
-        import jivetalking_tpu.pipeline.process as PROC
         from jivetalking_tpu.pipeline.process import process_audio
 
         called = {}

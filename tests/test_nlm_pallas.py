@@ -5,7 +5,6 @@ samples (+-2 ms) differ in edge semantics (zero-padding vs offset
 exclusion), which is inaudible and inside every metering tolerance."""
 
 import numpy as np
-import pytest
 
 from jivetalking_tpu.ops.nlm import apply_nlm
 from jivetalking_tpu.ops.nlm_pallas import apply_nlm_pallas

@@ -6,7 +6,6 @@ documented arithmetic, so the numerical contract of SURVEY.md §3.3 is
 pinned independently of any audio.
 """
 
-import math
 
 import pytest
 

@@ -337,8 +337,7 @@ class TestShardedStageMetrics:
     window-END partials must match the single-device metering."""
 
     def test_matches_single_device_metering(self):
-        import math
-
+    
         from jivetalking_tpu.metering.astats import _astats_core
         from jivetalking_tpu.metering.spectral import _spectral_core
         from jivetalking_tpu.parallel.master import sharded_stage_metrics

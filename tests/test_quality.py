@@ -1,7 +1,6 @@
 """Pure-function tests for quality scoring + gain advice (mirrors the
 reference's quality_test.go / advice_test.go tier)."""
 
-import math
 
 import pytest
 

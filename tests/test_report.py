@@ -12,7 +12,6 @@ from jivetalking_tpu.report import (
     Timings,
     analysis_report_path,
     new_analysis_run_record,
-    new_run_record,
     output_audio_path,
     render_markdown,
     sanitize_json,

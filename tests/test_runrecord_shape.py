@@ -6,13 +6,10 @@ serialisation.
 """
 
 import json
-import math
 
 import numpy as np
-import pytest
 
 from jivetalking_tpu.adaptive import adapt_config, default_filter_config
-from jivetalking_tpu.adaptive.adapt import AdaptiveDiagnostics
 from jivetalking_tpu.analysis.analyser import AudioMeasurements
 from jivetalking_tpu.analysis.types import (
     GateStatistics,

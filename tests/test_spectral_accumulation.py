@@ -18,7 +18,7 @@ import pytest
 
 from jivetalking_tpu.analysis.intervals import Intervals
 from jivetalking_tpu.analysis.types import RegionSample
-from jivetalking_tpu.metering.spectral import METRIC_NAMES, SpectralMetrics
+from jivetalking_tpu.metering.spectral import METRIC_NAMES
 
 # the reference's two-row averaging table (analyser_metrics_test.go:40-100),
 # keyed by the repo's metric names
