@@ -90,14 +90,24 @@ def _sliding_sum_matmul(x: jnp.ndarray, w: int,
 # -> 1862 ms, traced 2026-08-17) — do NOT enlarge without a trace.
 _NLM_BLOCK = 524288
 
-# Opt-in symmetric-distance formulation (JT_NLM_SYMMETRIC=1): computes the
-# patch-distance field for non-negative offsets only and recovers the
-# negative rows from D(t, -d) = D(t-d, +d) — halving the diff^2 traffic and
-# the banded-matmul MXU passes (the NLM block scan's dominant terms).
-# Default OFF until traced on device: it changes the stage-A program (cold
-# compile) and the negative rows' box sums re-frame, so f32 accumulation
-# order differs microscopically from the direct form.
-_NLM_SYMMETRIC = os.environ.get("JT_NLM_SYMMETRIC", "0") == "1"
+# Symmetric-distance formulation (default ON; JT_NLM_SYMMETRIC=0 reverts to
+# the direct form): the patch-distance field is computed for non-negative
+# offsets only and the negative rows are shifted READS of it —
+# D(t, -d) = D(t-d, +d) — halving the diff^2 traffic and the banded-matmul
+# MXU passes.  History: measured a WASH ungrouped (2026-08-18 — full-width
+# (97, block) fields dominated both forms), then a clear win once the
+# positive rows compute in ~17-offset GROUPS with bf16 stores: 190.0 ->
+# 167.6 ms on the 300 s fixture, output bit-identical on device
+# (scripts/bench_nlm_r5.py, 2026-08-19).
+_NLM_SYMMETRIC = os.environ.get("JT_NLM_SYMMETRIC", "1") != "0"
+
+# group widths for the symmetric path, swept on the real chip
+# (scripts/bench_nlm_r5.py 2026-08-19: pos/out 17/14 -> 166.8 ms,
+# 25/14 -> 175.9, 49/14 -> 173.1, 17/20 -> 166.4, 25/25 -> 162.8):
+# 25 positive-offset rows per distance-matmul piece, 25 offsets per
+# weight-accumulation group
+_NLM_POS_GROUP = 25
+_NLM_SYM_OUT_GROUP = 25
 
 
 def _nlm_core(
@@ -130,28 +140,22 @@ def _nlm_core(
     w_box = 2 * P + 1
     offs = np.arange(-R, R + 1)
 
-    def _distance_field_symmetric(win):
-        """Same field from non-negative offsets only: D(t, -d) = D(t-d, +d),
-        so the negative rows are shifted reads of the positive rows.  Halves
-        the diff^2 traffic and the banded-matmul MXU passes; needs the
-        positive rows over the widened range [s-R, s+block+R)."""
+    def _distance_field_pos(win):
+        """The non-negative-offset distance rows over the widened range
+        [s-R, s+block+R), computed in ~17-offset groups with bf16 stores.
+        The full field follows from D(t, -d) = D(t-d, +d): negative rows
+        are shifted reads of these."""
         ext = block + 2 * R + 2 * P                       # [s-R-P, s+block+R+P)
         centre = win[R : R + ext]
-        shifted_pos = jnp.stack([win[R + d : R + d + ext] for d in range(R + 1)])
-        # bf16 diff^2, same as the default grouped path: both paths then
-        # quantise identically (the TPU matmul truncates to bf16 anyway)
-        diff2 = ((centre[None, :] - shifted_pos) ** 2).astype(jnp.bfloat16)
-        # same bf16 dist STORE as the direct grouped path, so both
-        # formulations quantise the distance field identically
-        dist_pos = _sliding_sum_matmul(diff2, w_box, jnp.bfloat16)  # (R+1, block+2R)
-        rows = [
-            dist_pos[d, R : R + block]
-            if d >= 0
-            else dist_pos[-d, R + d : R + d + block]
-            for d in offs
-        ]
-        mid = jnp.stack([win[halo + d : halo + d + block] for d in offs])
-        return jnp.stack(rows), mid
+        pieces = []
+        for g0 in range(0, R + 1, _NLM_POS_GROUP):
+            gs = range(g0, min(R + 1, g0 + _NLM_POS_GROUP))
+            shifted_pos = jnp.stack([win[R + d : R + d + ext] for d in gs])
+            # bf16 diff^2 + bf16 dist STORE, exactly as the direct grouped
+            # path — both formulations quantise the field identically
+            diff2 = ((centre[None, :] - shifted_pos) ** 2).astype(jnp.bfloat16)
+            pieces.append(_sliding_sum_matmul(diff2, w_box, jnp.bfloat16))
+        return jnp.concatenate(pieces, axis=0)            # (R+1, block + 2R)
 
     # offset GROUPS: the (n_offs, block) dist/weight/mid fields never
     # materialise at full offset width — an unrolled loop over ~14-offset
@@ -164,20 +168,33 @@ def _nlm_core(
     # too small for the MXU) — keep groups >= ~14 offsets.
     n_groups = max(1, (len(offs) + 13) // 14)
     groups = np.array_split(offs, n_groups)
+    og = _NLM_SYM_OUT_GROUP
+    sym_groups = np.array_split(offs, max(1, (len(offs) + og - 1) // og))
 
     def body(_, i):
         s = i * block
         win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
         t_global = s + jnp.arange(block)
         if _NLM_SYMMETRIC:
-            dist, mid = _distance_field_symmetric(win)
-            valid = ((t_global[None, :] + offs[:, None]) >= 0) & (
-                (t_global[None, :] + offs[:, None]) < n
-            )
-            w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
-            y = jnp.sum(w * mid, axis=0) / jnp.maximum(
-                jnp.sum(w, axis=0), 1e-12)
-            return None, y
+            dist_pos = _distance_field_pos(win)
+            num = jnp.zeros(block, jnp.float32)
+            den = jnp.zeros(block, jnp.float32)
+            for goffs in sym_groups:
+                rows = [
+                    dist_pos[d, R : R + block]
+                    if d >= 0
+                    else dist_pos[-d, R + d : R + d + block]
+                    for d in goffs
+                ]
+                dist = jnp.stack(rows)
+                mid = jnp.stack([win[halo + d : halo + d + block] for d in goffs])
+                valid = ((t_global[None, :] + goffs[:, None]) >= 0) & (
+                    (t_global[None, :] + goffs[:, None]) < n
+                )
+                w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
+                num = num + jnp.sum(w * mid, axis=0)
+                den = den + jnp.sum(w, axis=0)
+            return None, num / jnp.maximum(den, 1e-12)
         centre = win[R : R + width]                       # [s-P, s+block+P)
         num = jnp.zeros(block, jnp.float32)
         den = jnp.zeros(block, jnp.float32)

@@ -236,31 +236,46 @@ def batched_analysis(
 
     n_chunks = max(1, max(-(-n // C) for n in lengths))
 
-    # one dtype for the batch: all-mono-int16 keeps the half-width upload
-    all_i16 = all(np.asarray(p).dtype == np.int16 and np.ndim(p) == 1
-                  for p in pcm_list)
-    if all_i16:
-        host = [np.asarray(p) for p in pcm_list]
-    else:
-        from ..io.audio import downmix_mono
-
-        host = [np.asarray(downmix_mono(np.asarray(p)), dtype=np.float32)
-                for p in pcm_list]
-
     _, kw_ir, tp_bank, _ = _constants_for_rate(sr, 80.0, 20500.0)
     n_tot = jnp.asarray(np.asarray(lengths, np.int32))
     shard = (NamedSharding(mesh, P("dp", None)) if mesh is not None else None)
+
+    # mono rows already ON DEVICE (process_back_catalogue's per-file
+    # upload-as-ready path): pad each row to the chunk grid and stack once,
+    # then every chunk slab is a device-side dynamic_slice — the analysis
+    # performs no further host->device transfer at all
+    all_dev = mesh is None and all(
+        isinstance(p, jax.Array) and p.ndim == 1 for p in pcm_list)
+    if all_dev:
+        L = hm + n_chunks * C
+        padded = jnp.stack([
+            _pad_analysis_row(p, L, hm) for p in pcm_list])   # (b, L)
+        slab_for = _slab_slice(b, hm + C)
+    else:
+        # one dtype for the batch: all-mono-int16 keeps the half-width upload
+        all_i16 = all(np.asarray(p).dtype == np.int16 and np.ndim(p) == 1
+                      for p in pcm_list)
+        if all_i16:
+            host = [np.asarray(p) for p in pcm_list]
+        else:
+            from ..io.audio import downmix_mono
+
+            host = [np.asarray(downmix_mono(np.asarray(p)), dtype=np.float32)
+                    for p in pcm_list]
 
     run = _analysis_v(sr, C, hm, w, il)
     mono_rows, packed_rows = [], []
     for k in range(n_chunks):
         s = k * C - hm
-        slab = np.zeros((b, hm + C), dtype=host[0].dtype)
-        for i, p in enumerate(host):
-            lo = max(0, s)
-            seg = p[lo : min(lengths[i], s + hm + C)]
-            slab[i, lo - s : lo - s + seg.shape[0]] = seg
-        dev = jax.device_put(jnp.asarray(slab), shard)
+        if all_dev:
+            dev = slab_for(padded, jnp.int32(k * C))
+        else:
+            slab = np.zeros((b, hm + C), dtype=host[0].dtype)
+            for i, p in enumerate(host):
+                lo = max(0, s)
+                seg = p[lo : min(lengths[i], s + hm + C)]
+                slab[i, lo - s : lo - s + seg.shape[0]] = seg
+            dev = jax.device_put(jnp.asarray(slab), shard)
         mc, pk = run(dev, jnp.int32(k * C), n_tot, kw_ir, tp_bank)
         mono_rows.append(mc)
         packed_rows.append(pk)
@@ -280,6 +295,22 @@ def batched_analysis(
         out.append(assemble_measurements(mono_i, tree_i, sr, target_i,
                                          measure_bands))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("L", "hm"))
+def _pad_analysis_row(row, L: int, hm: int):
+    """Device-side [zeros(hm), row, zero tail] to length L, dtype kept
+    (int16 rows stay int16 — the chunk program converts in-graph)."""
+    out = jnp.zeros(L, row.dtype)
+    return jax.lax.dynamic_update_slice(out, row, (hm,))
+
+
+@functools.lru_cache(maxsize=16)
+def _slab_slice(b: int, width: int):
+    """Jitted (b, L) -> (b, width) chunk-slab slice at traced offset k*C
+    (the left halo rides at hm, so slab k starts at padded column k*C)."""
+    return jax.jit(lambda padded, start: jax.lax.dynamic_slice(
+        padded, (jnp.int32(0), start), (b, width)))
 
 
 @functools.partial(jax.jit, static_argnames=("npad", "hl", "hr"))

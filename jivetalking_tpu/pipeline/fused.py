@@ -247,14 +247,24 @@ def _loudness_from_bp(bp: jnp.ndarray) -> dict:
 
 def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
                            start: jnp.ndarray, end: jnp.ndarray,
-                           tp_bank: jnp.ndarray):
+                           tp_bank: jnp.ndarray,
+                           tp_window: int | None = None):
     """Masked region metering: RMS/peak/true-peak over [start, end) samples,
     momentary mean over blocks ending in the region, spectral mean over
     frames starting in it.  start/end are traced sample indices;
     zero-length -> zeros.  True peak is the real 4x-oversampled maximum of
     the masked signal (ref: analyser_output.go's ebur128 peak=true region
     measure) — the mask lands before the polyphase conv, so the only
-    divergence from a sliced measure is the 12-tap boundary ring."""
+    divergence from a sliced measure is the 12-tap boundary ring.
+
+    `tp_window` (static, samples): when given, the 12-tap x 4-phase
+    oversampling FMAs run over a dynamic_slice window of that size around
+    the region instead of the whole masked signal — the elected regions are
+    golden-refined to <= 60 s speech / <= 18 s room tone, so a padded
+    window covers them entirely and the 4 region TPs stop costing ~4 ms of
+    full-signal passes each (round-5 trace).  Regions longer than the
+    window clamp their TP support to the window's first `tp_window`
+    samples, matching the fused band-RMS clamp (`band_rms_dispatch`)."""
     n = x.shape[0]
     idx = jnp.arange(n)
     mask = (idx >= start) & (idx < end)
@@ -262,7 +272,20 @@ def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
     xm = jnp.where(mask, x, 0.0)
     rms = jnp.sqrt(jnp.sum(xm ** 2) / cnt)
     peak = jnp.max(jnp.abs(xm))
-    tp = jnp.maximum(_tp_oversampled_max(xm, tp_bank), peak)
+    if tp_window is not None and tp_window < n:
+        margin = int(tp_bank.shape[1]) + 4
+        wlen = tp_window + 2 * margin
+        if wlen < n:
+            s0 = jnp.clip(start - margin, 0, n - wlen)
+            idx_w = s0 + jnp.arange(wlen)
+            seg = jax.lax.dynamic_slice(x, (s0,), (wlen,))
+            seg = jnp.where((idx_w >= start) & (idx_w < end), seg, 0.0)
+            tp_src = seg
+        else:
+            tp_src = xm
+    else:
+        tp_src = xm
+    tp = jnp.maximum(_tp_oversampled_max(tp_src, tp_bank), peak)
 
     block_len = max(1, int(round(sr * 0.1)))
     m = loud["momentary"]
@@ -413,10 +436,12 @@ def _master_stage_a_tree(
     loud_f, ast_f, spec_f, spec_avg_f = stage_metrics(y)
     region_f_noise = _region_sample_ingraph(y, loud_f, spec_avg_f, sr,
                                             noise_bounds[0], noise_bounds[1],
-                                            tp_bank)
+                                            tp_bank,
+                                            tp_window=int(NOISE_PAD_SECS * sr))
     region_f_speech = _region_sample_ingraph(y, loud_f, spec_avg_f, sr,
                                              speech_bounds[0], speech_bounds[1],
-                                             tp_bank)
+                                             tp_bank,
+                                             tp_window=int(SPEECH_PAD_SECS * sr))
 
     # --- normalisation plan (the shared scalar law from pipeline.normalise;
     # jnp.where in place of host branches) ---
@@ -494,10 +519,12 @@ def _master_stage_b_tree(
     loud_z, ast_z, spec_z, spec_avg_z = stage_metrics(z)
     region_z_noise = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
                                             noise_bounds[0], noise_bounds[1],
-                                            tp_bank)
+                                            tp_bank,
+                                            tp_window=int(NOISE_PAD_SECS * sr))
     region_z_speech = _region_sample_ingraph(z, loud_z, spec_avg_z, sr,
                                              speech_bounds[0], speech_bounds[1],
-                                             tp_bank)
+                                             tp_bank,
+                                             tp_window=int(SPEECH_PAD_SECS * sr))
 
     metrics = {
         "final": loud_z,

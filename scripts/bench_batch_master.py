@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=4)
     ap.add_argument("--secs", type=float, default=300.0)
     ap.add_argument("--sr", type=int, default=48000)
+    ap.add_argument("--trace", default="",
+                    help="wrap the timed run in jax.profiler.trace at this "
+                         "dir — gives the BATCHED device ms per file "
+                         "(VERDICT r4 #1: the PCIe amortisation claim needs "
+                         "a measured batch number, not the single-stream one)")
     args = ap.parse_args()
 
     import jax
@@ -69,9 +74,15 @@ def main() -> None:
     # timed run on FRESH content (tunnel memoizes by content)
     paths2 = make_files("b")
 
+    trace_ctx = None
+    if args.trace:
+        trace_ctx = jax.profiler.trace(args.trace)
+        trace_ctx.__enter__()
     t0 = time.perf_counter()
     results = process_back_catalogue(paths2, out_dir=str(tmp / "out"))
     wall = time.perf_counter() - t0
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
     errs = [r for r in results if "error" in r]
     rt = args.secs * args.files / wall
     print(json.dumps({

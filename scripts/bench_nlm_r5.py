@@ -33,6 +33,11 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jivetalking_jax_cache_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 
 from jivetalking_tpu.ops.nlm import _band_matrix, _nlm_core, _sliding_sum_matmul
@@ -134,6 +139,58 @@ def make_core(split=False, nostk=False, b16d=False):
     return jax.jit(core, static_argnames=("P", "R", "block"))
 
 
+def make_core_symgrp(pos_group=17, out_group=14):
+    """Symmetric distance field + offset grouping + bf16 stores: the
+    positive-offset dist rows are computed once (grouped, halving the
+    diff^2 + banded-matmul traffic) and the negative rows are shifted
+    READS of them — D(t, -d) = D(t-d, +d) (the identity the opt-in
+    JT_NLM_SYMMETRIC path already proves).  The round-3 symmetric
+    experiment was a wash UNGROUPED (full-width fields dominated both
+    forms); grouping + bf16 changed the traffic mix, so re-measure."""
+    def core(x, h2, P, R, block=524288):
+        n = int(x.shape[0])
+        halo = P + 2 * R
+        m = -(-n // block)
+        total = m * block
+        xp = jnp.zeros(total + 2 * halo, x.dtype).at[halo: halo + n].set(x)
+        w_box = 2 * P + 1
+        ext = block + 2 * R + 2 * P
+        offs_all = np.arange(-R, R + 1)
+        n_out_groups = max(1, (len(offs_all) + out_group - 1) // out_group)
+        out_groups = np.array_split(offs_all, n_out_groups)
+
+        def body(_, i):
+            s = i * block
+            win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+            centre = win[R: R + ext]
+            pieces = []
+            for g0 in range(0, R + 1, pos_group):
+                gs = range(g0, min(R + 1, g0 + pos_group))
+                shifted = jnp.stack([win[R + d: R + d + ext] for d in gs])
+                diff2 = ((centre[None, :] - shifted) ** 2).astype(jnp.bfloat16)
+                pieces.append(sliding_sum_base(diff2, w_box, jnp.bfloat16))
+            dist_pos = jnp.concatenate(pieces, axis=0)   # (R+1, block+2R) bf16
+            t_global = s + jnp.arange(block)
+            num = jnp.zeros(block, jnp.float32)
+            den = jnp.zeros(block, jnp.float32)
+            for goffs in out_groups:
+                rows = [dist_pos[d, R: R + block] if d >= 0
+                        else dist_pos[-d, R + d: R + d + block]
+                        for d in goffs]
+                dist = jnp.stack(rows)
+                mid = jnp.stack([win[halo + d: halo + d + block] for d in goffs])
+                valid = ((t_global[None, :] + goffs[:, None]) >= 0) & (
+                    (t_global[None, :] + goffs[:, None]) < n)
+                w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
+                num = num + jnp.sum(w * mid, axis=0)
+                den = den + jnp.sum(w, axis=0)
+            return None, num / jnp.maximum(den, 1e-12)
+
+        _, ys = jax.lax.scan(body, None, jnp.arange(m))
+        return ys.reshape(-1)[:n]
+    return jax.jit(core, static_argnames=("P", "R", "block"))
+
+
 def main():
     secs = 300
     if "--secs" in sys.argv:
@@ -146,20 +203,19 @@ def main():
     h2 = jnp.float32(0.1 * 0.1 / 3.0)
 
     ships = jax.jit(_nlm_core, static_argnames=("patch_radius", "research_radius", "block"))
+    symg = make_core_symgrp()
+    s25 = make_core_symgrp(pos_group=25)
+    s49 = make_core_symgrp(pos_group=49)
+    s17_20 = make_core_symgrp(pos_group=17, out_group=20)
+    s25_25 = make_core_symgrp(pos_group=25, out_group=25)
     variants = {
         "base": lambda xv: ships(xv, h2, patch_radius=P, research_radius=R),
-        "split": None, "nostk": None, "b16d": None,
-        "spl+ns": None, "all": None,
+        "symg": lambda xv: symg(xv, h2, P, R),
+        "s25": lambda xv: s25(xv, h2, P, R),
+        "s49": lambda xv: s49(xv, h2, P, R),
+        "s17_20": lambda xv: s17_20(xv, h2, P, R),
+        "s25_25": lambda xv: s25_25(xv, h2, P, R),
     }
-    cores = {
-        "split": make_core(split=True),
-        "nostk": make_core(nostk=True),
-        "b16d": make_core(b16d=True),
-        "spl+ns": make_core(split=True, nostk=True),
-        "all": make_core(split=True, nostk=True, b16d=True),
-    }
-    for k, c in cores.items():
-        variants[k] = (lambda cc: lambda xv: cc(xv, h2, P, R))(c)
 
     ref = None
     for name, fn in variants.items():
