@@ -23,6 +23,8 @@ class SilenceGap:
 
 @dataclass
 class TestAudioOptions:
+    __test__ = False  # pytest: fixture options struct, not a test class
+
     duration_secs: float = 5.0
     sample_rate: int = 44100
     tone_freq: float = 0.0       # Hz; 0 = no tone

@@ -243,9 +243,14 @@ def batched_analysis(
     # mono rows already ON DEVICE (process_back_catalogue's per-file
     # upload-as-ready path): pad each row to the chunk grid and stack once,
     # then every chunk slab is a device-side dynamic_slice — the analysis
-    # performs no further host->device transfer at all
+    # performs no further host->device transfer at all.  The rows must
+    # share ONE dtype: jnp.stack would silently VALUE-promote a mixed
+    # int16/float32 batch (int16 100 -> 100.0f, not 100/32768), and the
+    # chunk program's in-graph /32768 scaling keys on the slab dtype — a
+    # mixed lossless+lossy catalogue falls back to the host path instead.
     all_dev = mesh is None and all(
-        isinstance(p, jax.Array) and p.ndim == 1 for p in pcm_list)
+        isinstance(p, jax.Array) and p.ndim == 1 for p in pcm_list
+    ) and len({p.dtype for p in pcm_list}) == 1
     if all_dev:
         L = hm + n_chunks * C
         padded = jnp.stack([

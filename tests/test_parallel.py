@@ -375,6 +375,52 @@ class TestConfig5BatchChunked:
                 assert m.vad.speech_profile.region.start == pytest.approx(
                     want.vad.speech_profile.region.start, abs=0.3)
 
+    def test_batched_analysis_device_rows_match_host_path(self):
+        """The upload-as-ready path: device-resident mono rows analyse to
+        the same numbers the host-slab path produces (the slabs become
+        device-side dynamic_slices of the resident rows)."""
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.parallel.batch_chunked import batched_analysis
+
+        sr = 8000
+        files = [self._episode(s, sr, seed=80 + i)
+                 for i, s in enumerate((6.0, 5.0))]
+        ms_host = batched_analysis(files, sr, chunk_secs=3.0)
+        ms_dev = batched_analysis([jnp.asarray(f) for f in files], sr,
+                                  chunk_secs=3.0)
+        for mh, md in zip(ms_host, ms_dev):
+            assert md.loudness.input_i == pytest.approx(
+                mh.loudness.input_i, abs=1e-4)
+            assert md.loudness.input_tp == pytest.approx(
+                mh.loudness.input_tp, abs=1e-4)
+            assert md.dynamics.rms_level == pytest.approx(
+                mh.dynamics.rms_level, abs=1e-4)
+            assert md.noise.floor == pytest.approx(mh.noise.floor, abs=1e-3)
+
+    def test_batched_analysis_mixed_dtype_rows_not_value_promoted(self):
+        """A mixed int16/float32 device batch must NOT ride the stacked
+        device path: jnp.stack would VALUE-promote the int16 rows
+        (100 -> 100.0f, skipping the /32768 scaling that keys on the slab
+        dtype).  The guard falls back to the host path; the int16 file's
+        loudness must match its float32 rendition of the same signal."""
+        import jax.numpy as jnp
+
+        from jivetalking_tpu.parallel.batch_chunked import batched_analysis
+
+        sr = 8000
+        raw = self._episode(6.0, sr, seed=91)             # int16
+        as_f32 = (raw.astype(np.float32) / 32768.0)       # same signal
+        ms = batched_analysis([jnp.asarray(raw), jnp.asarray(as_f32)], sr,
+                              chunk_secs=3.0)
+        assert ms[0].loudness.input_i == pytest.approx(
+            ms[1].loudness.input_i, abs=1e-3)
+        assert ms[0].dynamics.peak_level == pytest.approx(
+            ms[1].dynamics.peak_level, abs=1e-3)
+        # sanity: neither read as a +90 dB int16-valued float signal
+        assert ms[0].dynamics.peak_level < 0.5
+        assert ms[1].dynamics.peak_level < 0.5
+
 
 class TestSpectrogramPairContract:
     """Identical bounds yield byte-identical images, so the before/after
