@@ -262,9 +262,10 @@ def _region_sample_ingraph(x: jnp.ndarray, loud: dict, spec_avg_fn, sr: int,
     the region instead of the whole masked signal — the elected regions are
     golden-refined to <= 60 s speech / <= 18 s room tone, so a padded
     window covers them entirely and the 4 region TPs stop costing ~4 ms of
-    full-signal passes each (round-5 trace).  Regions longer than the
-    window clamp their TP support to the window's first `tp_window`
-    samples, matching the fused band-RMS clamp (`band_rms_dispatch`)."""
+    full-signal passes each (round-5 trace).  For regions longer than
+    the window only the OVERSAMPLED term clamps its support to the
+    window (matching the fused band-RMS pad clamp); the sample-peak max
+    stays a full-region measure, so tp >= region sample peak always."""
     n = x.shape[0]
     idx = jnp.arange(n)
     mask = (idx >= start) & (idx < end)
