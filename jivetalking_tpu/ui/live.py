@@ -26,6 +26,7 @@ the terminal."""
 
 from __future__ import annotations
 
+import copy
 import math
 import sys
 import threading
@@ -87,6 +88,7 @@ class FileRow:
     meter_db: float = _METER_FLOOR_DB
     peak_db: float = _METER_FLOOR_DB
     peak_at: float = 0.0
+    box_cache: object = None     # ((summary copy, cols, color), lines) memo
 
 
 @dataclass
@@ -358,6 +360,25 @@ def _boxes_for(summary: AdaptedSummary, cols: int | None = None,
     return [a + "  " + b for a, b in zip(chain, analysis)]
 
 
+def _boxes_for_row(row: FileRow, cols: int | None = None,
+                   color: bool = False) -> list[str]:
+    """Memoised `_boxes_for`: the boxes re-render only when the summary
+    content, terminal width, or colour mode changes — at 15 fps the
+    repaint otherwise re-renders two unchanged boxes every tick (ref:
+    FileProgress.statusBoxCache, statusboxes.go; contracts pinned by the
+    TestStatusBoxCacheByteIdentical family, statusboxes_test.go:492-596).
+    The key stores a COPY of the summary because `with_limiter` mutates
+    the live object in place — identity alone would serve a stale panel
+    after the Pass-4 limiter lights."""
+    key = (copy.copy(row.summary), cols, color)
+    cache = row.box_cache
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    lines = _boxes_for(row.summary, cols, color)
+    row.box_cache = (key, lines)
+    return lines
+
+
 def render_overall_progress(model: LiveModel) -> str:
     """Totals footer: 'Processing N files, M complete, K failed' — counts
     only, never a 'file N of M' cursor (files run concurrently, a cursor
@@ -400,8 +421,8 @@ def render_frame(model: LiveModel, tick: int, cols: int | None = None) -> str:
             lines.extend("  " + l for l in render_meter(
                 row.meter_db, row.peak_db, elapsed, model.color).splitlines())
         if row.summary is not None:
-            lines.extend("  " + b for b in _boxes_for(row.summary, cols,
-                                                      model.color))
+            lines.extend("  " + b for b in _boxes_for_row(row, cols,
+                                                          model.color))
     if len(model.files) > 1:
         lines.append(render_overall_progress(model))
     return "\n".join(lines)
@@ -568,6 +589,9 @@ class LiveUI:
             row = self.model.rows.get(path)
             if row is not None:
                 row.summary = summary
+                # message-path invalidation, independent of the key
+                # mismatch (ref: TestModelInvalidatesCacheOnAdaptedSummaryMsg)
+                row.box_cache = None
 
     def on_duration(self, path: str, secs: float) -> None:
         with self._lock:
@@ -586,6 +610,7 @@ class LiveUI:
             if row is not None and row.summary is not None:
                 row.summary = with_limiter(row.summary, enabled,
                                            ceiling_dbtp)
+                row.box_cache = None
 
     def on_levels(self, path: str, levels_db, hop_secs: float) -> None:
         with self._lock:

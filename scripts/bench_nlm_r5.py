@@ -191,6 +191,55 @@ def make_core_symgrp(pos_group=17, out_group=14):
     return jax.jit(core, static_argnames=("P", "R", "block"))
 
 
+def make_core_symfuse(pos_group=25):
+    """Symmetric + FUSED weight-apply (VERDICT r5 #3): each positive-group
+    distance piece is consumed IMMEDIATELY for both its +d and -d offsets
+    — the full-width (R+1, block+2R) dist_pos concatenate never
+    materialises, saving its write + the cross-piece re-read.  Same bf16
+    quantisation points as the shipping symmetric form; accumulation
+    order over offsets differs (pairs by |d| instead of ascending d), so
+    expect ~1 ulp f32 num/den drift, not bit identity."""
+    def core(x, h2, P, R, block=524288):
+        n = int(x.shape[0])
+        halo = P + 2 * R
+        m = -(-n // block)
+        total = m * block
+        xp = jnp.zeros(total + 2 * halo, x.dtype).at[halo: halo + n].set(x)
+        w_box = 2 * P + 1
+        ext = block + 2 * R + 2 * P
+
+        def body(_, i):
+            s = i * block
+            win = jax.lax.dynamic_slice(xp, (s,), (block + 2 * halo,))
+            centre = win[R: R + ext]
+            t_global = s + jnp.arange(block)
+            num = jnp.zeros(block, jnp.float32)
+            den = jnp.zeros(block, jnp.float32)
+            for g0 in range(0, R + 1, pos_group):
+                gs = list(range(g0, min(R + 1, g0 + pos_group)))
+                shifted = jnp.stack([win[R + d: R + d + ext] for d in gs])
+                diff2 = ((centre[None, :] - shifted) ** 2).astype(jnp.bfloat16)
+                dist_g = sliding_sum_base(diff2, w_box, jnp.bfloat16)
+                # both signs of every offset in this piece, d=0 once
+                offs = [d for d in gs] + [-d for d in gs if d > 0]
+                rows = [dist_g[j, R: R + block] for j, _ in enumerate(gs)] + [
+                    dist_g[j, R - d: R - d + block]
+                    for j, d in enumerate(gs) if d > 0]
+                goffs = np.asarray(offs)
+                dist = jnp.stack(rows)
+                mid = jnp.stack([win[halo + d: halo + d + block] for d in offs])
+                valid = ((t_global[None, :] + goffs[:, None]) >= 0) & (
+                    (t_global[None, :] + goffs[:, None]) < n)
+                w = jnp.exp(-dist.astype(jnp.float32) / h2) * valid
+                num = num + jnp.sum(w * mid, axis=0)
+                den = den + jnp.sum(w, axis=0)
+            return None, num / jnp.maximum(den, 1e-12)
+
+        _, ys = jax.lax.scan(body, None, jnp.arange(m))
+        return ys.reshape(-1)[:n]
+    return jax.jit(core, static_argnames=("P", "R", "block"))
+
+
 def main():
     secs = 300
     if "--secs" in sys.argv:
@@ -203,19 +252,17 @@ def main():
     h2 = jnp.float32(0.1 * 0.1 / 3.0)
 
     ships = jax.jit(_nlm_core, static_argnames=("patch_radius", "research_radius", "block"))
-    symg = make_core_symgrp()
-    s25 = make_core_symgrp(pos_group=25)
-    s49 = make_core_symgrp(pos_group=49)
-    s17_20 = make_core_symgrp(pos_group=17, out_group=20)
-    s25_25 = make_core_symgrp(pos_group=25, out_group=25)
+    only = sys.argv[sys.argv.index("--only") + 1].split(",") if "--only" in sys.argv else None
     variants = {
+        # "base" is now the SHIPPING symmetric-grouped default (ops/nlm.py)
         "base": lambda xv: ships(xv, h2, patch_radius=P, research_radius=R),
-        "symg": lambda xv: symg(xv, h2, P, R),
-        "s25": lambda xv: s25(xv, h2, P, R),
-        "s49": lambda xv: s49(xv, h2, P, R),
-        "s17_20": lambda xv: s17_20(xv, h2, P, R),
-        "s25_25": lambda xv: s25_25(xv, h2, P, R),
+        "fuse13": (lambda f: lambda xv: f(xv, h2, P, R))(make_core_symfuse(pos_group=13)),
+        "fuse17": (lambda f: lambda xv: f(xv, h2, P, R))(make_core_symfuse(pos_group=17)),
+        "fuse25": (lambda f: lambda xv: f(xv, h2, P, R))(make_core_symfuse(pos_group=25)),
+        "fuse49": (lambda f: lambda xv: f(xv, h2, P, R))(make_core_symfuse(pos_group=49)),
     }
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only or k == "base"}
 
     ref = None
     for name, fn in variants.items():

@@ -1630,3 +1630,94 @@ class TestFinalSummaryContent:
         plain = self._plain(render_frame(ui.model, tick=0))
         assert "1 complete, 1 failed" in plain
         assert "boom" in plain
+
+
+class TestStatusBoxCache:
+    """The per-row status-box render memo (ref: FileProgress.
+    statusBoxCache, statusboxes.go; contracts from
+    statusboxes_test.go:492-596): cached panels byte-identical to fresh
+    renders across the pending/lit/limiter states, re-render on summary
+    or width change, and message-path invalidation on the summary and
+    limiter callbacks."""
+
+    def _lit(self):
+        return AdaptedSummary(
+            chain_ready=True, downmix_mono=True, highpass_hz=80.0,
+            lowpass_hz=20500.0, denoise_nlm=True, denoise_fft=True,
+            gate_thresh_db=-42.1, gate_ratio=2.0, comp_thresh_db=-11.9,
+            deesser_on=False, deesser_i=0.0, sample_rate=44100,
+            has_speech=True, voice_avg_db=-20.9, has_noise_floor=True,
+            noise_floor_db=-68.0, separation_db=47.0, input_lra=8.2,
+            true_peak_dbtp=-3.2, has_sibilance=True, sibilance_db=-4.0,
+            gate_depth_db=14.0, input_lufs=-24.3,
+        )
+
+    def _row(self, summary):
+        from jivetalking_tpu.ui.live import FileRow
+
+        row = FileRow(path="a.flac")
+        row.summary = summary
+        return row
+
+    def test_cached_panel_byte_identical_across_states(self):
+        # (ref: TestStatusBoxCacheByteIdentical): pre-Pass-2 pending,
+        # during Pass 2 lit, and post-completion limiter-lit — the warm
+        # second render must equal a one-shot uncached render exactly
+        from jivetalking_tpu.ui.live import _boxes_for, _boxes_for_row
+
+        states = [
+            AdaptedSummary(),
+            self._lit(),
+            with_limiter(self._lit(), enabled=True, ceiling_dbtp=-2.8),
+        ]
+        for summary in states:
+            row = self._row(summary)
+            first = _boxes_for_row(row, cols=160)
+            assert row.box_cache is not None   # populated by frame 1
+            cached = _boxes_for_row(row, cols=160)
+            assert cached is first             # frame 2 reused the memo
+            assert cached == _boxes_for(summary, cols=160)
+
+    def test_summary_change_re_renders(self):
+        # (ref: TestStatusBoxCacheInvalidatesOnSummary): the limiter
+        # lighting in place must not serve the stale panel even though
+        # the summary OBJECT is unchanged (with_limiter mutates)
+        from jivetalking_tpu.ui.live import _boxes_for, _boxes_for_row
+
+        row = self._row(self._lit())
+        first = _boxes_for_row(row, cols=160)
+        row.summary = with_limiter(row.summary, enabled=True,
+                                   ceiling_dbtp=-2.8)
+        second = _boxes_for_row(row, cols=160)
+        assert second != first
+        assert second == _boxes_for(row.summary, cols=160)
+        assert any("-2.8" in l for l in second)
+
+    def test_width_change_re_renders(self):
+        # (ref: TestStatusBoxCacheInvalidatesOnHeight — the geometry key;
+        # here the layout key is the terminal width, whose narrow value
+        # stacks the boxes instead of joining them)
+        from jivetalking_tpu.ui.live import _boxes_for_row
+
+        row = self._row(self._lit())
+        wide = _boxes_for_row(row, cols=160)
+        narrow = _boxes_for_row(row, cols=40)
+        assert narrow != wide
+        assert len(narrow) > len(wide)         # stacked, not joined
+        # and the cache now holds the narrow layout
+        assert _boxes_for_row(row, cols=40) is narrow
+
+    def test_callbacks_invalidate_message_path(self):
+        # (ref: TestModelInvalidatesCacheOnAdaptedSummaryMsg): the
+        # summary and limiter callbacks clear the memo outright,
+        # independent of the key comparison
+        ui = LiveUI(["a.flac"], out=io.StringIO())
+        row = ui.model.rows["a.flac"]
+        ui.on_adapted_summary("a.flac", self._lit())
+        assert row.box_cache is None
+        render_frame(ui.model, tick=0)
+        assert row.box_cache is not None
+        ui.on_limiter("a.flac", enabled=True, ceiling_dbtp=-2.8)
+        assert row.box_cache is None
+        frame = render_frame(ui.model, tick=0)
+        assert "-2.8" in frame
