@@ -15,11 +15,21 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..ops.prefix import lane_cummax, lane_cumsum
+
+# Lane-major two-level prefixes instead of flat lax.cummax/jnp.cumsum for
+# the windowed stats: the flat forms lower to ~log2(2400) full-array
+# select_reduce passes (58.1 ms of stage A on a 300 s master, trace
+# /tmp/jt_trace_r5_head2); the lane-major forms do 7 in-lane passes plus a
+# 128x-smaller carry recursion.  JT_ASTATS_LANE_PREFIX=0 reverts.
+_LANE_PREFIX = os.environ.get("JT_ASTATS_LANE_PREFIX", "1") != "0"
 
 WINDOW_SECS = 0.05  # astats `length` default
 _ENTROPY_BINS = 8192
@@ -89,7 +99,7 @@ def _sliding_sumsq(x2: jnp.ndarray, w: int) -> jnp.ndarray:
     # gather-free: (n_frames+1, w) contiguous blocks; window i = blocks i,i+1
     blocks = xp.reshape(n_frames + 1, w)
     frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)  # (n_frames, 2w)
-    csum = jnp.cumsum(frames, axis=1)
+    csum = lane_cumsum(frames) if _LANE_PREFIX else jnp.cumsum(frames, axis=1)
     zero = jnp.zeros((n_frames, 1), csum.dtype)
     csum = jnp.concatenate([zero, csum], axis=1)  # (n_frames, 2w+1)
     # window starting at local offset j (0..w-1): sum = csum[j+w] - csum[j]
@@ -106,10 +116,18 @@ def _sliding_max(x: jnp.ndarray, w: int) -> jnp.ndarray:
     neg = jnp.finfo(x.dtype).min
     xp = jnp.full(pad_to + w, neg, x.dtype).at[:n].set(x)
     blocks = xp[: n_blocks * w].reshape(n_blocks, w)
-    suffix = jax.lax.cummax(blocks[:, ::-1], axis=1)[:, ::-1]  # suffix max within block
+    _cummax = lane_cummax if _LANE_PREFIX else (
+        lambda b: jax.lax.cummax(b, axis=b.ndim - 1))
+    suffix = _cummax(blocks[:, ::-1])[:, ::-1]  # suffix max within block
     nxt = xp[w:][: n_blocks * w].reshape(n_blocks, w)
-    prefix = jax.lax.cummax(nxt, axis=1)  # prefix max of following w samples
-    out = jnp.maximum(suffix, prefix).reshape(-1)
+    prefix = _cummax(nxt)  # prefix max of following samples
+    # window at block-local offset j covers suffix[j:] (w-j samples) plus the
+    # FIRST j samples of the next block — prefix shifted right by one (j=0
+    # needs none).  Unshifted prefix[j] would add an extra (w+1)th sample
+    # (off-by-one caught by the stride-tricks oracle, 2026-08-20).
+    pref = jnp.concatenate(
+        [jnp.full((n_blocks, 1), neg, x.dtype), prefix[:, :-1]], axis=1)
+    out = jnp.maximum(suffix, pref).reshape(-1)
     return out[:n_out]
 
 

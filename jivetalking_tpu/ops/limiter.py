@@ -47,7 +47,13 @@ def _sliding_min_lookahead(x: jnp.ndarray, w: int) -> jnp.ndarray:
     suffix = jax.lax.cummin(blocks[:, ::-1], axis=1)[:, ::-1]
     nxt = xp[w:][: n_blocks * w].reshape(n_blocks, w)
     prefix = jax.lax.cummin(nxt, axis=1)
-    return jnp.minimum(suffix, prefix).reshape(-1)[:n]
+    # window at block-local offset j covers suffix[j:] (w-j samples) plus the
+    # FIRST j samples of the next block — prefix shifted right by one (the
+    # unshifted prefix[j] adds a (w+1)th lookahead sample; same off-by-one as
+    # astats._sliding_max, caught by the stride-tricks oracle 2026-08-20).
+    pref = jnp.concatenate(
+        [jnp.full((n_blocks, 1), big, x.dtype), prefix[:, :-1]], axis=1)
+    return jnp.minimum(suffix, pref).reshape(-1)[:n]
 
 
 _MP_LANE = 128
