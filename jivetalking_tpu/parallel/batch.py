@@ -443,6 +443,49 @@ def process_back_catalogue(
     slabs = [(bi, idxs[s : s + max_b])
              for bi, idxs in enumerate(buckets)
              for s in range(0, len(idxs), max_b)]
+
+    def _finalise_one(g, pcm_i, fm, sr, rate, share, an_share, timings, n_group):
+        """Per-file host finalize: assemble stage results, encode FLAC,
+        shape the outcome dict.  Runs on the finisher thread so slab N's
+        encodes overlap slab N+1's device passes (the ctypes FLAC encoder
+        and the device waits both release the GIL); all writes go through
+        the thread-safe atomic publish, each to a distinct destination."""
+        p = g["path"]
+        try:
+            filtered, final, norm = assemble_fused_stage_results(
+                fm, g["m"], g["eff"], sr, int(g["m"].device_pcm.shape[-1]))
+            res = ProcessResult(
+                measurements=g["m"], effective_config=g["eff"],
+                diagnostics=g["diag"], filtered=filtered, final=final,
+                normalisation=norm, output_audio=pcm_i, output_rate=rate,
+                pass_timings={
+                    "analysis": an_share,
+                    "processing": timings["stage_a"] / n_group,
+                    "normalising": timings["stage_b"] / n_group,
+                },
+            )
+            name_lufs = norm.output_lufs
+            if not (name_lufs < 0.0):
+                name_lufs = norm.effective_target_i or norm.requested_target_i
+            out_path = output_audio_path(p, name_lufs)
+            if out_dir is not None:
+                out_path = os.path.join(out_dir, os.path.basename(out_path))
+            save_flac(out_path, pcm_i, rate)
+            return {
+                "path": p,
+                "output_path": out_path,
+                "output_lufs": norm.output_lufs,
+                "output_tp_db": norm.output_tp,
+                "effective_target_i": norm.effective_target_i,
+                "offset_db": norm.gain_applied_db,
+                "result": res,
+                "wall_secs": an_share + share,
+            }
+        except Exception as e:
+            return {"path": p, "error": str(e)}
+
+    finalise_futs = []
+    finisher = ThreadPoolExecutor(max_workers=1)
     for si, (bi, idxs) in enumerate(slabs):
         group = [entries[i] for i in idxs]
         sr = group[0]["sample_rate"]
@@ -463,39 +506,13 @@ def process_back_catalogue(
         share = bucket_wall / max(1, len(group))
         an_share = analysis_wall / max(1, len(entries))
         for g, pcm_i, fm in zip(group, outs, metrics_list):
-            p = g["path"]
-            try:
-                filtered, final, norm = assemble_fused_stage_results(
-                    fm, g["m"], g["eff"], sr, int(g["m"].device_pcm.shape[-1]))
-                res = ProcessResult(
-                    measurements=g["m"], effective_config=g["eff"],
-                    diagnostics=g["diag"], filtered=filtered, final=final,
-                    normalisation=norm, output_audio=pcm_i, output_rate=rate,
-                    pass_timings={
-                        "analysis": an_share,
-                        "processing": timings["stage_a"] / max(1, len(group)),
-                        "normalising": timings["stage_b"] / max(1, len(group)),
-                    },
-                )
-                name_lufs = norm.output_lufs
-                if not (name_lufs < 0.0):
-                    name_lufs = norm.effective_target_i or norm.requested_target_i
-                out_path = output_audio_path(p, name_lufs)
-                if out_dir is not None:
-                    out_path = os.path.join(out_dir, os.path.basename(out_path))
-                save_flac(out_path, pcm_i, rate)
-                results.append({
-                    "path": p,
-                    "output_path": out_path,
-                    "output_lufs": norm.output_lufs,
-                    "output_tp_db": norm.output_tp,
-                    "effective_target_i": norm.effective_target_i,
-                    "offset_db": norm.gain_applied_db,
-                    "result": res,
-                    "wall_secs": an_share + share,
-                })
-            except Exception as e:
-                failures.append({"path": p, "error": str(e)})
+            finalise_futs.append(finisher.submit(
+                _finalise_one, g, pcm_i, fm, sr, rate, share, an_share,
+                timings, max(1, len(group))))
+    for fut in finalise_futs:
+        r = fut.result()
+        (failures if "error" in r else results).append(r)
+    finisher.shutdown()
     total_wall = _time.perf_counter() - t_all
     for r in results:
         r["batch_wall_secs"] = total_wall
