@@ -48,6 +48,14 @@ class TestLanePrefixMatchesNumpy:
         got = np.asarray(lane_cummax(jnp.asarray(x)))
         assert got[49] == -1e30 and got[50] == 2.0 and got[-1] == 2.0
 
+    def test_integer_dtypes_use_iinfo_identity(self):
+        # the identity derivation branches on floating vs integer dtypes
+        x = np.random.default_rng(11).integers(-1000, 1000, 500).astype(np.int32)
+        assert np.array_equal(np.asarray(lane_cummax(jnp.asarray(x))),
+                              np.maximum.accumulate(x))
+        assert np.array_equal(np.asarray(lane_cummin(jnp.asarray(x))),
+                              np.minimum.accumulate(x))
+
 
 class TestAstatsWindowedParity:
     """The astats windowed stats must read the same through the lane-major
@@ -77,6 +85,26 @@ class TestAstatsWindowedParity:
         xp = np.concatenate([x, np.full(w, np.inf, np.float32)])
         want = np.lib.stride_tricks.sliding_window_view(xp, w)[:20_000].min(axis=1)
         assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("n,w", [(100, 1), (64, 64), (65, 64), (7, 4)],
+                             ids=str)
+    def test_limiter_sliding_min_edge_windows(self, n, w):
+        # w=1 (no lookahead), w==n, w just under/over block boundaries
+        from jivetalking_tpu.ops.limiter import _sliding_min_lookahead
+
+        x = self._signal(n)
+        got = np.asarray(_sliding_min_lookahead(jnp.asarray(x), w))
+        xp = np.concatenate([x, np.full(w, np.inf, np.float32)])
+        want = np.lib.stride_tricks.sliding_window_view(xp, w)[:n].min(axis=1)
+        assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("n,w", [(4800, 2400), (4801, 2400), (2400, 2400)],
+                             ids=str)
+    def test_sliding_max_edge_lengths(self, n, w):
+        x = np.abs(self._signal(n))
+        got = np.asarray(_sliding_max(jnp.asarray(x), w))
+        sw = np.lib.stride_tricks.sliding_window_view(x, w)
+        assert np.array_equal(got, sw.max(axis=1))
 
     def test_sliding_sumsq_matches_f64_oracle(self):
         x = self._signal(20_000)
